@@ -1,0 +1,307 @@
+"""Deduplication operator family for large-scale corpus curation.
+
+Beyond the reference's pre-merge ``SELECT DISTINCT`` dedup
+(`delivery_agent_proc.sql:140-154`, SURVEY C6), a 100 TB
+training-data pipeline needs content dedup. Four tiers, all built on
+DataFrame ops (no Python UDFs — md5/regex/explode/groupBy are
+JVM-side and whole-stage-codegen friendly):
+
+- exact:        hash-groupBy on md5(text) — one shuffle on a
+                fixed-width key; at scale this is the cheapest pass
+                and removes the bulk of crawl dups.
+- n-gram Jaccard: word-3-gram shingles → inverted-index self-join →
+                exact Jaccard in integer arithmetic. Quadratic in
+                docs-per-shingle; correct but only for small/blocked
+                candidate sets.
+- MinHash+LSH:  16 md5-keyed min-hash permutations → 4 bands × 4 rows
+                → band-bucket self-join. The *scale* path: candidate
+                generation is linear in corpus size + band-bucket
+                collisions; verify candidates with the Jaccard kernel.
+- SimHash:      16-bit sign-aggregated token-hash fingerprint;
+                hamming-close fingerprints → near-dups.
+
+All hash math is md5-derived so DuckDB oracles reproduce values
+exactly (Spark's xxhash64/hash are engine-private; md5 is universal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def words(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with sequence+transform (JVM-side, no UDF); explode is the
+    only row-multiplier and it's linear in token count.
+    """
+    offs = ", ".join(f"ws[i-1+{k}]" for k in range(n))
+    return (
+        df.select(F.col(id_col), words(text_col).alias("ws"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(ws)-{n - 1}, 0)),"
+                    f" i -> concat_ws(' ', {offs}))"
+                )
+            ).alias("shingle"),
+        )
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5(content) groupBy; canonical row = min id."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, id_col: str, min_permille: int = 0
+) -> DataFrame:
+    """Exact pairwise Jaccard from a (id, shingle) table via inverted-
+    index self-join. Integer-exact: jaccard_permille = ⌊1000·|∩|/|∪|⌋."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    out = (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            "inter_ct",
+            (F.col("sz1") + F.col("sz2") - F.col("inter_ct")).alias("union_ct"),
+            F.expr("CAST(inter_ct * 1000 AS BIGINT) div (sz1 + sz2 - inter_ct)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )
+    if min_permille > 0:
+        out = out.filter(F.col("jaccard_permille") >= min_permille)
+    return out
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, n_perm: int = N_PERM) -> DataFrame:
+    """MinHash signature per doc: for permutation p, min over shingles
+    of md5('<p>|'||shingle). Min of md5 hex strings is a valid uniform
+    min-hash (lexicographic order on a uniform 128-bit value)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
+    """Fold the signature into band hashes → (id, band_idx, band_hash)."""
+    n_perm = len([c for c in sig.columns if c.startswith("mh")])
+    rows = n_perm // n_bands
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(F.concat(*[F.col(f"mh{bi * rows + r}") for r in range(rows)])).alias(
+                "band_hash"
+            ),
+        )
+        for bi in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.explode(F.array(*bands)).alias("band"),
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidates(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join band buckets → candidate pairs + #shared bands.
+    This is the linear-ish scale path: pairs only materialize inside
+    colliding buckets."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word tokens (with multiplicity).
+
+    Token hash = first 4 hex chars of md5 → 16-bit int; per bit j the
+    weighted sign-sum decides bit j of the fingerprint.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok")).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select(F.col(id_col), fingerprint.cast("int").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM words
+)
+"""
+
+
+@register(
+    "q19_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY canonical_id
+""",
+    doc="Exact content dedup via hash-groupBy (one shuffle on md5 key).",
+)
+def q19_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").select(
+        "content_md5", "canonical_id", "n_copies"
+    ).orderBy("canonical_id")
+
+
+@register(
+    "q20_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_ct
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2, i.inter_ct,
+       s1.sz + s2.sz - i.inter_ct AS union_ct,
+       CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) AS jaccard_permille
+FROM inter i
+JOIN sizes s1 ON i.id1 = s1.doc_id
+JOIN sizes s2 ON i.id2 = s2.doc_id
+WHERE CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) >= 100
+ORDER BY id1, id2
+""",
+    doc="Exact n-gram Jaccard near-dup pairs (inverted-index self-join, integer-exact).",
+)
+def q20_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text")
+    return jaccard_pairs(sh, "doc_id", min_permille=100).orderBy("id1", "id2")
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM sig
+),
+brows AS ({band_rows})
+SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_bands
+FROM brows a JOIN brows b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY id1, id2
+"""
+
+
+@register(
+    "q21_minhash_lsh_candidates",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16)+LSH(4x4) near-dup candidate pairs — the linear-scale dedup path.",
+)
+def q21_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text")
+    sig = minhash_signatures(sh, "doc_id")
+    bands = lsh_bands(sig, "doc_id")
+    return lsh_candidates(bands, "doc_id").orderBy("id1", "id2")
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) AS h FROM toks
+), sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS INT) AS simhash FROM sums ORDER BY doc_id
+"""
+
+
+@register(
+    "q22_simhash_fingerprints",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash document fingerprints (sign-aggregated token hashes).",
+)
+def q22_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text").orderBy("doc_id")

@@ -1,0 +1,235 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- brute-force cosine top-k: the exactness baseline. dot/norm are
+  computed with ``zip_with`` + ``aggregate`` — JVM-side higher-order
+  functions, sequential left fold, so DuckDB's ``list_sum`` over the
+  same element order reproduces the doubles bit-for-bit.
+- LSH-bucketed (random hyperplane) ANN: sign-bit sketch from
+  md5-derived deterministic hyperplanes → candidates only join within
+  a bucket. Linear-ish candidate generation; re-rank candidates with
+  the exact kernel. (Registered rows-only: the bucket step is
+  float-sign sensitive; exactness is asserted by the brute-force
+  oracle instead.)
+
+Embedding near-dup (cosine >= threshold pairs) lives here too — it's
+the "embedding-cosine near-dup" tier of the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product in double (order-stable)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine similarity (id1 < id2). O(n²) — the exactness
+    kernel; wrap it behind LSH/blocking for scale."""
+    base = emb.select(
+        F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm")
+    )
+    a = base.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))
+    b = base.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", (_dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cos_sim"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query ids."""
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_r"))
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_component(p: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1],
+    derived from md5 so any engine can reproduce it."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}|{j}".encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    return [[_plane_component(p, j) for j in range(dim)] for p in range(n_planes)]
+
+
+def lsh_bucket_ann(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket = sign-bit string of dots
+    with n_planes fixed planes; candidates pair within buckets; exact
+    cosine re-rank inside the bucket. At scale the bucket join
+    replaces the O(n²) cross join with O(collisions)."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes)
+    sign_bits = []
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        prod = F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y)
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"),
+        F.concat(*sign_bits).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"),
+        F.col("bucket").alias("bucket2"),
+    )
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("bucket2")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_r"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+_DUCK_COS_BASE = """
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "q23_embedding_near_dup",
+    oracle=f"""
+WITH {_DUCK_COS_BASE}
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       CAST(round(list_sum(list_transform(generate_series(1, len(a.v)),
+            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS DECIMAL(10,6)) AS cos_r
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+      / (a.nrm * b.nrm) >= 0.4
+ORDER BY id1, id2
+""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.4; exactness kernel of ANN).",
+)
+def q23_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        cosine_pairs(emb)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id1", "id2", F.round("cos_sim", 6).cast("decimal(10,6)").alias("cos_r"))
+        .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "q24_ann_bruteforce_topk",
+    oracle=f"""
+WITH {_DUCK_COS_BASE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+  FROM base q JOIN base c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
+         CAST(round(cos_sim, 6) AS DECIMAL(10,6)) AS cos_r
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_r FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="Brute-force cosine top-5 neighbors for query vectors (ANN baseline).",
+)
+def q24_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [r[0] for r in emb.select("vec_id").filter(F.col("vec_id") < 10).collect()]
+    return (
+        brute_force_topk(emb, qids, k=5)
+        .select("query_id", "neighbor_id", "rank", F.col("cos_r").cast("decimal(10,6)"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q25_ann_lsh_topk",
+    oracle=None,  # float-sign bucketing is not robustly cross-engine; rows-only check
+    doc="LSH-bucketed ANN top-k (random-hyperplane sketch; the 100TB scale path).",
+)
+def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_bucket_ann(emb, k=5).orderBy("query_id", "rank")

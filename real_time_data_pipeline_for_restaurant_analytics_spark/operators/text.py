@@ -1,0 +1,228 @@
+"""Text-analysis operators for corpus curation at scale.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over the `documents` table — all built from JVM-side
+expressions (split/regexp/md5/aggregate), no Python UDFs, so they run
+inside whole-stage codegen and scale linearly with one groupBy-free
+pass per document (fingerprinting adds one explode+groupBy).
+
+All ratio outputs are integer permille (exact cross-engine math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# (The synthetic corpus shares one vocabulary, so predictions skew
+# 'en' — the operator contract is the deterministic scoring, which the
+# oracle verifies value-for-value.)
+LEXICONS = {
+    "en": ["the", "a", "value", "fast", "table"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+_TOKEN_RE = "[a-z0-9]+"  # BPE-ish lowercase word/number pieces
+
+
+def _hit_count(lang: str) -> F.Column:
+    """Number of tokens that are markers for `lang` (with multiplicity)."""
+    markers = F.array(*[F.lit(w) for w in LEXICONS[lang]])
+    return F.size(F.filter(F.col("toks"), lambda t: F.array_contains(markers, t)))
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", F.split(F.col(text_col), " "))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: score(lang) = marker hits; pred =
+    argmax (ties broken by lexicon order en,de,fr,es,zh)."""
+    langs = list(LEXICONS)
+    d = with_tokens(df, text_col)
+    for lg in langs:
+        d = d.withColumn(f"hits_{lg}", _hit_count(lg))
+    best = None
+    pred = None
+    for lg in langs:
+        c = F.col(f"hits_{lg}")
+        if best is None:
+            best, pred = c, F.lit(lg)
+        else:
+            pred = F.when(c > best, F.lit(lg)).otherwise(pred)
+            best = F.when(c > best, c).otherwise(best)
+    return d.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lg}") for lg in langs],
+        pred.alias("pred_lang"),
+        F.floor(F.col("hits_en") * 1000 / F.greatest(F.size("toks"), F.lit(1)))
+        .cast("bigint")
+        .alias("en_stopword_permille"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, token count, mean token
+    length (milli), alpha-char ratio (permille), distinct-token ratio
+    (permille) → integer quality score."""
+    d = with_tokens(df, text_col)
+    n_toks = F.size("toks")
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    distinct_toks = F.size(F.array_distinct("toks"))
+    mean_tok_len_milli = F.floor(
+        (n_chars - (n_toks - 1)) * 1000 / F.greatest(n_toks, F.lit(1))
+    ).cast("bigint")
+    alpha_permille = F.floor(alpha_chars * 1000 / F.greatest(n_chars, F.lit(1))).cast("bigint")
+    distinct_permille = F.floor(distinct_toks * 1000 / F.greatest(n_toks, F.lit(1))).cast("bigint")
+    return d.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        distinct_toks.alias("n_distinct_tokens"),
+        mean_tok_len_milli.alias("mean_token_len_milli"),
+        alpha_permille.alias("alpha_permille"),
+        distinct_permille.alias("distinct_permille"),
+        F.when((n_toks >= 20) & (distinct_permille >= 300), F.lit("good"))
+        .when(n_toks >= 10, F.lit("fair"))
+        .otherwise(F.lit("poor"))
+        .alias("quality_bucket"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + regex (BPE-ish) pieces."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_TOKEN_RE}', 0)")).alias("re_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 + min-shingle-hash
+    (one-permutation winnowing-style selection over word 3-grams)."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col)
+    sel = sh.groupBy(id_col).agg(
+        F.min(F.md5("shingle")).alias("min_shingle_md5"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    base = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+    return base.join(sel, id_col, "left").select(
+        id_col, "content_md5", "min_shingle_md5", "n_shingles"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    hit_cols = []
+    for lg, ws in LEXICONS.items():
+        lst = ", ".join(f"'{w}'" for w in ws)
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS hits_{lg}"
+        )
+    langs = list(LEXICONS)
+    # argmax with first-wins tie-break in lexicon order, mirroring the
+    # Spark when()-chain (later lang wins only on strictly greater).
+    pred = f"'{langs[0]}'"
+    best = f"hits_{langs[0]}"
+    for lg in langs[1:]:
+        pred = f"CASE WHEN hits_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"greatest(hits_{lg}, {best})"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+h AS (SELECT doc_id, toks, {', '.join(hit_cols)} FROM t)
+SELECT doc_id, {', '.join(f'hits_{lg}' for lg in langs)},
+       {pred} AS pred_lang,
+       CAST(FLOOR(hits_en * 1000 / greatest(len(toks), 1)) AS BIGINT) AS en_stopword_permille
+FROM h ORDER BY doc_id
+"""
+
+
+@register("q26_lang_id", oracle=_lang_oracle(), doc="Stopword-lexicon language ID heuristic.")
+def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return lang_id(d).orderBy("doc_id")
+
+
+@register(
+    "q27_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         length(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+       CAST(FLOOR((n_chars - (n_tokens - 1)) * 1000 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_milli,
+       CAST(FLOOR(alpha_chars * 1000 / greatest(n_chars, 1)) AS BIGINT) AS alpha_permille,
+       CAST(FLOOR(n_distinct_tokens * 1000 / greatest(n_tokens, 1)) AS BIGINT) AS distinct_permille,
+       CASE WHEN n_tokens >= 20
+                 AND CAST(FLOOR(n_distinct_tokens * 1000 / greatest(n_tokens, 1)) AS BIGINT) >= 300
+            THEN 'good'
+            WHEN n_tokens >= 10 THEN 'fair' ELSE 'poor' END AS quality_bucket
+FROM t ORDER BY doc_id
+""",
+    doc="Document quality-score features (length/diversity/alpha ratios, integer-exact).",
+)
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return quality_score(d).orderBy("doc_id")
+
+
+@register(
+    "q28_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS re_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+""",
+    doc="Token counting: whitespace + regex tokenizers.",
+)
+def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return token_stats(d).orderBy("doc_id")
+
+
+@register(
+    "q29_fingerprints",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM words
+),
+sel AS (
+  SELECT doc_id, MIN(md5(shingle)) AS min_shingle_md5, COUNT(*) AS n_shingles
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, md5(d.text) AS content_md5, sel.min_shingle_md5, sel.n_shingles
+FROM documents d LEFT JOIN sel ON d.doc_id = sel.doc_id
+ORDER BY d.doc_id
+""",
+    doc="Content md5 + min-shingle-hash document fingerprints.",
+)
+def q29_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return fingerprints(d).orderBy("doc_id")

@@ -1,0 +1,603 @@
+"""Analytical query surface (SURVEY §2.3 joins, §2.4 aggregations).
+
+The reference's analytical layer is 26 Power-BI KPIs over the
+consumption star schema (`README.md:108-135`) plus the ad-hoc
+group-counts in `final_proc.sql:64-76`. Each query here maps one of
+those operator shapes onto the driver testdata star schema
+(region/nation/customer/supplier/part/orders/lineitem/events) and
+carries a DuckDB oracle.
+
+Numeric-parity rules (so the driver's value-hash matches):
+- doubles are cast to DECIMAL at the scan; all arithmetic stays in
+  DECIMAL (exact, order-insensitive) — never sum raw doubles.
+- every computed column is explicitly aliased AND explicitly typed on
+  both the Spark and oracle side.
+- timestamps are emitted as formatted strings or integer smart keys.
+
+Scale notes: filters are expressed on scan columns so they push to
+parquet; dims (region/nation/customer) join via broadcast; aggregates
+are partial (map-side combine) by construction of groupBy.agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load
+from ..functions.enrich import flag_in, mask_columns, tier_bucket
+from ..functions.keys import hash_hex, hash_key, smart_date_key, smart_time_key
+from ..registry import register
+
+# Decimal shapes used at the scan boundary.
+MONEY = "decimal(14,2)"  # prices / totals
+RATE = "decimal(8,4)"  # discount / tax fractions
+QTY = "decimal(12,2)"
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with doubles decimalized at the scan (column pruning
+    still applies — Catalyst prunes unused casts)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        F.col("l_quantity").cast(QTY).alias("l_quantity"),
+        F.col("l_extendedprice").cast(MONEY).alias("l_extendedprice"),
+        F.col("l_discount").cast(RATE).alias("l_discount"),
+        F.col("l_tax").cast(RATE).alias("l_tax"),
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.withColumn("o_totalprice", F.col("o_totalprice").cast(MONEY))
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (flagship). Operators: S1 scan w/ pushdown, P1
+# casts, A5 aggregate family (sum/avg-as-decimal/count), A6 order.
+# Reference shape: the KPI revenue/AOV family, README.md:108-135.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(26,6)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,4)))
+        * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(30,10)) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="Pricing summary over lineitem (decimal-exact aggregate family).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("decimal(22,2)").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("decimal(22,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(26,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(30,10)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — top customers by revenue. Operators: J1 fact→dim broadcast
+# join, A2 group-count/sum + ORDER BY DESC, A6 top-k.
+# Reference shape: "most valuable customer" KPI + final_proc.sql:71-76.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_top_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    doc="Top-10 customers by total spend (broadcast dim join + top-k).",
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum("o_totalprice").cast("decimal(22,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — revenue by region (star join). Operators: J5 multi-dim star
+# join (orders⋈customer⋈nation⋈region), A5 sum + countDistinct.
+# Reference shape: "revenue per state/city" KPIs (README KPIs 5-7).
+# ---------------------------------------------------------------------------
+@register(
+    "q03_revenue_by_region",
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region
+""",
+    doc="Star-schema revenue rollup region←nation←customer←orders.",
+)
+def q03_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum("o_totalprice").cast("decimal(22,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — conditional-count rates per segment. Operators: A5 conditional
+# counts (count(when)) → rate. Reference shape: cancellation-rate /
+# delivery-status-distribution KPIs (README KPIs 17, 26).
+# Rates emitted as exact integer parts-per-million (bigint) to avoid
+# cross-engine float division.
+# ---------------------------------------------------------------------------
+@register(
+    "q04_segment_order_rates",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS n_open,
+       CAST(FLOOR(CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS DECIMAL(20,6))
+            * 1000000 / COUNT(*)) AS BIGINT) AS finished_ppm
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+    doc="Order-status rates per market segment (conditional counts).",
+)
+def q04_segment_order_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n_finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            n_finished.alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.floor(n_finished.cast("decimal(20,6)") * 1000000 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("finished_ppm"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — YoY revenue growth. Operators: A5 lag window over yearly agg.
+# Reference shape: "yearly revenue growth %" KPI (README KPI 13).
+# Growth emitted in exact ppm via decimal division on cent-integers.
+# ---------------------------------------------------------------------------
+@register(
+    "q05_yoy_revenue_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT order_year, revenue,
+       LAG(revenue) OVER (ORDER BY order_year) AS prev_revenue,
+       CAST(FLOOR(CAST((revenue - LAG(revenue) OVER (ORDER BY order_year)) AS DECIMAL(30,8))
+            * 1000000 / LAG(revenue) OVER (ORDER BY order_year)) AS BIGINT) AS growth_ppm
+FROM yearly ORDER BY order_year
+""",
+    doc="Yearly revenue + lag-window growth in ppm.",
+)
+def q05_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    yearly = o.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year")).agg(
+        F.sum("o_totalprice").cast("decimal(22,2)").alias("revenue")
+    )
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "order_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.floor((F.col("revenue") - prev).cast("decimal(30,8)") * 1000000 / prev)
+        .cast("bigint")
+        .alias("growth_ppm"),
+    ).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
+# q06 — top spender per nation. Operators: A5 row_number top-1 per
+# group. Reference shape: "most valuable customer" KPI (README KPI 20).
+# ---------------------------------------------------------------------------
+@register(
+    "q06_top_spender_per_nation",
+    oracle="""
+WITH spend AS (
+  SELECT n.n_name AS nation, c.c_custkey, c.c_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS spend
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY nation ORDER BY spend DESC, c_custkey) AS rn
+  FROM spend
+)
+SELECT nation, c_custkey, c_name, spend FROM ranked WHERE rn = 1 ORDER BY nation
+""",
+    doc="Top-1 spender per nation via row_number window.",
+)
+def q06_top_spender_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    spend = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey", "c_name")
+        .agg(F.sum("o_totalprice").cast("decimal(22,2)").alias("spend"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("spend"), "c_custkey")
+    return (
+        spend.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — hourly event histogram. Operators: A5 date_trunc-hour groupBy
+# (deliveries-per-hour KPI, README KPI 25); P15 smart keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_hourly_event_histogram",
+    oracle="""
+SELECT CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS hour_key,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_value
+FROM events
+GROUP BY 1 ORDER BY hour_key
+""",
+    doc="Events per hour + decimal-exact value totals (tumbling-window analog).",
+)
+def q07_hourly_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyyMMddHH").cast("bigint").alias("hour_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("total_value"),
+        )
+        .orderBy("hour_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — DISTINCT dedup before merge. Operators: P18/C6
+# (`delivery_agent_proc.sql:140-154`).
+# ---------------------------------------------------------------------------
+@register(
+    "q08_distinct_user_event",
+    oracle="SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    doc="SELECT DISTINCT projection (the reference's pre-merge dedup).",
+)
+def q08_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates().orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q09 — hash surrogate keys. Operators: P12
+# (`02 Location Entity.sql:299`, `customer_proc.sql:249-251`).
+# md5-hex + 60-bit fold, reproducible in any engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q09_hash_surrogate_keys",
+    oracle="""
+SELECT c_custkey,
+       md5(CAST(c_custkey AS VARCHAR) || c_name || CAST(c_nationkey AS VARCHAR)) AS ckey_hex,
+       CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || c_name
+             || CAST(c_nationkey AS VARCHAR)), 1, 15)) AS BIGINT) AS ckey
+FROM customer ORDER BY c_custkey
+""",
+    doc="Hash surrogate key scheme (md5 of concatenated business-key tuple).",
+)
+def q09_hash_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        hash_hex("c_custkey", "c_name", "c_nationkey").alias("ckey_hex"),
+        hash_key("c_custkey", "c_name", "c_nationkey").alias("ckey"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q10 — masked consumption view. Operators: P17 masking policies
+# (`01 Create DB+Schema.sql:42-60`), view-layer rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_masked_customers",
+    oracle="""
+SELECT c_custkey, '** PII **' AS c_name, c_mktsegment,
+       CAST(c_acctbal AS DECIMAL(14,2)) AS c_acctbal
+FROM customer ORDER BY c_custkey
+""",
+    doc="PII-masked view of the customer dim.",
+)
+def q10_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.col("c_acctbal").cast(MONEY).alias("c_acctbal")
+    )
+    return mask_columns(c, {"c_name": "** PII **"}).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q11 — CASE enrichment ladder. Operators: P3 code mapping, P4
+# membership flag, P6 tier bucketing (`02:94-166`).
+# ---------------------------------------------------------------------------
+_REGION_CODE = {
+    "AFRICA": "AF",
+    "AMERICA": "AM",
+    "ASIA": "AS",
+    "EUROPE": "EU",
+    "MIDDLE EAST": "ME",
+}
+_TIER1_SEGMENTS = ["AUTOMOBILE", "BUILDING"]
+_TIER2_SEGMENTS = ["MACHINERY", "FURNITURE"]
+
+
+@register(
+    "q11_nation_enrichment",
+    oracle="""
+SELECT n.n_name AS nation,
+       r.r_name AS region,
+       CASE r.r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+            WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+            WHEN 'MIDDLE EAST' THEN 'ME' ELSE 'XX' END AS region_code,
+       CASE WHEN r.r_name IN ('ASIA', 'MIDDLE EAST') THEN 'Y' ELSE 'N' END AS is_eastern,
+       COUNT(*) AS n_customers,
+       CASE WHEN c.c_mktsegment IN ('AUTOMOBILE','BUILDING') THEN 'Tier-1'
+            WHEN c.c_mktsegment IN ('MACHINERY','FURNITURE') THEN 'Tier-2'
+            ELSE 'Tier-3' END AS segment_tier
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3, 4, 6
+ORDER BY nation, segment_tier
+""",
+    doc="CASE mapping / membership flag / tier bucketing (the location-entity enrichment ladder).",
+)
+def q11_nation_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.enrich import case_map
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            case_map("r_name", _REGION_CODE, F.lit("XX")).alias("region_code"),
+            flag_in("r_name", ["ASIA", "MIDDLE EAST"]).alias("is_eastern"),
+            tier_bucket(
+                "c_mktsegment",
+                {"Tier-1": _TIER1_SEGMENTS, "Tier-2": _TIER2_SEGMENTS},
+                "Tier-3",
+            ).alias("segment_tier"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "nation", "region", "region_code", "is_eastern", "n_customers", "segment_tier"
+        )
+        .orderBy("nation", "segment_tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — semi-structured extraction + constant fill. Operators: S3
+# variant path extraction (`delivery_agent_proc.sql:117-127`), P1
+# try-cast, P16 constant fill (`09:166-168`).
+# ---------------------------------------------------------------------------
+@register(
+    "q12_props_extract_fill",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       COALESCE(json_extract_string(props, '$.missing'), 'Not Applied') AS missing_filled
+FROM events WHERE event_id % 10 = 0 ORDER BY event_id
+""",
+    doc="JSON variant path extraction + try-cast + NULL constant fill.",
+)
+def q12_props_extract_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k_val"),
+            F.coalesce(F.get_json_object("props", "$.missing"), F.lit("Not Applied")).alias(
+                "missing_filled"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — datetime-part enrichment + smart keys. Operators: P14/P15
+# (`login-audit_proc.sql:157-160, 255-256`).
+# ---------------------------------------------------------------------------
+@register(
+    "q13_datetime_parts",
+    oracle="""
+SELECT event_id,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS event_hour,
+       dayname(ts) AS event_day,
+       monthname(ts) AS event_month,
+       CAST(EXTRACT(year FROM ts) AS INT) AS event_year,
+       CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS date_key,
+       CAST(strftime(ts, '%H%M%S') AS BIGINT) AS time_key
+FROM events WHERE event_id % 10 = 1 ORDER BY event_id
+""",
+    doc="Datetime part extraction (hour/dayname/monthname/year) + smart date/time keys.",
+)
+def q13_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_id") % 10 == 1)
+        .select(
+            "event_id",
+            F.hour("ts").alias("event_hour"),
+            F.date_format("ts", "EEEE").alias("event_day"),
+            F.date_format("ts", "MMMM").alias("event_month"),
+            F.year("ts").alias("event_year"),
+            smart_date_key("ts").alias("date_key"),
+            smart_time_key("ts").alias("time_key"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — anti-join (customers with no orders). Operators: the
+# WHEN-NOT-MATCHED side of MERGE (C3) surfaced as a standalone
+# anti-join; J-family.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+    doc="Left-anti join: the NOT-MATCHED branch of the reference's MERGE as a query.",
+)
+def q14_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — HAVING audit. Operators: A4 duplicate/fan-out audit
+# (`menu_proc.sql:310`).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_wide_orders_audit",
+    oracle="""
+SELECT l_orderkey, COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 5
+ORDER BY l_orderkey
+""",
+    doc="GROUP BY ... HAVING count(*) audit (the duplicate-key check shape).",
+)
+def q15_wide_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") > 5)
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — monthly retention/churn. Operators: A5 activity-window KPIs
+# (README KPIs 11-12): users active in month M AND M+1.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_user_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(strftime(ts, '%Y%m') AS BIGINT) AS month_key
+  FROM events
+)
+SELECT a.month_key,
+       COUNT(*) AS active_users,
+       COUNT(CASE WHEN b.user_id IS NOT NULL THEN 1 END) AS retained_next_month
+FROM activity a
+LEFT JOIN activity b
+  ON a.user_id = b.user_id
+ AND b.month_key = a.month_key + CASE WHEN a.month_key % 100 = 12 THEN 89 ELSE 1 END
+GROUP BY a.month_key ORDER BY a.month_key
+""",
+    doc="Month-over-month retention (distinct activity windows + self-join).",
+)
+def q16_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_format("ts", "yyyyMM").cast("bigint").alias("month_key")
+    ).dropDuplicates()
+    nxt = F.when(F.col("a.month_key") % 100 == 12, F.col("a.month_key") + 89).otherwise(
+        F.col("a.month_key") + 1
+    )
+    a = activity.alias("a")
+    b = activity.alias("b")
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id")) & (F.col("b.month_key") == nxt), "left")
+        .groupBy(F.col("a.month_key").alias("month_key"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("b.user_id").isNotNull(), 1)).alias("retained_next_month"),
+        )
+        .orderBy("month_key")
+    )

@@ -1,0 +1,70 @@
+"""Local stand-in for the driver's correctness harness: run a
+registered query on Spark AND its DuckDB oracle, compare row count,
+sorted column names, and order-insensitive values.
+
+Comparison is strict string equality per cell (after canonical
+formatting), matching or exceeding whatever normalization the driver
+applies — if this passes, the driver's value-hash should too.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import TABLES
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def compare(spark, name: str, build, oracle: str, sf_dir: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    sdf = build(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    srows = sdf.collect()
+    con = duck_connection(sf_dir)
+    res = con.execute(oracle)
+    duck_cols = sorted(d[0] for d in res.description)
+    drows = res.fetchall()
+    duck_colnames = [d[0] for d in res.description]
+
+    if spark_cols != duck_cols:
+        problems.append(f"{name}: columns differ spark={spark_cols} duck={duck_cols}")
+        return problems
+    if len(srows) != len(drows):
+        problems.append(f"{name}: rowcount spark={len(srows)} duck={len(drows)}")
+        return problems
+
+    s_set = sorted(
+        tuple(_canon(row[c]) for c in spark_cols) for row in srows
+    )
+    d_idx = {c: i for i, c in enumerate(duck_colnames)}
+    d_set = sorted(
+        tuple(_canon(row[d_idx[c]]) for c in spark_cols) for row in drows
+    )
+    n_bad = sum(1 for a, b in zip(s_set, d_set) if a != b)
+    if n_bad:
+        first = next((a, b) for a, b in zip(s_set, d_set) if a != b)
+        problems.append(
+            f"{name}: {n_bad}/{len(s_set)} value rows differ; first: spark={first[0]} duck={first[1]}"
+        )
+    return problems
