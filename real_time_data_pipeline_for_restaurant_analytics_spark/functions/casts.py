@@ -40,18 +40,19 @@ def snowflake_fmt_to_spark(fmt: str) -> str:
 
 def try_to_number(col: Column | str) -> Column:
     """TRY_TO_NUMBER → bigint-or-null (`07:102`)."""
-    return F.try_cast(F.col(col) if isinstance(col, str) else col, "bigint")
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast("bigint")
 
 
 def try_to_decimal(col: Column | str, precision: int = 10, scale: int = 2) -> Column:
     """TRY_TO_DECIMAL(x, p, s) (`03:146`, `10:66-69`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(c, f"decimal({precision},{scale})")
+    return c.try_cast(f"decimal({precision},{scale})")
 
 
 def try_to_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(c, "double")
+    return c.try_cast("double")
 
 
 def try_to_boolean(col: Column | str) -> Column:

@@ -101,19 +101,24 @@ def mask_columns(df: DataFrame, masks: Mapping[str, str]) -> DataFrame:
 
 def device_enrichment(device_interface: str, mobile_device: str, web_interface: str):
     """login_audit device enrichment (P13, `login-audit_proc.sql:135-154`):
-    returns (device_category, device_os, is_mobile) Columns."""
+    returns (device_category, device_os, is_mobile) Columns.
+
+    Faithful to the reference: category ∈ Apple/Android/Web/Unknown,
+    web branch requires non-null AND non-empty WebInterface."""
     di = F.col(device_interface)
     md = F.col(mobile_device)
     wi = F.col(web_interface)
+    web_ok = wi.isNotNull() & (wi != "")
     device_category = (
-        F.when(di.isin("iOS", "Android"), F.lit("Mobile"))
-        .when(wi.isNotNull(), F.lit("Web"))
+        F.when(di == "iOS", F.lit("Apple"))
+        .when(di == "Android", F.lit("Android"))
+        .when(web_ok, F.lit("Web"))
         .otherwise(F.lit("Unknown"))
     )
     device_os = (
         F.when(di == "iOS", F.lit("iOS"))
         .when(di == "Android", F.lit("Android"))
-        .when(wi.isNotNull(), wi)
+        .when(web_ok, F.lit("Web"))
         .otherwise(F.lit("Unknown"))
     )
     is_mobile = F.when(di.isin("iOS", "Android") | md.isNotNull(), F.lit(True)).otherwise(

@@ -1,0 +1,145 @@
+"""Three-layer pipeline orchestration (SURVEY §2.6 O1-O3, §3.1).
+
+Mirrors the reference's procedure chain:
+
+    RUN_FINAL_FOR_YESTERDAY()            → run_for_date()
+      FINAL_PROCEDURE(stage_path)        → run_all()
+        <ENTITY>_MAIN_PROCEDURE(file)    → run_entity()
+           COPY INTO stage               → ledger-gated stage append
+           MERGE INTO clean  (SCD1)      → merge_upsert snapshot rewrite
+           MERGE INTO dim    (SCD2)      → apply_scd2 snapshot rewrite
+
+Stream-offset semantics (C1/C2): the "stream" a layer consumes is the
+batch the previous layer just produced, and the ledger guarantees a
+file is staged exactly once — together they give the same
+exactly-once property Snowflake's transactional streams provide
+(SURVEY §3.1). The consumption layer additionally exposes a
+standard-stream style change feed via SnapshotTable.read_previous +
+operators.merge.change_feed.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.keys import hash_key
+from ..operators.merge import Scd2Config, apply_scd2, latest_per_key, merge_upsert
+from ..sources.ledger import FileLedger
+from ..sources.paths import entity_file
+from ..sources.readers import read_stage_csv, read_stage_json
+from .entities import ENTITIES, RUN_ORDER, EntitySpec
+
+
+@dataclass
+class Warehouse:
+    """Path layout: <root>/{stage,clean,consumption}/<table>."""
+
+    root: str
+
+    def stage_dir(self, entity: str) -> str:
+        return os.path.join(self.root, "stage", entity)
+
+    def ledger(self, entity: str) -> FileLedger:
+        return FileLedger(os.path.join(self.root, "stage", entity, "_ledger.jsonl"))
+
+    def clean(self, entity: str):
+        from ..sources.snapshot import SnapshotTable
+
+        return SnapshotTable(os.path.join(self.root, "clean"), entity)
+
+    def dim(self, entity: str):
+        from ..sources.snapshot import SnapshotTable
+
+        suffix = "_fact" if ENTITIES[entity].scd1_only else "_dim"
+        return SnapshotTable(os.path.join(self.root, "consumption"), entity + suffix)
+
+
+def _read_source(spark: SparkSession, spec: EntitySpec, path: str) -> DataFrame:
+    if spec.ext == "json":
+        return read_stage_json(spark, path, spec.source_columns)
+    return read_stage_csv(spark, path, spec.source_columns)
+
+
+def run_entity(
+    spark: SparkSession,
+    wh: Warehouse,
+    spec: EntitySpec,
+    file_path: str,
+    batch_ts=None,
+) -> dict:
+    """<ENTITY>_MAIN_PROCEDURE (O1): COPY → SCD1 → SCD2, idempotent."""
+    batch_ts = batch_ts if batch_ts is not None else F.current_timestamp()
+    ledger = wh.ledger(spec.name)
+    todo = ledger.unprocessed([file_path]) if os.path.exists(file_path) else []
+    if not todo:
+        return {"entity": spec.name, "staged_files": 0, "skipped": True}
+
+    # --- stage: raw text rows + audit columns, append-only (S5/C1)
+    raw = _read_source(spark, spec, file_path)
+    raw.write.mode("append").parquet(os.path.join(wh.stage_dir(spec.name), "data"))
+
+    # --- clean: typed transform + guarded SCD1 merge (C3)
+    typed = spec.clean(raw)
+    if spec.dedup_source:
+        typed = typed.dropDuplicates()  # C6 (`delivery_agent_proc.sql:140-154`)
+    order_cols = (
+        [F.col(spec.modified_col).desc_nulls_last(), F.col(spec.created_col).desc_nulls_last()]
+        if spec.modified_col and spec.created_col
+        else [F.lit(1)]
+    )
+    typed = latest_per_key(typed, spec.key, order_cols)  # C7 guard
+    clean_tbl = wh.clean(spec.name)
+    prev_clean = clean_tbl.read(spark)
+    attrs = [c for c in typed.columns if c not in spec.key]
+    merged = merge_upsert(prev_clean, typed, spec.key, attrs)
+    clean_tbl.write(merged)
+
+    # --- consumption: SCD2 dim (C4) or SCD1 fact (C5)
+    dim_tbl = wh.dim(spec.name)
+    hk_name = f"{spec.name}_hk"
+    with_hk = typed.withColumn(hk_name, hash_key(*spec.key, *spec.scd2_attrs))
+    if spec.scd1_only:
+        prev_fact = dim_tbl.read(spark)
+        fact = merge_upsert(prev_fact, with_hk, spec.key, spec.scd2_attrs)
+        dim_tbl.write(fact)
+    else:
+        prev_dim = dim_tbl.read(spark)
+        cfg = Scd2Config(
+            key=spec.key,
+            attrs=spec.scd2_attrs,
+            created_col=spec.created_col,
+            first_start_from_created=True,
+        )
+        new_dim = apply_scd2(prev_dim, with_hk, cfg, batch_ts)
+        dim_tbl.write(new_dim)
+
+    ledger.mark(todo)
+    return {
+        "entity": spec.name,
+        "staged_files": len(todo),
+        "clean_rows": clean_tbl.read(spark).count(),
+        "dim_rows": dim_tbl.read(spark).count(),
+        "skipped": False,
+    }
+
+
+def run_all(spark: SparkSession, wh: Warehouse, stage_prefix: str, batch_ts=None) -> list[dict]:
+    """FINAL_PROCEDURE (O2): fixed-order fan-out over the ten
+    entities (`final_proc.sql:17-41`)."""
+    results = []
+    for name in RUN_ORDER:
+        spec = ENTITIES[name]
+        path = entity_file(stage_prefix, name, spec.ext)
+        results.append(run_entity(spark, wh, spec, path, batch_ts=batch_ts))
+    return results
+
+
+def run_for_date(spark: SparkSession, wh: Warehouse, stage_root: str, today=None) -> list[dict]:
+    """RUN_FINAL_FOR_YESTERDAY (O3, `task_proc.sql:6-28`)."""
+    from ..sources.paths import yesterday_path
+
+    return run_all(spark, wh, os.path.join(stage_root, yesterday_path(today)))

@@ -1,0 +1,82 @@
+"""Unit tests for operators/merge.py (C2/C3/C4 semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge import (
+    Scd2Config,
+    apply_scd2,
+    change_feed,
+    latest_per_key,
+    merge_upsert,
+)
+
+TS = "ts timestamp"
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_upsert_guarded(spark):
+    target = _df(spark, [(1, "a", "x"), (2, "b", "y")], "id long, v string, w string")
+    source = _df(spark, [(2, "b", "y"), (3, "c", "z")], "id long, v string, w string")
+    out = merge_upsert(target, source, ["id"], ["v", "w"])
+    got = {r.id: (r.v, r.w) for r in out.collect()}
+    assert got == {1: ("a", "x"), 2: ("b", "y"), 3: ("c", "z")}
+
+
+def test_merge_upsert_null_safe_guard(spark):
+    # NULL == NULL must be treated as unchanged (EQUAL_NULL, P10)
+    target = _df(spark, [(1, None)], "id long, v string")
+    source = _df(spark, [(1, None)], "id long, v string")
+    out = merge_upsert(target, source, ["id"], ["v"], modified_col="v", batch_ts=F.lit("CHANGED"))
+    assert out.collect()[0].v is None  # not stamped → guard held
+
+
+def test_change_feed_vocabulary(spark):
+    prev = _df(spark, [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    curr = _df(spark, [(1, "a"), (2, "B"), (4, "d")], "id long, v string")
+    feed = change_feed(prev, curr, ["id"])
+    rows = {(r.id, r.action, r.metadata_isupdate) for r in feed.collect()}
+    assert rows == {
+        (4, "INSERT", False),  # new key
+        (3, "DELETE", False),  # removed key
+        (2, "DELETE", True),  # update pre-image
+        (2, "INSERT", True),  # update post-image
+    }
+    # update DELETE row carries the previous image (Snowflake semantics)
+    pre = [r for r in feed.collect() if r.id == 2 and r.action == "DELETE"][0]
+    assert pre.v == "b"
+
+
+def test_change_feed_bootstrap(spark):
+    curr = _df(spark, [(1, "a")], "id long, v string")
+    feed = change_feed(None, curr, ["id"])
+    r = feed.collect()[0]
+    assert r.action == "INSERT" and r.metadata_isupdate is False
+
+
+def test_latest_per_key(spark):
+    df = _df(spark, [(1, 1, "old"), (1, 2, "new"), (2, 1, "only")], "id long, seq long, v string")
+    out = latest_per_key(df, ["id"], [F.col("seq").desc()])
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_apply_scd2_noop_on_identical(spark):
+    batch = _df(
+        spark,
+        [(1, "a", "2024-01-01 00:00:00")],
+        "id long, v string, created string",
+    ).withColumn("created", F.col("created").cast("timestamp"))
+    cfg = Scd2Config(key=["id"], attrs=["v"], created_col="created")
+    t0 = F.lit("2024-01-01 21:30:00").cast("timestamp")
+    dim = apply_scd2(None, batch, cfg, t0)
+    # same batch again → no new versions, still exactly one current row
+    t1 = F.lit("2024-01-02 21:30:00").cast("timestamp")
+    dim2 = apply_scd2(dim, batch, cfg, t1)
+    rows = dim2.collect()
+    assert len(rows) == 1 and rows[0].is_current
+    assert str(rows[0].eff_start_date).startswith("2024-01-01 00:00")  # from created (v3)

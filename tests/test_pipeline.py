@@ -1,0 +1,149 @@
+"""Golden SCD tests (SURVEY §5 rebuild test plan items 2-4).
+
+day-01 full load + day-02 delta over the ten-entity pipeline:
+- all three SCD2 branches (close-out / new version / first insert)
+- guarded SCD1 no-op for unchanged rows
+- idempotence: re-running the same day is a no-op (ledger/C1 contract)
+- quirk pin-downs: coupon fill, availability boolean parse, location
+  enrichment ladder, device enrichment, v3 email semantics, C6 dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import ENTITIES
+from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.runner import (
+    Warehouse,
+    run_all,
+)
+
+from .fixtures import write_day
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, tmp_path_factory):
+    stage_root = str(tmp_path_factory.mktemp("stage"))
+    wh = Warehouse(str(tmp_path_factory.mktemp("warehouse")))
+    p1 = write_day(stage_root, 1)
+    p2 = write_day(stage_root, 2)
+    r1 = run_all(spark, wh, p1, batch_ts=F.lit("2024-05-01 21:30:00").cast("timestamp"))
+    r2 = run_all(spark, wh, p2, batch_ts=F.lit("2024-05-02 21:30:00").cast("timestamp"))
+    # idempotence: day-02 again — ledger must skip every file
+    r3 = run_all(spark, wh, p2)
+    return wh, r1, r2, r3
+
+
+def test_idempotent_rerun(loaded):
+    _, _, _, r3 = loaded
+    assert all(r["skipped"] for r in r3), r3
+
+
+def test_scd2_three_branches_location(spark, loaded):
+    wh, *_ = loaded
+    dim = wh.dim("location").read(spark)
+    rows = {(r.location_id, r.zip_code): r for r in dim.collect()}
+    # unchanged key 1 → single current version (guarded no-op)
+    assert dim.filter("location_id = 1").count() == 1
+    assert rows[(1, "400001")].is_current
+    # changed key 2 → closed old + current new
+    v2 = dim.filter("location_id = 2").orderBy("eff_start_date").collect()
+    assert len(v2) == 2
+    assert not v2[0].is_current and v2[0].eff_end_date is not None
+    assert v2[1].is_current and v2[1].zip_code == "110099"
+    # day-02 new key 4 → first insert, eff_start from created (v3 semantics)
+    v4 = dim.filter("location_id = 4").collect()
+    assert len(v4) == 1 and v4[0].is_current
+    assert str(v4[0].eff_start_date).startswith("2024-05-02 11:30")
+    # day-01-only key 3 survives untouched
+    assert dim.filter("location_id = 3 AND is_current").count() == 1
+
+
+def test_location_enrichment_ladder(spark, loaded):
+    wh, *_ = loaded
+    clean = wh.clean("location").read(spark)
+    r = {x.location_id: x for x in clean.collect()}
+    assert r[1].state_code == "MH" and r[1].city_tier == "Tier-1"
+    assert r[1].capital_city_flag is True  # Maharashtra/Mumbai
+    assert r[2].state == "New Delhi"  # Delhi → New Delhi (P7)
+    assert r[2].state_code == "DL" and r[2].is_union_territory == "Y"
+    assert r[3].city_tier == "Tier-2"  # Jaipur
+    assert r[4].state_code == "KA" and r[4].capital_city_flag is True
+
+
+def test_scd1_clean_upsert_customer(spark, loaded):
+    wh, *_ = loaded
+    clean = wh.clean("customer").read(spark)
+    rows = {r.customer_id: r for r in clean.collect()}
+    assert rows["C001"].email == "asha.rao@example.com"  # updated day-02 (v3: email is email)
+    assert rows["C002"].anniversary is not None
+    assert len(rows) == 2
+
+
+def test_menu_quirks(spark, loaded):
+    wh, *_ = loaded
+    clean = wh.clean("menu").read(spark)
+    rows = {r.menu_id: r for r in clean.collect()}
+    assert rows[1001].availability is True and str(rows[1001].price) == "275.00"
+    assert rows[1002].availability is False
+    assert rows[1002].description == "Creamy dal"  # TRIM (P8)
+    assert rows[1003].availability is True  # case-insensitive parse (P9)
+    dim = wh.dim("menu").read(spark)
+    assert dim.filter("menu_id = 1001").count() == 2  # price change → 2 versions
+
+
+def test_orders_coupon_fill(spark, loaded):
+    wh, *_ = loaded
+    clean = wh.clean("orders").read(spark)
+    rows = {r.order_id: r for r in clean.collect()}
+    assert rows[7002].coupon_code == "Not Applied"  # P16
+    assert rows[7001].is_first_order is True and rows[7002].is_first_order is False
+
+
+def test_delivery_agent_dedup_and_json(spark, loaded):
+    wh, *_ = loaded
+    clean = wh.clean("delivery_agent").read(spark)
+    assert clean.count() == 1  # C6: duplicate JSON rows collapsed
+    dim = wh.dim("delivery_agent").read(spark)
+    # vehicle changed day-02 → closed + new current version
+    assert dim.count() == 2
+    cur = dim.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0].vehicle_type == "Scooter"
+
+
+def test_login_audit_enrichment_scd1_fact(spark, loaded):
+    wh, *_ = loaded
+    fact = wh.dim("login_audit").read(spark)
+    rows = {r.login_id: r for r in fact.collect()}
+    assert rows[1].device_category == "Apple" and rows[1].is_mobile is True
+    assert rows[2].device_category == "Web" and rows[2].is_mobile is False
+    assert rows[3].device_os == "Android"
+    assert rows[1].login_date_key == 20240501 and rows[1].login_hour == 10
+    # SCD1 fact: no validity columns, one row per login_id
+    assert "is_current" not in fact.columns
+    assert fact.count() == 3
+
+
+def test_composite_key_entities(spark, loaded):
+    wh, *_ = loaded
+    oi = wh.dim("order_item").read(spark)
+    assert oi.filter("is_current").count() == 2  # J3 composite keys both days
+    d = wh.dim("delivery").read(spark)
+    assert d.filter("is_current").count() == 2
+
+
+def test_stage_audit_columns(spark, loaded):
+    wh, *_ = loaded
+    stage = spark.read.parquet(wh.stage_dir("orders") + "/data")
+    for c in ("_stg_file_name", "_stg_file_load_ts", "_stg_file_md5", "_copy_data_ts"):
+        assert c in stage.columns
+    assert stage.filter(F.col("_stg_file_name").contains("orders.csv")).count() == stage.count()
+
+
+def test_all_entities_loaded(spark, loaded):
+    wh, r1, r2, _ = loaded
+    assert all(not r["skipped"] for r in r1)
+    assert all(not r["skipped"] for r in r2)
+    for name in ENTITIES:
+        assert wh.clean(name).read(spark).count() > 0, name
