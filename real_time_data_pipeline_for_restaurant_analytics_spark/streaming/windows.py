@@ -1,0 +1,163 @@
+"""Watermarked windowed KPIs + custom stateful operators
+(SURVEY §2.7, M5: the "real-time" in the project name made literal).
+
+- ``hourly_window_kpi``: KPI 25 (deliveries/events per hour) as a
+  tumbling event-time window with a watermark for late data — the
+  streaming twin of plans/kpis.deliveries_per_hour.
+- ``sessionize``: custom stateful operator (applyInPandasWithState)
+  assigning gap-based sessions per user — the pattern the reference
+  cannot express at all; included as the stateful-streaming
+  capability a Spark-first engine adds (north-star in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def hourly_window_kpi(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count+sum with late-data watermark. Works on a
+    streaming OR batch DataFrame (same plan; batch ignores the
+    watermark) — used for KPI 25's streaming variant."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window_len).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _make_session_fn(gap_ms: int):
+    def _session_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Gap-based sessionizer: close a session when no event
+        arrives within the gap (state timeout) and emit it."""
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        if state.exists:
+            start_us, last_us, n = state.get
+            state.update((min(start_us, lo), max(last_us, hi), n + len(rows)))
+        else:
+            state.update((lo, hi, len(rows)))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        ).astype({"user_id": "int64", "n_events": "int64"})
+
+    return _session_fn
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessions via
+    applyInPandasWithState (Arrow-batched, per-key state — the
+    Spark-native form of a custom stateful operator)."""
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            _make_session_fn(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch twin of ``sessionize``: gap-based sessions with window
+    functions (lag → new-session flag → running session id). Pure
+    JVM-side plan; used for backfill and as the oracle for the
+    streaming operator."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.lag(ts_col).over(w)
+    new_session = (
+        F.when(gap.isNull(), 1)
+        .when(
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(gap) > gap_minutes * 60, 1
+        )
+        .otherwise(0)
+    )
+    with_sess = events.withColumn("__new", new_session).withColumn(
+        "session_no", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy(user_col, "session_no")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_no")
+    )

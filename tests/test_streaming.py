@@ -1,0 +1,153 @@
+"""Streaming tests: stream→merge ingest loop, exactly-once resume,
+watermarked windows, stateful sessionization."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import ENTITIES
+from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.runner import Warehouse
+from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.ingest import ingest_stream
+from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.windows import (
+    hourly_window_kpi,
+    sessionize,
+    sessionize_batch,
+)
+
+MENU_HEADER = (
+    "MenuID,RestaurantID,ItemName,Description,Price,Category,"
+    "Availability,ItemType,Rating,CreatedDate,ModifiedDate\n"
+)
+
+
+def _write_menu(landing: str, fname: str, rows: list[str]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, fname), "w") as f:
+        f.write(MENU_HEADER)
+        f.writelines(r + "\n" for r in rows)
+
+
+def test_stream_merge_loop_scd2(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(str(tmp_path / "wh"))
+    spec = ENTITIES["menu"]
+
+    _write_menu(landing, "day1.csv", [
+        "1,101,Tikka,Good,250.00,App,True,Veg,4.2,2024-05-01 10:00:00,\\N",
+        "2,101,Dal,Nice,220.00,Main,False,Veg,4.4,2024-05-01 10:00:00,\\N",
+    ])
+    q = ingest_stream(spark, wh, spec, landing, ckpt)
+    q.awaitTermination(120)
+    assert wh.dim("menu").read(spark).count() == 2
+
+    # second micro-batch: price change + new item
+    _write_menu(landing, "day2.csv", [
+        "1,101,Tikka,Good,275.00,App,True,Veg,4.2,2024-05-01 10:00:00,2024-05-02 11:00:00",
+        "3,102,Noodles,Street,180.00,Main,true,Veg,\\N,2024-05-02 11:00:00,\\N",
+    ])
+    q2 = ingest_stream(spark, wh, spec, landing, ckpt)
+    q2.awaitTermination(120)
+    dim = wh.dim("menu").read(spark)
+    assert dim.count() == 4  # 2 original + 1 closed-out replacement + 1 new
+    assert dim.filter("menu_id = 1").count() == 2
+    cur1 = dim.filter("menu_id = 1 AND is_current").collect()
+    assert len(cur1) == 1 and str(cur1[0].price) == "275.00"
+
+    # exactly-once: restart with same checkpoint, no new files → no change
+    q3 = ingest_stream(spark, wh, spec, landing, ckpt)
+    q3.awaitTermination(120)
+    assert wh.dim("menu").read(spark).count() == 4
+
+
+def test_hourly_window_streaming_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    with open(os.path.join(src, "e1.csv"), "w") as f:
+        f.write("ts,value\n")
+        f.write("2024-05-01 10:05:00,1.5\n")
+        f.write("2024-05-01 10:55:00,2.5\n")
+        f.write("2024-05-01 11:10:00,1.0\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("header", "true")
+        .csv(src)
+    )
+    out = hourly_window_kpi(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r.window_start): (r.n_events, str(r.total_value))
+            for r in spark.sql("SELECT * FROM hourly_test").collect()}
+    assert rows["2024-05-01 10:00:00"] == (2, "4.000000")
+    assert rows["2024-05-01 11:00:00"] == (1, "1.000000")
+
+
+def test_sessionize_batch_gap_split(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-05-01 10:00:00"),
+            (1, "2024-05-01 10:10:00"),
+            (1, "2024-05-01 11:30:00"),  # > 30 min gap → new session
+            (2, "2024-05-01 09:00:00"),
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = sessionize_batch(df).collect()
+    per_user = {}
+    for r in sessions:
+        per_user.setdefault(r.user_id, []).append((str(r.session_start), r.n_events))
+    assert len(per_user[1]) == 2
+    assert sorted(per_user[1]) == [("2024-05-01 10:00:00", 2), ("2024-05-01 11:30:00", 1)]
+    assert per_user[2] == [("2024-05-01 09:00:00", 1)]
+
+
+def test_sessionize_streaming_stateful(spark, tmp_path):
+    """applyInPandasWithState smoke: feed one batch, let the timeout
+    close sessions on the next trigger, collect emitted sessions."""
+    src = str(tmp_path / "sess_events")
+    os.makedirs(src)
+    with open(os.path.join(src, "e1.csv"), "w") as f:
+        f.write("user_id,ts\n")
+        f.write("1,2024-05-01 10:00:00\n")
+        f.write("1,2024-05-01 10:10:00\n")
+        f.write("2,2024-05-01 09:00:00\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("header", "true")
+        .csv(src)
+    )
+    out = sessionize(stream, gap_ms=3000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sessions_test WHERE user_id IS NOT NULL"
+            ).collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got = {r.user_id: (str(r.session_start), r.n_events) for r in rows}
+    assert got[1] == ("2024-05-01 10:00:00", 2)
+    assert got[2] == ("2024-05-01 09:00:00", 1)
