@@ -42,11 +42,38 @@ def words(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Ensure the frame has at least defaultParallelism partitions
+    before a CPU-heavy map-side kernel. On a cluster a big parquet
+    source is already split across executors and this is a no-op; a
+    single local file is ONE partition, which would serialize the
+    kernel on one core."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, key)
+    return df
+
+
+def shingle_array(ws_col: str = "ws", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of one document as an array column.
+
+    Pure map-side (sequence/transform/array_distinct are JVM
+    expressions inside whole-stage codegen) — per-doc shingle dedup
+    costs zero shuffles, unlike a dropDuplicates on the exploded form.
+    """
+    offs = ", ".join(f"{ws_col}[i-1+{k}]" for k in range(n))
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({ws_col})-{n - 1}, 0)),"
+        f" i -> concat_ws(' ', {offs})))"
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built with sequence+transform (JVM-side, no UDF); explode is the
-    only row-multiplier and it's linear in token count.
+    Dedup happens inside the row via ``array_distinct`` (map-side);
+    explode is the only row-multiplier and it's linear in token count.
+    No shuffle until the consumer aggregates/joins.
     """
     offs = ", ".join(f"ws[i-1+{k}]" for k in range(n))
     return (
@@ -55,12 +82,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(ws)-{n - 1}, 0)),"
-                    f" i -> concat_ws(' ', {offs}))"
+                    f"array_distinct(transform(sequence(1, greatest(size(ws)-{n - 1}, 0)),"
+                    f" i -> concat_ws(' ', {offs})))"
                 )
             ).alias("shingle"),
         )
-        .dropDuplicates([id_col, "shingle"])
     )
 
 
@@ -106,15 +132,33 @@ def jaccard_pairs(
     return out
 
 
-def minhash_signatures(sh: DataFrame, id_col: str, n_perm: int = N_PERM) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_perm: int = N_PERM
+) -> DataFrame:
     """MinHash signature per doc: for permutation p, min over shingles
     of md5('<p>|'||shingle). Min of md5 hex strings is a valid uniform
-    min-hash (lexicographic order on a uniform 128-bit value)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{p}|"), F.col("shingle")))).alias(f"mh{p}")
+    min-hash (lexicographic order on a uniform 128-bit value).
+
+    Computed entirely map-side with array higher-order functions
+    (shingle array → per-permutation array_min) — signature generation
+    over a 100 TB corpus is a narrow projection with NO shuffle; the
+    only shuffles in the whole LSH pipeline are the band-bucket
+    self-join and the final pair aggregation.
+    """
+    base = spread(df, id_col).select(F.col(id_col), words(text_col).alias("ws")).select(
+        F.col(id_col), shingle_array("ws", n).alias("sharr")
+    )
+
+    def perm_hash(p: int):
+        # single-arg lambda: a 2-arg lambda would be interpreted by
+        # F.transform as (element, index)
+        return lambda s: F.md5(F.concat(F.lit(f"{p}|"), s))
+
+    mins = [
+        F.array_min(F.transform(F.col("sharr"), perm_hash(p))).alias(f"mh{p}")
         for p in range(n_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *mins)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
@@ -137,19 +181,29 @@ def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def lsh_candidates(bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join band buckets → candidate pairs + #shared bands.
-    This is the linear-ish scale path: pairs only materialize inside
-    colliding buckets."""
-    a = bands.alias("a")
-    b = bands.alias("b")
+    """Band buckets → candidate pairs + #shared bands.
+
+    groupBy bucket + in-bucket pair expansion (sorted id list →
+    upper-triangle pairs), NOT a self-join: the signature/band kernel
+    upstream is evaluated once instead of once per join side, and
+    pairs only materialize inside colliding buckets — linear-ish in
+    corpus size + collisions. At 100 TB add a bucket-size cap (a
+    pathological hot bucket means the band is useless for
+    discrimination anyway) to bound the quadratic in-bucket term;
+    bucket rows are (id-list) only — payloads never travel.
+    """
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -272,8 +326,7 @@ GROUP BY 1, 2 ORDER BY id1, id2
 )
 def q21_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text")
-    sig = minhash_signatures(sh, "doc_id")
+    sig = minhash_signatures(d, "doc_id", "text")
     bands = lsh_bands(sig, "doc_id")
     return lsh_candidates(bands, "doc_id").orderBy("id1", "id2")
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .dedup import spread
 
 
 def _dot(a: str, b: str) -> Column:
@@ -46,7 +47,7 @@ def _norm(a: str) -> Column:
 def cosine_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All-pairs cosine similarity (id1 < id2). O(n²) — the exactness
     kernel; wrap it behind LSH/blocking for scale."""
-    base = emb.select(
+    base = spread(emb, id_col).select(
         F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm")
     )
     a = base.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"))

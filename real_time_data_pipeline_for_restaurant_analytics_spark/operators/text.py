@@ -109,17 +109,26 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 + min-shingle-hash
-    (one-permutation winnowing-style selection over word 3-grams)."""
-    from .dedup import shingles
+    (one-permutation winnowing-style selection over word 3-grams).
 
-    sh = shingles(df, id_col, text_col)
-    sel = sh.groupBy(id_col).agg(
-        F.min(F.md5("shingle")).alias("min_shingle_md5"),
-        F.count(F.lit(1)).alias("n_shingles"),
-    )
-    base = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
-    return base.join(sel, id_col, "left").select(
-        id_col, "content_md5", "min_shingle_md5", "n_shingles"
+    Fully map-side: the shingle set lives in an array column and the
+    min-hash is ``array_min`` — zero shuffles at any corpus size
+    (vs the naive explode → groupBy → join-back formulation).
+    """
+    from .dedup import shingle_array, spread, words
+
+    d = spread(df, id_col).select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        words(text_col).alias("ws"),
+    ).withColumn("sharr", shingle_array("ws", 3))
+    n_sh = F.size("sharr")
+    return d.select(
+        id_col,
+        "content_md5",
+        F.array_min(F.transform(F.col("sharr"), F.md5)).alias("min_shingle_md5"),
+        # docs with no shingles: NULL (parity with the left-join form)
+        F.when(n_sh > 0, n_sh.cast("bigint")).alias("n_shingles"),
     )
 
 
