@@ -156,6 +156,78 @@ def lsh_bucket_ann(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_max_id: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors into cells,
+    probe only the `n_probe` nearest cells per query, exact cosine
+    re-rank inside the probed cells.
+
+    The coarse centroids here are the first `n_cells` corpus vectors —
+    deterministic and engine-reproducible; in production they come
+    from an offline k-means and are equally a small broadcast list.
+    The cell assignment is a narrow map (argmax over n_cells dots);
+    the only shuffle is the probe-cell join, whose volume is
+    corpus/n_cells × n_probe on average — the linear-scan term drops
+    by n_probe/n_cells at equal recall knobs. With
+    ``n_probe == n_cells`` the result equals brute force exactly
+    (pinned by a test).
+    """
+    from pyspark.sql import Window
+
+    cents = (
+        emb.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+
+    def best_cells(vec: str, n: int) -> Column:
+        """Top-n nearest cells of a vector column as an array (by
+        cosine against each centroid; centroids are plan literals)."""
+        scored = []
+        for r in cents:
+            arr = F.array(*[F.lit(float(x)) for x in r["cv"]])
+            prod = F.zip_with(F.col(vec), arr, lambda x, y: x.cast("double") * y)
+            dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+            nrm = sum(float(x) * float(x) for x in r["cv"]) ** 0.5
+            scored.append(F.struct((dot / F.lit(nrm)).alias("s"), F.lit(r["cell"]).alias("c")))
+        ranked = F.reverse(F.array_sort(F.array(*scored)))
+        return F.transform(F.slice(ranked, 1, n), lambda st: st["c"])
+
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
+    assigned = base.withColumn("cell", best_cells("v", 1)[0])
+    probes = (
+        base.filter(F.col(id_col) < query_max_id)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(best_cells("v", n_probe)).alias("cell"),
+        )
+    )
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_r"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -224,6 +296,18 @@ def q24_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.col("cos_r").cast("decimal(10,6)"))
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "q34_ann_ivf_topk",
+    oracle=None,  # probe-set membership is float-argmax sensitive; rows-only
+    # check here; exactness pinned by test_ivf_full_probe_equals_brute_force.
+    doc="IVF-cell ANN top-k (coarse quantizer + n_probe cell scan; the other "
+    "100TB scale path next to LSH).",
+)
+def q34_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, k=5).orderBy("query_id", "rank")
 
 
 @register(
