@@ -47,6 +47,10 @@ HEADLINE = [
     "q27_quality_score",
     "q28_token_stats",
     "q29_fingerprints",
+    "q30_multimodal_metadata",
+    "q31_sessionize_batch",
+    "q32_salted_heavy_hitters",
+    "q33_salted_join_segments",
 ]
 
 
