@@ -50,6 +50,18 @@ def latest_per_key(df: DataFrame, key: list[str], order_by: list[Column]) -> Dat
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def duplicate_key_audit(df: DataFrame, key: list[str]) -> DataFrame:
+    """Surrogate/business-key uniqueness audit (A4): keys appearing
+    more than once — the reference's post-merge sanity check
+    ``SELECT menu_id .. GROUP BY menu_id HAVING COUNT(*) > 1``
+    (`menu_proc.sql:310`). Empty result = healthy table."""
+    return (
+        df.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
 def merge_upsert(
     target: DataFrame | None,
     source: DataFrame,

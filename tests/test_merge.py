@@ -8,6 +8,7 @@ from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge impo
     Scd2Config,
     apply_scd2,
     change_feed,
+    duplicate_key_audit,
     latest_per_key,
     merge_upsert,
 )
@@ -80,3 +81,11 @@ def test_apply_scd2_noop_on_identical(spark):
     rows = dim2.collect()
     assert len(rows) == 1 and rows[0].is_current
     assert str(rows[0].eff_start_date).startswith("2024-01-01 00:00")  # from created (v3)
+
+
+def test_duplicate_key_audit(spark):
+    df = _df(spark, [(1, "a"), (2, "b"), (2, "c"), (2, "d")], "id long, v string")
+    got = {(r.id, r.n_rows) for r in duplicate_key_audit(df, ["id"]).collect()}
+    assert got == {(2, 3)}
+    clean = latest_per_key(df, ["id"], [F.col("v").desc()])
+    assert duplicate_key_audit(clean, ["id"]).count() == 0

@@ -147,3 +147,21 @@ def test_all_entities_loaded(spark, loaded):
     assert all(not r["skipped"] for r in r2)
     for name in ENTITIES:
         assert wh.clean(name).read(spark).count() > 0, name
+
+
+def test_date_path_contract():
+    """O3/S8: `task_proc.sql:14-22` path layout — no zero padding."""
+    from datetime import date
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.sources.paths import (
+        date_path,
+        entity_file,
+        yesterday_path,
+    )
+
+    assert date_path(date(2025, 4, 7)) == "2025/4/7/"
+    assert date_path(date(2025, 11, 27)) == "2025/11/27/"
+    assert yesterday_path(date(2025, 1, 1)) == "2024/12/31/"
+    assert entity_file("s3://b/2025/4/7/", "delivery_agent", "json").endswith(
+        "2025/4/7/delivery_agent.json"
+    )
