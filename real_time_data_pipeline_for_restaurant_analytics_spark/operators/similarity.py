@@ -133,6 +133,11 @@ def lsh_bucket_ann(
         F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"),
         F.concat(*sign_bits).alias("bucket"),
     )
+    # Bucket-equi self-join. (The q21-style groupBy-bucket pair
+    # expansion was tried and is slower here: each member's 64-dim
+    # vector gets duplicated n-1 times inside the bucket array,
+    # and the sketch kernel being only n_planes dots per vector makes
+    # the double evaluation across join sides the cheaper trade.)
     a = bucketed.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "bucket"
     )
