@@ -61,6 +61,11 @@ class EntitySpec:
     created_col: str | None = "created_ts"
     modified_col: str | None = "modified_ts"
     scd1_only: bool = False  # login_audit-style fact (C5)
+    file_stem: str | None = None  # source file name ≠ entity name
+
+    @property
+    def source_file_stem(self) -> str:
+        return self.file_stem or self.name
 
 
 def _clean_location(df: DataFrame) -> DataFrame:
@@ -370,6 +375,7 @@ ENTITIES: dict[str, EntitySpec] = {
     ),
     "menu": EntitySpec(
         name="menu",
+        file_stem="menu_items",  # `final_proc.sql:21`
         source_columns=["menuid", "restaurantid", "itemname", "description", "price",
                         "category", "availability", "itemtype", "rating",
                         "createddate", "modifieddate"],
@@ -409,6 +415,7 @@ ENTITIES: dict[str, EntitySpec] = {
     ),
     "order_item": EntitySpec(
         name="order_item",
+        file_stem="order_items",  # `final_proc.sql:23`
         source_columns=["orderitemid", "orderid", "menuitemid", "quantity", "price",
                         "subtotal", "ratings", "createddate", "modifieddate"],
         clean=_clean_order_item,

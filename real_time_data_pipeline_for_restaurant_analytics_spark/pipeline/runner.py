@@ -133,7 +133,7 @@ def run_all(spark: SparkSession, wh: Warehouse, stage_prefix: str, batch_ts=None
     results = []
     for name in RUN_ORDER:
         spec = ENTITIES[name]
-        path = entity_file(stage_prefix, name, spec.ext)
+        path = entity_file(stage_prefix, spec.source_file_stem, spec.ext)
         results.append(run_entity(spark, wh, spec, path, batch_ts=batch_ts))
     return results
 

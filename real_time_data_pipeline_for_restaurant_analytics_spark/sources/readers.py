@@ -59,15 +59,23 @@ def read_stage_csv(
     path: str,
     columns: list[str],
     audit: bool = True,
+    on_error: str = "abort",
 ) -> DataFrame:
     """S1+S2: CSV stage scan with the named-format options and
-    positional column binding."""
+    positional column binding.
+
+    ``on_error`` mirrors COPY's clause (`03:76`:
+    ``on_error=abort_statement``): "abort" → FAILFAST (a malformed
+    row fails the load), "continue" → PERMISSIVE (malformed rows
+    land as nulls).
+    """
     df = (
         spark.read.schema(text_schema(columns))
         .option("header", "true")  # skip_header = 1
         .option("quote", '"')  # field_optionally_enclosed_by
         .option("nullValue", "\\N")  # null_if = ('\\N')
         .option("sep", ",")
+        .option("mode", "FAILFAST" if on_error == "abort" else "PERMISSIVE")
         .csv(path)
     )
     return with_audit_columns(df) if audit else df

@@ -83,7 +83,7 @@ def write_day(root: str, day: int) -> str:
             [1003, 102, "Hakka Noodles", "Street style", 180.00, "Main Course", "true", "Veg", None, TS2, None],
         ]
     _csv(
-        f"{prefix}/menu.csv",
+        f"{prefix}/menu_items.csv",
         ["MenuID", "RestaurantID", "ItemName", "Description", "Price", "Category",
          "Availability", "ItemType", "Rating", "CreatedDate", "ModifiedDate"],
         menu_rows,
@@ -182,7 +182,7 @@ def write_day(root: str, day: int) -> str:
             [80002, 7002, 1002, 1, 220.00, 220.00, 4.0, TS2, None],
         ]
     _csv(
-        f"{prefix}/order_item.csv",
+        f"{prefix}/order_items.csv",
         ["OrderItemID", "OrderID", "MenuItemID", "Quantity", "Price", "Subtotal",
          "Ratings", "CreatedDate", "ModifiedDate"],
         oi_rows,

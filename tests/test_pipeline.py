@@ -165,3 +165,23 @@ def test_date_path_contract():
     assert entity_file("s3://b/2025/4/7/", "delivery_agent", "json").endswith(
         "2025/4/7/delivery_agent.json"
     )
+
+
+def test_csv_on_error_abort(spark, tmp_path):
+    """S5 fidelity: COPY's on_error=abort_statement — a malformed row
+    (extra columns) fails the load instead of silently truncating."""
+    from py4j.protocol import Py4JJavaError
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.sources.readers import read_stage_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,v\n1,a\n2,b,EXTRA,COLS\n")
+    df = read_stage_csv(spark, str(p), ["id", "v"], audit=False)
+    try:
+        df.collect()
+        raised = False
+    except Py4JJavaError:
+        raised = True
+    assert raised, "malformed row should abort the load (FAILFAST)"
+    ok = read_stage_csv(spark, str(p), ["id", "v"], audit=False, on_error="continue")
+    assert ok.count() == 2
