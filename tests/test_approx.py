@@ -1,0 +1,45 @@
+"""Error-bound contracts for the sketch operators (q35 is registered
+rows-only; this is its exactness gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.approx import (
+    approx_user_stats,
+)
+
+from .conftest import SF_CORRECT
+
+
+def test_approx_distinct_within_rsd(spark):
+    events = load(spark, SF_CORRECT, "events")
+    approx = {r.event_type: r.approx_users for r in approx_user_stats(events).collect()}
+    exact = {
+        r.event_type: r.exact
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        rel_err = abs(approx[et] - ex) / ex
+        assert rel_err < 0.05, f"{et}: approx={approx[et]} exact={ex} err={rel_err:.3f}"
+
+
+def test_approx_quantiles_bracket_exact(spark):
+    events = load(spark, SF_CORRECT, "events")
+    got = {r.event_type: (r.value_p50, r.value_p95) for r in approx_user_stats(events).collect()}
+    exact = {
+        r.event_type: (r.q[0], r.q[1])
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.95))").alias("q"))
+        .collect()
+    }
+    for et, (p50, p95) in got.items():
+        e50, e95 = exact[et]
+        # GK with accuracy 10000 on ~thousands of rows is near-exact;
+        # allow 2% of the exact value as slack.
+        assert abs(p50 - e50) <= max(abs(e50) * 0.02, 1e-9), f"{et} p50 {p50} vs {e50}"
+        assert abs(p95 - e95) <= max(abs(e95) * 0.02, 1e-9), f"{et} p95 {p95} vs {e95}"

@@ -4,9 +4,7 @@ watermarked windows, stateful sessionization."""
 from __future__ import annotations
 
 import os
-import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import ENTITIES

@@ -24,7 +24,7 @@ import csv
 import json
 import os
 import random
-from datetime import date, datetime, timedelta
+from datetime import date, timedelta
 
 CATEGORIES = ["Appetizers", "Main Course", "Desserts", "Beverages", "Snacks"]
 ITEMS = {
