@@ -1,0 +1,61 @@
+"""Physical-plan quality gates.
+
+Correctness oracles can't see a plan regression (a lost broadcast, a
+filter that stopped pushing down) — these pin the plan shapes the
+100 TB design depends on. An audit of all 35 queries (round 1) found
+no CartesianProduct / SortMergeJoin / row-wise Python anywhere except
+the two documented O(n²) exactness kernels (q23/q24, broadcast
+nested-loop by construction).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].build(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q03_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q03_revenue_by_region")
+    assert plan.count("BroadcastHashJoin") == 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_minhash_kernel_is_mapside(spark):
+    # signature generation must not join or pre-aggregate: the only
+    # shuffles are the band groupBy and the final pair aggregation.
+    plan = _plan(spark, "q21_minhash_lsh_candidates")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan  # no row-wise Python
+
+
+def test_q30_multimodal_uses_arrow_not_rowwise_python(spark):
+    plan = _plan(spark, "q30_multimodal_metadata")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(n for n in QUERIES if n not in ("q23_embedding_near_dup", "q24_ann_bruteforce_topk")),
+)
+def test_no_accidental_quadratic_or_rowwise_plans(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} went quadratic"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} lost its equi-join"
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-wise Python"
