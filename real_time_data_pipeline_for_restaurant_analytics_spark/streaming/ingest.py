@@ -47,6 +47,18 @@ def stage_file_stream(spark: SparkSession, spec: EntitySpec, landing_dir: str) -
     return with_audit_columns(reader)
 
 
+def with_stream_audit_columns(df: DataFrame, source_label: str) -> DataFrame:
+    """Audit columns for non-file streaming sources (Kafka etc.):
+    there is no file name/mtime, so the label + ingest timestamp stand
+    in (for Kafka you'd fold topic/partition/offset into the label)."""
+    return (
+        df.withColumn("_stg_file_name", F.lit(source_label))
+        .withColumn("_stg_file_load_ts", F.current_timestamp())
+        .withColumn("_stg_file_md5", F.md5(F.lit(source_label)))
+        .withColumn("_copy_data_ts", F.current_timestamp())
+    )
+
+
 def merge_microbatch(spark: SparkSession, wh: Warehouse, spec: EntitySpec, batch: DataFrame) -> None:
     """The foreachBatch body: same SCD1/SCD2 merges as the batch
     runner — one merge library, two drivers."""
@@ -86,17 +98,24 @@ def ingest_stream(
     spark: SparkSession,
     wh: Warehouse,
     spec: EntitySpec,
-    landing_dir: str,
+    landing_dir: str | None,
     checkpoint_dir: str,
     available_now: bool = True,
+    source: DataFrame | None = None,
 ) -> StreamingQuery:
     """Launch the stream→merge loop for one entity.
 
     ``available_now=True`` drains everything currently in the landing
     dir then stops (deterministic batch-incremental, like the daily
     task); False keeps the query live for true continuous ingest.
+
+    ``source`` is the Kafka seam: pass ANY streaming DataFrame with
+    spec.source_columns + the four audit columns (e.g.
+    ``readStream.format("kafka")`` → ``from_json(value)`` →
+    ``with_stream_audit_columns``) and the merge loop below is
+    unchanged; ``landing_dir`` is then ignored.
     """
-    stream = stage_file_stream(spark, spec, landing_dir)
+    stream = source if source is not None else stage_file_stream(spark, spec, landing_dir)
 
     def _body(batch: DataFrame, _batch_id: int) -> None:
         merge_microbatch(spark, wh, spec, batch)

@@ -149,3 +149,48 @@ def test_sessionize_streaming_stateful(spark, tmp_path):
     got = {r.user_id: (str(r.session_start), r.n_events) for r in rows}
     assert got[1] == ("2024-05-01 10:00:00", 2)
     assert got[2] == ("2024-05-01 09:00:00", 1)
+
+
+def test_kafka_shaped_source_ingest(spark, tmp_path):
+    """The Kafka seam: ingest_stream accepts any streaming DataFrame.
+    Simulated here exactly Kafka-shaped — a stream of rows with a
+    single `value` column holding a JSON message, parsed with
+    from_json, audited, merged. Swapping in
+    readStream.format('kafka') changes only the first line."""
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.ingest import (
+        ingest_stream,
+        with_stream_audit_columns,
+    )
+
+    spec = ENTITIES["menu"]
+    msgs_dir = str(tmp_path / "msgs")
+    os.makedirs(msgs_dir)
+    rows = [
+        {"menuid": "11", "restaurantid": "101", "itemname": "Tikka", "description": "Good",
+         "price": "250.00", "category": "App", "availability": "true", "itemtype": "Veg",
+         "rating": "4.2", "createddate": "2024-05-01 10:00:00", "modifieddate": None},
+        {"menuid": "12", "restaurantid": "102", "itemname": "Dal", "description": "Nice",
+         "price": "220.00", "category": "Main", "availability": "false", "itemtype": "Veg",
+         "rating": "4.4", "createddate": "2024-05-01 10:00:00", "modifieddate": None},
+    ]
+    with open(os.path.join(msgs_dir, "batch1.txt"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    # `value`-column stream, as Kafka delivers it
+    raw = spark.readStream.text(msgs_dir).withColumnRenamed("value", "value")
+    schema = StructType([StructField(c, StringType()) for c in spec.source_columns])
+    parsed = raw.select(F.from_json("value", schema).alias("m")).select("m.*")
+    source = with_stream_audit_columns(parsed, "kafka://menu-topic")
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    q = ingest_stream(spark, wh, spec, None, str(tmp_path / "ckpt"), source=source)
+    q.awaitTermination(120)
+    dim = wh.dim("menu").read(spark)
+    assert dim.count() == 2
+    assert {r.menu_id for r in dim.collect()} == {11, 12}
+    assert dim.filter("is_current").count() == 2
