@@ -231,6 +231,58 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), fingerprint.cast("int").alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    each vertex repeatedly adopts the smallest label among itself and
+    its neighbors until fixpoint. Returns (id, component) with
+    component = min vertex id in the component.
+
+    Spark-style iteration: each round is one shuffle (groupBy on
+    vertex), ``localCheckpoint`` truncates lineage so plans don't grow
+    with iterations, and convergence needs O(diameter) rounds — near-
+    dup graphs are unions of small cliques, so a handful. This is the
+    cluster step that follows candidate generation (q19/q21) in a
+    dedup pipeline: one canonical doc survives per component.
+    """
+    sym = edges.selectExpr(f"{id1} AS src", f"{id2} AS dst").union(
+        edges.selectExpr(f"{id2} AS src", f"{id1} AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.component != o.component")
+            .head(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # Registered queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -358,3 +410,36 @@ SELECT doc_id, CAST({fp} AS INT) AS simhash FROM sums ORDER BY doc_id
 def q22_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return simhash16(d, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "q36_dedup_clusters",
+    oracle=None,  # iterative fixpoint — not single-statement SQL;
+    # exactness vs a driver-side union-find is pinned in
+    # tests/test_dedup_clusters.py
+    doc="Near-dup clusters: exact-dup edges ∪ LSH candidate edges → "
+    "connected components → canonical doc + cluster size per component.",
+)
+def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    exact_edges = (
+        exact_dedup(d, "doc_id", "text")
+        .filter(F.col("n_copies") > 1)
+        .join(d.select("doc_id", F.md5("text").alias("content_md5")), "content_md5")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("id1"), F.col("doc_id").alias("id2"))
+    )
+    sig = minhash_signatures(d, "doc_id", "text")
+    near_edges = lsh_candidates(lsh_bands(sig, "doc_id"), "doc_id").filter(
+        F.col("n_shared_bands") >= 2
+    ).select("id1", "id2")
+    comps = connected_components(exact_edges.union(near_edges))
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            F.col("component").alias("canonical_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("canonical_id")
+    )

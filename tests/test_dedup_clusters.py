@@ -1,0 +1,49 @@
+"""q36 is registered rows-only (iterative fixpoint); its exactness
+gate: connected components must equal a driver-side union-find over
+the same edge set, on smoke and correctness scales."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+    connected_components,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_components_match_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 1), (30, 30)]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    expected = _union_find(edges)
+    assert got == expected
+    # chain 1-2-3-22-21-20 must collapse to min label 1
+    assert got[20] == 1 and got[3] == 1
+
+
+def test_q36_runs_and_is_consistent(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
+
+    out = all_queries()["q36_dedup_clusters"].build(spark, SF_SMOKE).collect()
+    assert all(r.cluster_size >= 2 for r in out)
+    canon = [r.canonical_id for r in out]
+    assert canon == sorted(canon)
