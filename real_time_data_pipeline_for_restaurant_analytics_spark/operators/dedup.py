@@ -246,8 +246,12 @@ def connected_components(
     cluster step that follows candidate generation (q19/q21) in a
     dedup pipeline: one canonical doc survives per component.
     """
-    sym = edges.selectExpr(f"{id1} AS src", f"{id2} AS dst").union(
-        edges.selectExpr(f"{id2} AS src", f"{id1} AS dst")
+    # Materialize the edge list once — without this every iteration
+    # would re-run the whole upstream edge-generation pipeline.
+    sym = (
+        edges.selectExpr(f"{id1} AS src", f"{id2} AS dst")
+        .union(edges.selectExpr(f"{id2} AS src", f"{id1} AS dst"))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("id"))

@@ -71,6 +71,56 @@ def extract_metadata(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_meta_batches, schema=META_SCHEMA)
 
 
+THUMB_SCHEMA = "doc_id bigint, thumb binary, thumb_bytes bigint, thumb_md5 string"
+
+
+def resize_stub(payload: bytes, max_bytes: int = 64) -> bytes:
+    """STUB: real implementation decodes, resizes (PIL/libvips), and
+    re-encodes. Deterministic fake: keep a bounded prefix — preserving
+    the transform's contract (binary in → smaller binary out)."""
+    return payload[:max_bytes]
+
+
+def _thumb_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        thumbs = pdf["payload"].map(resize_stub)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb": thumbs,
+                "thumb_bytes": thumbs.map(len),
+                "thumb_md5": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+def make_thumbnails(binary_df: DataFrame) -> DataFrame:
+    """Binary→binary transform over mapInPandas (resize/frame-sample
+    shape): payloads stream through Arrow in bounded batches and are
+    touched exactly once; output is a new bounded binary column, so
+    downstream stages shuffle thumbnails, never the originals."""
+    return binary_df.mapInPandas(_thumb_batches, schema=THUMB_SCHEMA)
+
+
+@register(
+    "q37_multimodal_thumbnails",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(substr(text, 1, 64) AS BLOB)) AS BIGINT) AS thumb_bytes,
+       md5(substr(text, 1, 64)) AS thumb_md5
+FROM documents ORDER BY doc_id
+""",
+    doc="Binary→binary multimodal transform (resize/frame-sample plumbing; "
+    "stub kernel keeps a bounded prefix, so the oracle can verify bytes).",
+)
+def q37_multimodal_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    thumbs = make_thumbnails(with_binary_payload(d))
+    # ascii-only synthetic text ⇒ utf-8 byte prefix == char prefix, so
+    # the DuckDB substr oracle checks the Spark-side bytes exactly.
+    return thumbs.select("doc_id", "thumb_bytes", "thumb_md5").orderBy("doc_id")
+
+
 @register(
     "q30_multimodal_metadata",
     oracle="""
