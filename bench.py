@@ -51,6 +51,9 @@ HEADLINE = [
     "q31_sessionize_batch",
     "q32_salted_heavy_hitters",
     "q33_salted_join_segments",
+    "q35_approx_user_stats",
+    "q36_dedup_clusters",
+    "q37_multimodal_thumbnails",
 ]
 
 
