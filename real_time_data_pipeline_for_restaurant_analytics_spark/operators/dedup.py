@@ -213,17 +213,26 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Token hash = first 4 hex chars of md5 → 16-bit int; per bit j the
     weighted sign-sum decides bit j of the fingerprint.
+
+    Fully map-side: the token-hash array stays inside the row and each
+    bit's sign-sum is an ``aggregate`` fold — no explode (which would
+    multiply rows by token count) and no shuffle at any corpus size.
     """
-    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok")).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    base = spread(df, id_col).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split({text_col}, ' '),"
+            " t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT))"
+        ).alias("harr"),
     )
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+        F.expr(
+            "aggregate(harr, 0,"
+            f" (acc, h) -> acc + CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(16)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = base.select(F.col(id_col), *bit_sums)
     fingerprint = None
     for j in range(16):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
