@@ -1,0 +1,199 @@
+"""Distributed as-of (time-travel) join — an operator Spark's API
+lacks as a built-in, composed from union + window (the scalable
+formulation; pandas-on-Spark merge_asof exists but is a different
+execution path).
+
+Semantics: for each left row, attach the most recent right row of the
+same key with right.ts <= left.ts (ties on ts resolved by a
+deterministic right-side priority column). This is the "latest
+telemetry/state at decision time" join every event pipeline needs.
+
+Scale shape: ONE shuffle of (left ∪ right) on the key — no range
+cross-join, no per-key collect. The window is a running
+last-non-null, so whole-stage codegen streams each key partition in
+ts order. Skewed keys behave like any windowed aggregate (AQE/salt if
+one key dominates).
+
+Oracle: DuckDB's native ASOF LEFT JOIN verifies the result
+value-for-value (q38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join. `right` must be unique per (key, ts) — dedupe
+    upstream with a deterministic rule; returns all left columns plus
+    ``asof_<value_col>`` and ``asof_ts``."""
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).cast("timestamp_ntz").alias("_t"),
+        F.lit(1).alias("_src"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp_ntz").alias("_rt"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).cast("timestamp_ntz").alias("_t"),
+        F.lit(0).alias("_src"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).cast("timestamp_ntz").alias("_rt"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows (_src=0) sort before left rows at equal ts → "at or
+    # before" inclusively, matching ASOF ... ON r.ts <= l.ts.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = unioned.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.last("_rt", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    return picked.filter(F.col("_src") == 1).drop(
+        "_k", "_t", "_src", "_rt", *[f"_rv_{c}" for c in value_cols]
+    )
+
+
+@register(
+    "q38_asof_join",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type, CAST(value AS DECIMAL(18,6)) AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events
+), e AS (SELECT user_id, ts, event_type, value FROM ev WHERE rn = 1)
+SELECT o.o_orderkey, o.o_custkey,
+       strftime(o.o_orderdate, '{_TS_FMT_DUCK}') AS order_ts,
+       e.event_type AS asof_event_type,
+       e.value AS asof_value,
+       strftime(e.ts, '{_TS_FMT_DUCK}') AS asof_ts
+FROM orders o ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+ORDER BY o.o_orderkey
+""",
+    doc="Distributed as-of join (latest event at-or-before each order), "
+    "union+window formulation, verified against DuckDB's native ASOF JOIN.",
+)
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value"), "event_id"
+    )
+    dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    e = (
+        ev.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter("_rn = 1")
+        .drop("_rn", "event_id")
+    )
+    out = asof_join(
+        orders, e.withColumnRenamed("user_id", "o_custkey"),
+        key="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        value_cols=["event_type", "value"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", _TS_FMT_SPARK).alias("order_ts"),
+        F.col("asof_event_type"),
+        F.col("asof_value"),
+        F.date_format("asof_ts", _TS_FMT_SPARK).alias("asof_ts"),
+    ).orderBy("o_orderkey")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Interval join: right rows with ts ∈ [left.ts - window, left.ts],
+    as an equi-join on (key, time bin) instead of an inequality join.
+
+    A naive `ON r.ts BETWEEN l.ts - w AND l.ts` plans as a nested-loop
+    (quadratic per key); binning makes it a hash join: each left row
+    explodes into ceil(window/bin)+1 candidate bins, the join is
+    equi on (key, bin), and the exact range predicate filters the
+    candidates. Join volume is rows × bins-per-window — linear, and
+    tunable via bin_seconds ≈ window_seconds.
+    """
+    r_binned = right.withColumn(
+        "_bin", (F.unix_timestamp(F.col(right_ts).cast("timestamp")) / bin_seconds).cast("long")
+    )
+    l_binned = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                ((F.unix_timestamp(F.col(left_ts).cast("timestamp")) - window_seconds) / bin_seconds).cast("long"),
+                (F.unix_timestamp(F.col(left_ts).cast("timestamp")) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    lo = F.col(left_ts).cast("timestamp").cast("long") - window_seconds
+    hi = F.col(left_ts).cast("timestamp").cast("long")
+    rt = F.col(right_ts).cast("timestamp").cast("long")
+    joined = l_binned.join(r_binned, on=[key, "_bin"]).filter((rt >= lo) & (rt <= hi))
+    return joined.drop("_bin")
+
+
+@register(
+    "q39_range_join_binned",
+    oracle=f"""
+SELECT o.o_orderkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate - INTERVAL 1 DAY
+ AND e.ts <= o.o_orderdate
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+    doc="Interval join (events within 24h before each order) via time-bin "
+    "equi-join — the linear scale path for range joins.",
+)
+def q39_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        "ts",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    j = range_join_binned(
+        orders, ev, key="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        window_seconds=86400,
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("decimal(24,6)").alias("sum_value"),
+        )
+        .orderBy("o_orderkey")
+    )

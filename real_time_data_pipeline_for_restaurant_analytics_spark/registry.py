@@ -43,7 +43,7 @@ def all_queries() -> dict[str, Query]:
     # Import registrars lazily to avoid import cycles; each module
     # registers its queries at import time.
     from .plans import analytics, incremental, sessions  # noqa: F401
-    from .operators import approx, dedup, multimodal, similarity, skew, text  # noqa: F401
+    from .operators import approx, asof, dedup, multimodal, similarity, skew, text  # noqa: F401
 
     return dict(_REGISTRY)
 
