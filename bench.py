@@ -54,6 +54,10 @@ HEADLINE = [
     "q35_approx_user_stats",
     "q36_dedup_clusters",
     "q37_multimodal_thumbnails",
+    "q38_asof_join",
+    "q39_range_join_binned",
+    "q40_rollup_revenue",
+    "q41_pivot_event_values",
 ]
 
 

@@ -1,0 +1,97 @@
+"""OLAP shapes beyond the reference's flat GROUP BYs: rollup
+hierarchies and pivoted distributions.
+
+The reference's KPI dashboard recomputes each rollup level as its own
+query (revenue total / per state / per restaurant, README KPIs 1, 18,
+19); `ROLLUP` produces the whole hierarchy in ONE pass — at scale
+that's one shuffle instead of N. Pivot is the payment-method
+distribution (KPI 14) turned columnar. Both stay fully
+oracle-checkable: grouping flags via GROUPING(), pivots mirrored as
+conditional aggregates in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+MONEY = "decimal(14,2)"
+
+
+@register(
+    "q40_rollup_revenue",
+    oracle="""
+SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 2
+            + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(EXTRACT(year FROM o_orderdate), o_orderpriority)
+ORDER BY gid, order_year, priority
+""",
+    doc="Rollup hierarchy (year → priority → grand total) in one pass — "
+    "one shuffle for all KPI levels instead of one query per level.",
+)
+def q40_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    return (
+        o.rollup("yr", "prio")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("price").cast("decimal(22,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce("prio", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("gid", "order_year", "priority")
+    )
+
+
+EVENT_TYPES = ["click", "purchase", "refund", "view"]
+
+
+@register(
+    "q41_pivot_event_values",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' "
+           f"THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(24,6)) AS {t}_value"
+           for t in EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="Pivoted per-user value sums by event type (KPI-14 distribution "
+    "shape, columnar) — fixed pivot values so one pass, no discovery scan.",
+)
+def q41_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    # explicit pivot values: skips Spark's extra distinct-discovery job
+    # AND keeps the output schema stable at any scale
+    pivoted = (
+        e.groupBy("user_id").pivot("event_type", EVENT_TYPES).agg(F.sum("value"))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t).cast("decimal(24,6)"), F.lit(0).cast("decimal(24,6)")).alias(
+                f"{t}_value"
+            )
+            for t in EVENT_TYPES
+        ],
+    ).orderBy("user_id")

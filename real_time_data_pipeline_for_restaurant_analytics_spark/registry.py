@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
 def all_queries() -> dict[str, Query]:
     # Import registrars lazily to avoid import cycles; each module
     # registers its queries at import time.
-    from .plans import analytics, incremental, sessions  # noqa: F401
+    from .plans import analytics, incremental, olap, sessions  # noqa: F401
     from .operators import approx, asof, dedup, multimodal, similarity, skew, text  # noqa: F401
 
     return dict(_REGISTRY)
