@@ -43,7 +43,16 @@ def all_queries() -> dict[str, Query]:
     # Import registrars lazily to avoid import cycles; each module
     # registers its queries at import time.
     from .plans import analytics, incremental, olap, sessions  # noqa: F401
-    from .operators import approx, asof, dedup, multimodal, similarity, skew, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        approx,
+        asof,
+        dedup,
+        multimodal,
+        sampling,
+        similarity,
+        skew,
+        text,
+    )
 
     return dict(_REGISTRY)
 
