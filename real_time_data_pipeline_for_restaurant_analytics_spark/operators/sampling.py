@@ -128,3 +128,53 @@ def q43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "doc_id")
         .orderBy("bucket", "doc_id")
     )
+
+
+def pack_into_token_bins(
+    df: DataFrame, id_col: str, token_count_col: str, bin_tokens: int
+) -> DataFrame:
+    """Assign rows to fixed-token-budget bins: order by id, running
+    token total, bin = floor(cumsum_before / bin_tokens). The
+    contiguous-cumsum formulation of sequence packing: one global-ish
+    window — at scale you partition the cumsum by shard (e.g.
+    id div N) so no single reducer sees the whole corpus, and bins
+    stay shard-local, which is what a sharded dataset wants anyway.
+    """
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.withColumn("bin_id", F.floor(cum_before / bin_tokens).cast("bigint"))
+
+
+@register(
+    "q44_token_packing",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY bin_id ORDER BY bin_id
+""",
+    doc="Token-budget packing: contiguous docs binned into ~2048-token "
+    "buckets via running-sum window (pretraining sequence-packing prep).",
+)
+def q44_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_into_token_bins(d, "doc_id", "n_tokens", bin_tokens=2048)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
