@@ -47,6 +47,7 @@ def all_queries() -> dict[str, Query]:
         approx,
         asof,
         dedup,
+        dq,
         multimodal,
         sampling,
         similarity,
