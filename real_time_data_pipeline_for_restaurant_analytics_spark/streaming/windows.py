@@ -161,3 +161,18 @@ def sessionize_batch(
         )
         .drop("session_no")
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — C6's streaming twin. State is bounded
+    by the watermark: a key's dedup entry is dropped once the
+    watermark passes it, so state size tracks the late-data window,
+    not the stream's history (the property that keeps this viable on
+    an unbounded 100 TB/day firehose; an unbounded dropDuplicates
+    would grow state forever)."""
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(keys)

@@ -194,3 +194,33 @@ def test_kafka_shaped_source_ingest(spark, tmp_path):
     assert dim.count() == 2
     assert {r.menu_id for r in dim.collect()} == {11, 12}
     assert dim.filter("is_current").count() == 2
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """C6 streaming twin: duplicate event_ids across files collapse to
+    one row each; watermark bounds the dedup state."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.windows import dedup_stream
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write("event_id,ts,v\n1,2024-05-01 10:00:00,a\n2,2024-05-01 10:01:00,b\n1,2024-05-01 10:00:00,a\n")
+    with open(os.path.join(src, "b.csv"), "w") as f:
+        f.write("event_id,ts,v\n2,2024-05-01 10:01:00,b\n3,2024-05-01 10:02:00,c\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v string")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], "ts")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+    assert [r.event_id for r in rows] == [1, 2, 3]
