@@ -178,3 +178,90 @@ def q44_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def resample_by_weight(
+    df: DataFrame, id_col: str, stratum_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Deterministic dataset-mixture resampling: stratum weight w
+    emits floor(w) full copies of each row plus one more copy with
+    probability frac(w), decided by the id-hash draw (so reruns and
+    engines agree row-for-row). w<1 is plain downsampling; w>1 is
+    upsampling with an epoch column distinguishing the copies.
+    Entirely map-side: a per-row sequence/explode, no shuffle.
+    """
+    w_expr = None
+    for name, w in weights.items():
+        branch = F.lit(float(w))
+        w_expr = (
+            F.when(F.col(stratum_col) == name, branch)
+            if w_expr is None
+            else w_expr.when(F.col(stratum_col) == name, branch)
+        )
+    w_col = w_expr.otherwise(F.lit(1.0))
+    n_copies = (
+        F.floor(w_col) + F.when(hash_fraction(id_col) < w_col - F.floor(w_col), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+@register(
+    "q47_weighted_mixture",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 20 THEN 'long'
+              WHEN len(string_split(text, ' ')) >= 10 THEN 'mid'
+              ELSE 'short' END AS bucket
+  FROM documents
+), weighted AS (
+  SELECT doc_id, bucket,
+         CASE bucket WHEN 'long' THEN 2.5 WHEN 'mid' THEN 1.0 ELSE 0.25 END AS w
+  FROM q
+), counted AS (
+  SELECT doc_id, bucket,
+         CAST(FLOOR(w) + CASE WHEN {_FRAC_SQL} < w - FLOOR(w) THEN 1 ELSE 0 END AS INT) AS n
+  FROM weighted
+)
+SELECT bucket,
+       SUM(n) AS n_rows_out,
+       COUNT(CASE WHEN n > 0 THEN 1 END) AS n_docs_kept,
+       COUNT(*) AS n_docs_in
+FROM counted GROUP BY bucket ORDER BY bucket
+""",
+    doc="Deterministic weighted mixture resampling (upsample long docs "
+    "2.5x, keep mid, downsample short to 25%) — map-side, rerun-stable.",
+)
+def q47_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    bucketed = d.select(
+        "doc_id",
+        F.when(n_toks >= 20, "long").when(n_toks >= 10, "mid").otherwise("short").alias(
+            "bucket"
+        ),
+    )
+    mixed = resample_by_weight(
+        bucketed, "doc_id", "bucket", {"long": 2.5, "mid": 1.0, "short": 0.25}
+    )
+    per_doc = mixed.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    kept = per_doc.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_rows_out"),
+        F.count(F.lit(1)).alias("n_docs_kept"),
+    )
+    totals = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs_in"))
+    return (
+        totals.join(kept, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            "n_docs_in",
+        )
+        .orderBy("bucket")
+    )
