@@ -1,0 +1,47 @@
+"""Date-partitioned warehouse layout (hive-style) for partition-pruned
+scans.
+
+The reference relies on Snowflake micro-partition pruning (SURVEY §4);
+the Spark equivalent for time-organized facts is directory
+partitioning: `.../event_date=2024-05-01/part-*.parquet`. A filter on
+the partition column never touches excluded directories — at 100 TB
+with daily partitions, a one-week query scans 7/365ths of the data
+before a single row is read. Rules encoded here:
+
+- partition column cardinality stays modest (days, not user ids — a
+  100k-directory listing is its own bottleneck);
+- files per partition sized by repartitioning on write so each
+  partition holds a few full HDFS-block-sized files, not thousands of
+  slivers;
+- pruning is verified by plan (`tests/test_partitioned.py`), not
+  assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "event_date",
+    files_per_partition: int = 1,
+) -> None:
+    """Write parquet partitioned by the date of `ts_col`."""
+    (
+        df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+        .repartition(files_per_partition, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_day(
+    spark: SparkSession, path: str, day: str, partition_col: str = "event_date"
+) -> DataFrame:
+    """Read one day — the filter prunes to a single directory."""
+    return spark.read.parquet(path).filter(F.col(partition_col) == F.lit(day))
