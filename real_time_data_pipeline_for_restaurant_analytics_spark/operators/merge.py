@@ -273,3 +273,36 @@ def change_feed(prev: DataFrame | None, curr: DataFrame, key: list[str]) -> Data
         F.lit(True).alias("metadata_isupdate"),
     )
     return inserts.unionByName(deletes).unionByName(upd_del).unionByName(upd_ins)
+
+
+def apply_deletes(
+    dim: DataFrame, deleted_keys: DataFrame, key: list[str], batch_ts: Column
+) -> DataFrame:
+    """Close out current dim versions whose business key was deleted
+    upstream — the reference's SCD2 branch (a) for pure DELETE stream
+    rows (`METADATA$ACTION='DELETE'`, not part of an update pair,
+    `order_proc.sql:195-220`). History is preserved: the version is
+    closed (eff_end = batch_ts, is_current = false), never removed —
+    which is also the GDPR-forgetting hook: follow with a hard filter
+    on the key if true erasure is required.
+
+    One left-semi-shaped join on the key; closed versions pass through
+    untouched.
+    """
+    marked = deleted_keys.select(
+        *[F.col(k) for k in key], F.lit(True).alias("_deleted")
+    ).dropDuplicates(key)
+    joined = dim.join(marked, on=key, how="left")
+    hit = F.col("_deleted").isNotNull() & F.col("is_current")
+    return joined.select(
+        *[
+            (
+                F.when(hit, batch_ts).otherwise(F.col(c)).alias(c)
+                if c == "eff_end_date"
+                else F.when(hit, F.lit(False)).otherwise(F.col(c)).alias(c)
+                if c == "is_current"
+                else F.col(c)
+            )
+            for c in dim.columns
+        ]
+    )

@@ -89,3 +89,31 @@ def test_duplicate_key_audit(spark):
     assert got == {(2, 3)}
     clean = latest_per_key(df, ["id"], [F.col("v").desc()])
     assert duplicate_key_audit(clean, ["id"]).count() == 0
+
+
+def test_apply_deletes_closes_current_versions(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge import (
+        apply_deletes,
+        apply_scd2,
+        change_feed,
+    )
+
+    batch = _df(spark, [(1, "a"), (2, "b")], "id long, v string")
+    cfg = Scd2Config(key=["id"], attrs=["v"], created_col=None)
+    t0 = F.lit("2024-05-01 21:30:00").cast("timestamp")
+    dim = apply_scd2(None, batch, cfg, t0)
+
+    # key 2 disappears from the next snapshot → DELETE in the feed
+    nxt = _df(spark, [(1, "a")], "id long, v string")
+    feed = change_feed(batch, nxt, ["id"])
+    deleted = feed.filter("action = 'DELETE' AND NOT metadata_isupdate")
+    t1 = F.lit("2024-05-02 21:30:00").cast("timestamp")
+    dim2 = apply_deletes(dim, deleted, ["id"], t1)
+
+    rows = {r.id: r for r in dim2.collect()}
+    assert rows[1].is_current and rows[1].eff_end_date is None
+    assert not rows[2].is_current
+    assert str(rows[2].eff_end_date).startswith("2024-05-02 21:30")
+    # idempotent: deleting an already-closed key changes nothing
+    dim3 = apply_deletes(dim2, deleted, ["id"], F.lit("2024-05-03 00:00:00").cast("timestamp"))
+    assert sorted(map(tuple, dim3.collect())) == sorted(map(tuple, dim2.collect()))
