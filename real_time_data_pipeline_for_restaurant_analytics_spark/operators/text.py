@@ -235,3 +235,67 @@ ORDER BY d.doc_id
 def q29_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return fingerprints(d).orderBy("doc_id")
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per doc by TF-IDF.
+
+    tf = term count in doc; idf = ln(N / df_t) in exact double math
+    (both engines fold ln over the same integers, so the oracle
+    matches). Two shuffles at any scale: term counts per (doc, term)
+    and the document-frequency aggregate; the DF table is tiny
+    (vocabulary-sized) and broadcasts back onto the term counts.
+    Score ties break on the term string for determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf_r"))
+    )
+
+
+@register(
+    "q48_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank,
+         round(tfidf, 6) AS tfidf_r
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, tfidf_r FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+    doc="Top-3 characteristic terms per doc by TF-IDF (corpus DF aggregate "
+    "broadcast back onto per-doc term counts).",
+)
+def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d).orderBy("doc_id", "rank")
