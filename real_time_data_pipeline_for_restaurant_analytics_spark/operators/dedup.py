@@ -456,3 +456,106 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared_bands: int = 2,
+    min_permille: int = 300,
+) -> DataFrame:
+    """The production near-dup pipeline: MinHash+LSH candidate
+    generation (linear) → exact Jaccard verification ON CANDIDATE
+    PAIRS ONLY. This is how the quadratic kernel (q20) is actually
+    deployed at 100 TB: the exact |∩|/|∪| math runs on O(collisions)
+    pairs, not O(n²) — the shingle inverted index joins against the
+    candidate pair list first, so non-candidates never aggregate.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    cands = lsh_candidates(lsh_bands(sig, id_col), id_col).filter(
+        F.col("n_shared_bands") >= min_shared_bands
+    )
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id1"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))
+    inter = (
+        cands.join(a, "id1")
+        .join(b, ["id2", "shingle"])
+        .groupBy("id1", "id2", "n_shared_bands")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared_bands",
+            "inter_ct",
+            F.expr("CAST(inter_ct * 1000 AS BIGINT) div (sz1 + sz2 - inter_ct)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .filter(F.col("jaccard_permille") >= min_permille)
+    )
+
+
+def _verified_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5("
+        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM sig
+),
+brows AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+cands AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_bands
+  FROM brows a JOIN brows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, c.n_shared_bands, COUNT(*) AS inter_ct
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT i.id1, i.id2, i.n_shared_bands, i.inter_ct,
+       CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) AS jaccard_permille
+FROM inter i JOIN sizes s1 ON i.id1 = s1.doc_id JOIN sizes s2 ON i.id2 = s2.doc_id
+WHERE CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) >= 300
+ORDER BY id1, id2
+"""
+
+
+@register(
+    "q49_near_dup_verified",
+    oracle=_verified_oracle(),
+    doc="End-to-end near-dup pipeline: LSH candidates (>=2 shared bands) "
+    "verified with exact Jaccard on candidate pairs only (>=0.3) — the "
+    "linear-scale deployment of the q20 kernel.",
+)
+def q49_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return verified_near_dups(d, "doc_id", "text").orderBy("id1", "id2")
