@@ -90,3 +90,61 @@ def q18_scd2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_ts.isNull().alias("is_current"),
         F.row_number().over(w).alias("version_no"),
     ).orderBy("user_id", "version_no")
+
+
+def merge_additive_aggregate(
+    state: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Fold a partial aggregate into running state: union + re-reduce.
+    Works for any algebraic measures (sums/counts — all non-key
+    columns are summed). This is incremental materialized-view
+    maintenance: each refresh shuffles only the delta's keyspace, not
+    the full history — the aggregate twin of the SCD1 merge.
+    """
+    measures = [c for c in delta.columns if c not in keys]
+    both = delta if state is None else state.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in measures]
+    )
+
+
+@register(
+    "q50_incremental_rollup",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="Incremental aggregate maintenance: per-day partial aggregates "
+    "folded into running state day by day; result must equal (and is "
+    "oracle-checked against) the one-shot full aggregate.",
+)
+def q50_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    days = sorted(r[0] for r in e.select("day").distinct().collect())
+    state = None
+    for d in days:
+        delta = (
+            e.filter(F.col("day") == F.lit(d))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        state = merge_additive_aggregate(state, delta, ["user_id"])
+        # production folds persist state per refresh; here lineage is
+        # cut the same way so the plan doesn't grow with day count
+        state = state.localCheckpoint()
+    return state.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("decimal(24,6)").alias("sum_value"),
+    ).orderBy("user_id")
