@@ -95,3 +95,34 @@ def q41_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in EVENT_TYPES
         ],
     ).orderBy("user_id")
+
+
+@register(
+    "q51_set_operations",
+    oracle="""
+WITH purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     viewers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT 'click_and_purchase' AS cohort, user_id
+FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers)
+UNION ALL
+SELECT 'view_never_purchase', user_id
+FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM purchasers)
+ORDER BY cohort, user_id
+""",
+    doc="Set operations (INTERSECT / EXCEPT) for behavioral cohorts — "
+    "compile to semi/anti joins over deduped key sets, one shuffle each.",
+)
+def q51_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    both = users_of("click").intersect(users_of("purchase")).select(
+        F.lit("click_and_purchase").alias("cohort"), "user_id"
+    )
+    lost = users_of("view").exceptAll(users_of("purchase")).select(
+        F.lit("view_never_purchase").alias("cohort"), "user_id"
+    )
+    return both.unionByName(lost).orderBy("cohort", "user_id")
