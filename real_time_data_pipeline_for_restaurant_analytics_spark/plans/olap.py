@@ -126,3 +126,40 @@ def q51_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("view_never_purchase").alias("cohort"), "user_id"
     )
     return both.unionByName(lost).orderBy("cohort", "user_id")
+
+
+@register(
+    "q52_moving_average",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       revenue,
+       CAST(AVG(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DECIMAL(24,6)) AS ma7,
+       CAST(SUM(revenue) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS DECIMAL(24,2)) AS cum_revenue
+FROM daily ORDER BY day
+""",
+    doc="Daily revenue with 7-day moving average and running total — "
+    "bounded window frames over the pre-aggregated day series (window "
+    "input is days, not raw rows, so the sort is tiny at any scale).",
+)
+def q52_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("decimal(22,2)").alias("revenue")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.avg("revenue").over(w7).cast("decimal(24,6)").alias("ma7"),
+        F.sum("revenue").over(wcum).cast("decimal(24,2)").alias("cum_revenue"),
+    ).orderBy("day")
