@@ -40,22 +40,37 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join. `right` must be unique per (key, ts) — dedupe
     upstream with a deterministic rule; returns all left columns plus
-    ``asof_<value_col>`` and ``asof_ts``."""
+    ``asof_<value_col>`` and ``asof_ts``.
+
+    The right-side payload travels as ONE struct column that is NULL
+    exactly on left-row markers, so ``last(ignorenulls=True)`` picks
+    the whole matched row atomically: a right row whose value column is
+    legitimately NULL is preserved as NULL (not silently replaced by an
+    earlier row's value), and asof_value/asof_ts always come from the
+    same row — true ASOF semantics.
+    """
+    from pyspark.sql.types import StructField, StructType, TimestampNTZType
+
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("_rts", TimestampNTZType())]
+    )
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).cast("timestamp_ntz").alias("_t"),
         F.lit(1).alias("_src"),
         "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp_ntz").alias("_rt"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).cast("timestamp_ntz").alias("_t"),
         F.lit(0).alias("_src"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_ts).cast("timestamp_ntz").alias("_rt"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_ts).cast("timestamp_ntz").alias("_rts"),
+        ).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows (_src=0) sort before left rows at equal ts → "at or
@@ -65,16 +80,15 @@ def asof_join(
         .orderBy("_t", "_src")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    picked = unioned.select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-        F.last("_rt", ignorenulls=True).over(w).alias("asof_ts"),
-    )
-    return picked.filter(F.col("_src") == 1).drop(
-        "_k", "_t", "_src", "_rt", *[f"_rv_{c}" for c in value_cols]
+    picked = unioned.select("*", F.last("_r", ignorenulls=True).over(w).alias("_pick"))
+    return (
+        picked.filter(F.col("_src") == 1)
+        .select(
+            "*",
+            *[F.col(f"_pick.{c}").alias(f"asof_{c}") for c in value_cols],
+            F.col("_pick._rts").alias("asof_ts"),
+        )
+        .drop("_k", "_t", "_src", "_r", "_pick")
     )
 
 
@@ -82,7 +96,7 @@ def asof_join(
     "q38_asof_join",
     oracle=f"""
 WITH ev AS (
-  SELECT user_id, ts, event_type, CAST(value AS DECIMAL(18,6)) AS value,
+  SELECT user_id, ts, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value,
          ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
   FROM events
 ), e AS (SELECT user_id, ts, event_type, value FROM ev WHERE rn = 1)
@@ -100,7 +114,11 @@ ORDER BY o.o_orderkey
 def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value"), "event_id"
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").cast("string").alias("value"),
+        "event_id",
     )
     dedup_w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
     e = (
@@ -166,7 +184,7 @@ def range_join_binned(
     oracle=f"""
 SELECT o.o_orderkey,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS VARCHAR) AS sum_value
 FROM orders o
 JOIN events e
   ON e.user_id = o.o_custkey
@@ -193,7 +211,7 @@ def q39_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").cast("decimal(24,6)").alias("sum_value"),
+            F.sum("value").cast("decimal(24,6)").cast("string").alias("sum_value"),
         )
         .orderBy("o_orderkey")
     )

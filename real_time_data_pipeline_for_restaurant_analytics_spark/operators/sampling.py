@@ -130,19 +130,42 @@ def q43_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BINS_PER_SHARD = 1_000_000
+
+
 def pack_into_token_bins(
-    df: DataFrame, id_col: str, token_count_col: str, bin_tokens: int
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    bin_tokens: int,
+    shard_size: int = 200,
 ) -> DataFrame:
-    """Assign rows to fixed-token-budget bins: order by id, running
-    token total, bin = floor(cumsum_before / bin_tokens). The
-    contiguous-cumsum formulation of sequence packing: one global-ish
-    window — at scale you partition the cumsum by shard (e.g.
-    id div N) so no single reducer sees the whole corpus, and bins
-    stay shard-local, which is what a sharded dataset wants anyway.
+    """Assign rows to fixed-token-budget bins: shard by id range
+    (`shard = id div shard_size`), run the token cumsum *inside* each
+    shard, local bin = floor(cumsum_before / bin_tokens), global
+    ``bin_id = shard * 1e6 + local_bin``.
+
+    The window is PARTITIONED by shard, so no single reducer ever sees
+    the whole corpus — the scale-correct formulation of sequence
+    packing (a global ``Window.orderBy`` cumsum funnels 100 TB through
+    one task). Bins stay shard-local, which is what a sharded training
+    dataset wants anyway; the id-offset keeps them globally unique as
+    long as a shard never produces ≥1e6 bins (i.e. shard_size ×
+    max-doc-tokens < 1e6 × bin_tokens — pick shard_size accordingly).
+    Partial trailing bins at shard boundaries are the standard
+    sharded-packing trade.
     """
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    shard = F.expr(f"CAST({id_col} AS BIGINT) div {shard_size}")
+    w = (
+        Window.partitionBy(shard)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     cum_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
-    return df.withColumn("bin_id", F.floor(cum_before / bin_tokens).cast("bigint"))
+    return df.withColumn(
+        "bin_id",
+        (shard * _BINS_PER_SHARD + F.floor(cum_before / bin_tokens)).cast("bigint"),
+    )
 
 
 @register(
@@ -152,22 +175,24 @@ WITH t AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 ), packed AS (
   SELECT doc_id, n_tokens,
-         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         CAST(doc_id // 200 AS BIGINT) * 1000000
+         + CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id // 200 ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin_id
   FROM t
 )
-SELECT bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM packed GROUP BY bin_id ORDER BY bin_id
 """,
     doc="Token-budget packing: contiguous docs binned into ~2048-token "
-    "buckets via running-sum window (pretraining sequence-packing prep).",
+    "buckets via a SHARD-PARTITIONED running-sum window (pretraining "
+    "sequence-packing prep; no global single-reducer sort).",
 )
 def q44_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    packed = pack_into_token_bins(d, "doc_id", "n_tokens", bin_tokens=2048)
+    packed = pack_into_token_bins(d, "doc_id", "n_tokens", bin_tokens=2048, shard_size=200)
     return (
         packed.groupBy("bin_id")
         .agg(
@@ -229,7 +254,7 @@ WITH q AS (
   FROM weighted
 )
 SELECT bucket,
-       SUM(n) AS n_rows_out,
+       CAST(SUM(n) AS BIGINT) AS n_rows_out,
        COUNT(CASE WHEN n > 0 THEN 1 END) AS n_docs_kept,
        COUNT(*) AS n_docs_in
 FROM counted GROUP BY bucket ORDER BY bucket

@@ -61,16 +61,23 @@ def cosine_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
 
 def brute_force_topk(
     emb: DataFrame,
-    query_ids: list[int],
+    query_ids: list[int] | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_filter: Column | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the given query ids."""
+    """Exact top-k cosine neighbors for the query rows, selected either
+    by an id list or by a predicate Column (`query_filter`) — the
+    predicate form keeps the whole plan declarative (no driver-side
+    collect of ids that the filter itself already expresses)."""
     from pyspark.sql import Window
 
+    if (query_ids is None) == (query_filter is None):
+        raise ValueError("pass exactly one of query_ids / query_filter")
+    pred = query_filter if query_filter is not None else F.col(id_col).isin(query_ids)
     base = emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
-    q = base.filter(F.col(id_col).isin(query_ids)).select(
+    q = base.filter(pred).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     c = base.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
@@ -253,21 +260,28 @@ base AS (
     oracle=f"""
 WITH {_DUCK_COS_BASE}
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       CAST(round(list_sum(list_transform(generate_series(1, len(a.v)),
-            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS DECIMAL(10,6)) AS cos_r
+       CAST(FLOOR(list_sum(list_transform(generate_series(1, len(a.v)),
+            i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_micro
 FROM base a JOIN base b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
       / (a.nrm * b.nrm) >= 0.4
 ORDER BY id1, id2
 """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.4; exactness kernel of ANN).",
+    doc="Embedding-cosine near-dup pairs (threshold 0.4; exactness kernel "
+    "of ANN). Similarity emitted as micro-units BIGINT: both engines "
+    "compute the identical sequential-fold double, so floor(x*1e6+0.5) "
+    "is hash-stable (DECIMAL outputs are not — round-1 lesson).",
 )
 def q23_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return (
         cosine_pairs(emb)
         .filter(F.col("cos_sim") >= 0.4)
-        .select("id1", "id2", F.round("cos_sim", 6).cast("decimal(10,6)").alias("cos_r"))
+        .select(
+            "id1",
+            "id2",
+            F.floor(F.col("cos_sim") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
         .orderBy("id1", "id2")
     )
 
@@ -284,21 +298,27 @@ scored AS (
   WHERE q.vec_id < 10
 ), ranked AS (
   SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank,
-         CAST(round(cos_sim, 6) AS DECIMAL(10,6)) AS cos_r
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+         CAST(FLOOR(round(cos_sim, 6) * 1000000 + 0.5) AS BIGINT) AS cos_micro
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, cos_r FROM ranked WHERE rank <= 5
+SELECT query_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """,
-    doc="Brute-force cosine top-5 neighbors for query vectors (ANN baseline).",
+    doc="Brute-force cosine top-5 neighbors for query vectors (ANN "
+    "baseline). Query rows are selected by a predicate pushed into the "
+    "plan (no driver-side id collect); similarity in micro-units BIGINT.",
 )
 def q24_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qids = [r[0] for r in emb.select("vec_id").filter(F.col("vec_id") < 10).collect()]
     return (
-        brute_force_topk(emb, qids, k=5)
-        .select("query_id", "neighbor_id", "rank", F.col("cos_r").cast("decimal(10,6)"))
+        brute_force_topk(emb, k=5, query_filter=F.col("vec_id") < 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("cos_r") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
         .orderBy("query_id", "rank")
     )
 

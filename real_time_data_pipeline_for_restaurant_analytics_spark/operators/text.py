@@ -60,7 +60,9 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             best = F.when(c > best, c).otherwise(best)
     return d.select(
         F.col(id_col),
-        *[F.col(f"hits_{lg}") for lg in langs],
+        # bigint, not int: the driver hash compares pandas frames and
+        # Spark int32 vs DuckDB int64 diverge on dtype
+        *[F.col(f"hits_{lg}").cast("bigint").alias(f"hits_{lg}") for lg in langs],
         pred.alias("pred_lang"),
         F.floor(F.col("hits_en") * 1000 / F.greatest(F.size("toks"), F.lit(1)))
         .cast("bigint")
@@ -84,9 +86,9 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     distinct_permille = F.floor(distinct_toks * 1000 / F.greatest(n_toks, F.lit(1))).cast("bigint")
     return d.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_toks.alias("n_tokens"),
-        distinct_toks.alias("n_distinct_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        distinct_toks.cast("bigint").alias("n_distinct_tokens"),
         mean_tok_len_milli.alias("mean_token_len_milli"),
         alpha_permille.alias("alpha_permille"),
         distinct_permille.alias("distinct_permille"),
@@ -101,9 +103,11 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Token counting: whitespace tokens + regex (BPE-ish) pieces."""
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all({text_col}, '{_TOKEN_RE}', 0)")).alias("re_tokens"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_TOKEN_RE}', 0)"))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
     )
 
 
@@ -253,20 +257,33 @@ def tfidf_top_terms(
 
     toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()
+    # corpus size as a 1-row broadcast crossJoin, not a driver-side
+    # .count() — keeps the whole build declarative/lazy
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        F.col(id_col),
-        "term",
-        "tf",
-        "df",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf_r"))
+        .select(
+            id_col,
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf_r"),
+        )
     )
 
 

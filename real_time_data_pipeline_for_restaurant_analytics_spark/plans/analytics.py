@@ -13,6 +13,13 @@ Numeric-parity rules (so the driver's value-hash matches):
 - every computed column is explicitly aliased AND explicitly typed on
   both the Spark and oracle side.
 - timestamps are emitted as formatted strings or integer smart keys.
+- RESULT columns never expose DECIMAL or plain-INT: DuckDB's pandas
+  conversion coerces every DECIMAL (and bare SUM() HUGEINT) to
+  float64 while Spark collects Decimal/int32 — representation, not
+  value, then breaks the driver's hash (round-1 lesson). Final
+  projections emit exact decimals as canonical STRINGs (both engines
+  format DECIMAL(p,s)→string identically, trailing zeros included),
+  ratios as scaled-integer BIGINT (ppm/cents), and counts as BIGINT.
 
 Scale notes: filters are expressed on scan columns so they push to
 parquet; dims (region/nation/customer) join via broadcast; aggregates
@@ -71,13 +78,13 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-        * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(26,6)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS VARCHAR) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+        * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(26,6)) AS VARCHAR) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
         * (1 - CAST(l_discount AS DECIMAL(8,4)))
-        * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(30,10)) AS sum_charge,
+        * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DECIMAL(30,10)) AS VARCHAR) AS sum_charge,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -94,10 +101,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("decimal(22,2)").alias("sum_qty"),
-            F.sum("l_extendedprice").cast("decimal(22,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(26,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(30,10)").alias("sum_charge"),
+            F.sum("l_quantity").cast("decimal(22,2)").cast("string").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("decimal(22,2)").cast("string").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(26,6)").cast("string").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(30,10)").cast("string").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -112,13 +119,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q02_top_customers",
     oracle="""
-SELECT c.c_custkey, c.c_name,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
-       COUNT(*) AS n_orders
-FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY c.c_custkey, c.c_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 10
+WITH t AS (
+  SELECT c.c_custkey, c.c_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 10
+)
+SELECT c_custkey, c_name, CAST(revenue AS VARCHAR) AS revenue, n_orders
+FROM t ORDER BY c_custkey
 """,
     doc="Top-10 customers by total spend (broadcast dim join + top-k).",
 )
@@ -134,6 +145,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
+        .withColumn("revenue", F.col("revenue").cast("string"))
     )
 
 
@@ -146,7 +158,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_revenue_by_region",
     oracle="""
 SELECT r.r_name AS region,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS VARCHAR) AS revenue,
        COUNT(*) AS n_orders,
        COUNT(DISTINCT o.o_custkey) AS n_customers
 FROM orders o
@@ -169,7 +181,7 @@ def q03_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.sum("o_totalprice").cast("decimal(22,2)").alias("revenue"),
+            F.sum("o_totalprice").cast("decimal(22,2)").cast("string").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -231,8 +243,9 @@ WITH yearly AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue
   FROM orders GROUP BY 1
 )
-SELECT order_year, revenue,
-       LAG(revenue) OVER (ORDER BY order_year) AS prev_revenue,
+SELECT order_year,
+       CAST(revenue AS VARCHAR) AS revenue,
+       CAST(LAG(revenue) OVER (ORDER BY order_year) AS VARCHAR) AS prev_revenue,
        CAST(FLOOR(CAST((revenue - LAG(revenue) OVER (ORDER BY order_year)) AS DECIMAL(30,8))
             * 1000000 / LAG(revenue) OVER (ORDER BY order_year)) AS BIGINT) AS growth_ppm
 FROM yearly ORDER BY order_year
@@ -248,8 +261,8 @@ def q05_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("revenue").over(w)
     return yearly.select(
         "order_year",
-        "revenue",
-        prev.alias("prev_revenue"),
+        F.col("revenue").cast("string").alias("revenue"),
+        prev.cast("string").alias("prev_revenue"),
         F.floor((F.col("revenue") - prev).cast("decimal(30,8)") * 1000000 / prev)
         .cast("bigint")
         .alias("growth_ppm"),
@@ -274,7 +287,8 @@ WITH spend AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY nation ORDER BY spend DESC, c_custkey) AS rn
   FROM spend
 )
-SELECT nation, c_custkey, c_name, spend FROM ranked WHERE rn = 1 ORDER BY nation
+SELECT nation, c_custkey, c_name, CAST(spend AS VARCHAR) AS spend
+FROM ranked WHERE rn = 1 ORDER BY nation
 """,
     doc="Top-1 spender per nation via row_number window.",
 )
@@ -292,7 +306,7 @@ def q06_top_spender_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spend.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select("nation", "c_custkey", "c_name", F.col("spend").cast("string").alias("spend"))
         .orderBy("nation")
     )
 
@@ -306,7 +320,7 @@ def q06_top_spender_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS hour_key,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS VARCHAR) AS total_value
 FROM events
 GROUP BY 1 ORDER BY hour_key
 """,
@@ -318,7 +332,10 @@ def q07_hourly_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_format("ts", "yyyyMMddHH").cast("bigint").alias("hour_key"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(28,6)")
+            .cast("string")
+            .alias("total_value"),
         )
         .orderBy("hour_key")
     )
@@ -371,14 +388,17 @@ def q09_hash_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_masked_customers",
     oracle="""
 SELECT c_custkey, '** PII **' AS c_name, c_mktsegment,
-       CAST(c_acctbal AS DECIMAL(14,2)) AS c_acctbal
+       CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS VARCHAR) AS c_acctbal
 FROM customer ORDER BY c_custkey
 """,
     doc="PII-masked view of the customer dim.",
 )
 def q10_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment", F.col("c_acctbal").cast(MONEY).alias("c_acctbal")
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast(MONEY).cast("string").alias("c_acctbal"),
     )
     return mask_columns(c, {"c_name": "** PII **"}).orderBy("c_custkey")
 

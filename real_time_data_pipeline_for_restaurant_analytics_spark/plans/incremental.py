@@ -34,7 +34,7 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     "q17_scd1_latest_snapshot",
     oracle=f"""
 WITH ranked AS (
-  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS value,
+  SELECT user_id, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value,
          strftime(ts, '{_TS_FMT_DUCK}') AS updated_at,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
@@ -50,7 +50,7 @@ def q17_scd1_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "user_id",
             "event_type",
-            F.col("value").cast("decimal(18,6)").alias("value"),
+            F.col("value").cast("decimal(18,6)").cast("string").alias("value"),
             F.date_format("ts", _TS_FMT_SPARK).alias("updated_at"),
             F.row_number().over(w).alias("rn"),
         )
@@ -65,13 +65,13 @@ def q17_scd1_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT user_id,
        event_type,
-       CAST(value AS DECIMAL(18,6)) AS value,
+       CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value,
        strftime(ts, '{_TS_FMT_DUCK}') AS eff_start,
        strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                 '{_TS_FMT_DUCK}') AS eff_end,
        CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
             THEN TRUE ELSE FALSE END AS is_current,
-       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version_no
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version_no
 FROM events
 ORDER BY user_id, version_no
 """,
@@ -84,11 +84,11 @@ def q18_scd2_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_type",
-        F.col("value").cast("decimal(18,6)").alias("value"),
+        F.col("value").cast("decimal(18,6)").cast("string").alias("value"),
         F.date_format("ts", _TS_FMT_SPARK).alias("eff_start"),
         F.date_format(lead_ts, _TS_FMT_SPARK).alias("eff_end"),
         lead_ts.isNull().alias("is_current"),
-        F.row_number().over(w).alias("version_no"),
+        F.row_number().over(w).cast("bigint").alias("version_no"),
     ).orderBy("user_id", "version_no")
 
 
@@ -115,7 +115,7 @@ def merge_additive_aggregate(
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS VARCHAR) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id
 """,
     doc="Incremental aggregate maintenance: per-day partial aggregates "
@@ -146,5 +146,5 @@ def q50_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "user_id",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("sum_value").cast("decimal(24,6)").alias("sum_value"),
+        F.col("sum_value").cast("decimal(24,6)").cast("string").alias("sum_value"),
     ).orderBy("user_id")

@@ -28,7 +28,7 @@ SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order
        COALESCE(o_orderpriority, 'ALL') AS priority,
        CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 2
             + GROUPING(o_orderpriority) AS BIGINT) AS gid,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS VARCHAR) AS revenue,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY ROLLUP(EXTRACT(year FROM o_orderdate), o_orderpriority)
@@ -47,7 +47,7 @@ def q40_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("yr", "prio")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum("price").cast("decimal(22,2)").alias("revenue"),
+            F.sum("price").cast("decimal(22,2)").cast("string").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -69,8 +69,8 @@ EVENT_TYPES = ["click", "purchase", "refund", "view"]
     oracle=f"""
 SELECT user_id,
        {", ".join(
-           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' "
-           f"THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(24,6)) AS {t}_value"
+           f"CAST(CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' "
+           f"THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DECIMAL(24,6)) AS VARCHAR) AS {t}_value"
            for t in EVENT_TYPES)}
 FROM events GROUP BY user_id ORDER BY user_id
 """,
@@ -89,9 +89,9 @@ def q41_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id",
         *[
-            F.coalesce(F.col(t).cast("decimal(24,6)"), F.lit(0).cast("decimal(24,6)")).alias(
-                f"{t}_value"
-            )
+            F.coalesce(F.col(t).cast("decimal(24,6)"), F.lit(0).cast("decimal(24,6)"))
+            .cast("string")
+            .alias(f"{t}_value")
             for t in EVENT_TYPES
         ],
     ).orderBy("user_id")
@@ -133,33 +133,40 @@ def q51_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS revenue
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS revenue_cents
   FROM orders GROUP BY 1
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
-       revenue,
-       CAST(AVG(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-            AS DECIMAL(24,6)) AS ma7,
-       CAST(SUM(revenue) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-            AS DECIMAL(24,2)) AS cum_revenue
+       revenue_cents,
+       CAST(FLOOR(SUM(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            * 10000.0
+            / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma7_micro,
+       CAST(SUM(revenue_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
 FROM daily ORDER BY day
 """,
     doc="Daily revenue with 7-day moving average and running total — "
     "bounded window frames over the pre-aggregated day series (window "
-    "input is days, not raw rows, so the sort is tiny at any scale).",
+    "input is days, not raw rows, so the sort is tiny at any scale). "
+    "Money travels as exact integer cents; the moving average is "
+    "floor(sum*1e4/n) micro-dollars so both engines do the identical "
+    "IEEE division on exact integers (hash-stable, round-1 lesson).",
 )
 def q52_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast(MONEY)).cast("decimal(22,2)").alias("revenue")
+        (F.sum(F.col("o_totalprice").cast(MONEY)) * 100).cast("bigint").alias("revenue_cents")
     )
     w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "revenue",
-        F.avg("revenue").over(w7).cast("decimal(24,6)").alias("ma7"),
-        F.sum("revenue").over(wcum).cast("decimal(24,2)").alias("cum_revenue"),
+        "revenue_cents",
+        F.floor(
+            F.sum("revenue_cents").over(w7) * F.lit(10000.0) / F.count(F.lit(1)).over(w7)
+        )
+        .cast("bigint")
+        .alias("ma7_micro"),
+        F.sum("revenue_cents").over(wcum).cast("bigint").alias("cum_revenue_cents"),
     ).orderBy("day")

@@ -50,12 +50,21 @@ def test_q30_multimodal_uses_arrow_not_rowwise_python(spark):
     assert "BatchEvalPython" not in plan
 
 
+# q23/q24: documented O(n²) exactness kernels (broadcast nested-loop by
+# construction). q48: 1-row scalar combine — the corpus COUNT(*) joins
+# back as a broadcast cross of a single aggregate row (the declarative
+# replacement for a driver-side .count()), not a data-sized cross join.
+_QUADRATIC_BY_DESIGN = ("q23_embedding_near_dup", "q24_ann_bruteforce_topk")
+_SCALAR_CROSS_OK = ("q48_tfidf_top_terms",)
+
+
 @pytest.mark.parametrize(
     "name",
-    sorted(n for n in QUERIES if n not in ("q23_embedding_near_dup", "q24_ann_bruteforce_topk")),
+    sorted(n for n in QUERIES if n not in _QUADRATIC_BY_DESIGN),
 )
 def test_no_accidental_quadratic_or_rowwise_plans(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} went quadratic"
-    assert "BroadcastNestedLoopJoin" not in plan, f"{name} lost its equi-join"
+    if name not in _SCALAR_CROSS_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} lost its equi-join"
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-wise Python"
