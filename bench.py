@@ -1,14 +1,16 @@
-"""Benchmark harness: runs the headline query set at
+"""Benchmark harness: runs EVERY registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
-Headline set = one representative per operator family; the quadratic
-exactness kernels (all-pairs Jaccard / all-pairs cosine) are exercised
-via their scale paths (MinHash-LSH, LSH-ANN) — at 100 TB you never run
-the O(n²) kernel over the whole corpus, so the bench doesn't either.
+Full-registry coverage (round-2 change): the set is derived from the
+registry, so a newly registered query is automatically benched and
+every query has a per-round regression baseline. The quadratic
+exactness kernels (q20 all-pairs Jaccard, q23 all-pairs cosine) are
+included as measured baselines — at 100 TB their role is verification
+on LSH candidates only (q49), never a full-corpus pass.
 """
 
 from __future__ import annotations
@@ -23,42 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
 from real_time_data_pipeline_for_restaurant_analytics_spark.session import get_spark
 
-HEADLINE = [
-    "q01_pricing_summary",
-    "q02_top_customers",
-    "q03_revenue_by_region",
-    "q04_segment_order_rates",
-    "q05_yoy_revenue_growth",
-    "q06_top_spender_per_nation",
-    "q07_hourly_event_histogram",
-    "q08_distinct_user_event",
-    "q09_hash_surrogate_keys",
-    "q12_props_extract_fill",
-    "q13_datetime_parts",
-    "q16_user_retention",
-    "q17_scd1_latest_snapshot",
-    "q18_scd2_version_history",
-    "q19_dedup_exact",
-    "q21_minhash_lsh_candidates",
-    "q22_simhash_fingerprints",
-    "q24_ann_bruteforce_topk",
-    "q25_ann_lsh_topk",
-    "q26_lang_id",
-    "q27_quality_score",
-    "q28_token_stats",
-    "q29_fingerprints",
-    "q30_multimodal_metadata",
-    "q31_sessionize_batch",
-    "q32_salted_heavy_hitters",
-    "q33_salted_join_segments",
-    "q35_approx_user_stats",
-    "q36_dedup_clusters",
-    "q37_multimodal_thumbnails",
-    "q38_asof_join",
-    "q39_range_join_binned",
-    "q40_rollup_revenue",
-    "q41_pivot_event_values",
-]
+HEADLINE = sorted(all_queries())
 
 
 def main() -> None:

@@ -180,22 +180,33 @@ def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
 
 
-def lsh_candidates(bands: DataFrame, id_col: str) -> DataFrame:
+DEFAULT_MAX_BUCKET = 1000
+
+
+def lsh_candidates(
+    bands: DataFrame, id_col: str, max_bucket_size: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
     """Band buckets → candidate pairs + #shared bands.
 
     groupBy bucket + in-bucket pair expansion (sorted id list →
     upper-triangle pairs), NOT a self-join: the signature/band kernel
     upstream is evaluated once instead of once per join side, and
     pairs only materialize inside colliding buckets — linear-ish in
-    corpus size + collisions. At 100 TB add a bucket-size cap (a
-    pathological hot bucket means the band is useless for
-    discrimination anyway) to bound the quadratic in-bucket term;
-    bucket rows are (id-list) only — payloads never travel.
+    corpus size + collisions. Bucket rows are (id-list) only —
+    payloads never travel.
+
+    ``max_bucket_size`` bounds the quadratic in-bucket term: a bucket
+    hotter than the cap means that band carries no discriminating
+    information (every doc hashing there would pair with every other),
+    so its pairs are dropped rather than expanded — at 100 TB one
+    degenerate band bucket would otherwise emit size² pairs. Use
+    :func:`lsh_bucket_stats` on the same bands frame to observe how
+    many buckets/docs the cap drops before committing to a value.
     """
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
     pairs = F.expr(
         "flatten(transform(ids, (x, i) ->"
@@ -205,6 +216,26 @@ def lsh_candidates(bands: DataFrame, id_col: str) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def lsh_bucket_stats(
+    bands: DataFrame, id_col: str, max_bucket_size: int = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """One-row observability frame for the bucket-size cap: total
+    colliding buckets, buckets over the cap, and ids living in
+    over-cap buckets (the pairs the cap silently drops). Run it as a
+    side job when tuning ``max_bucket_size`` — it shares the bands
+    frame, so with the bands cached it costs one small aggregation."""
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).filter(F.col("sz") >= 2)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("sz") > max_bucket_size, 1).otherwise(0)).alias("n_over_cap"),
+        F.sum(F.when(F.col("sz") > max_bucket_size, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("ids_in_over_cap"),
     )
 
 

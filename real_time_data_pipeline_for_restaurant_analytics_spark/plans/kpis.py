@@ -129,13 +129,18 @@ def top_performing_city(cv: ConsumptionViews) -> DataFrame:
 
 
 def payment_method_distribution(cv: ConsumptionViews) -> DataFrame:
-    """KPI 14."""
+    """KPI 14. The denominator is a window sum over the grouped counts
+    (tiny post-agg frame), not a separate `.count()` action — one job,
+    one shuffle on the fact."""
     orders = cv.current("orders")
-    total = orders.count()
     return (
         orders.groupBy("payment_method")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select("payment_method", "n_orders", _ppm(F.col("n_orders"), F.lit(total)).alias("share_ppm"))
+        .select(
+            "payment_method",
+            "n_orders",
+            _ppm(F.col("n_orders"), F.sum("n_orders").over(Window.partitionBy())).alias("share_ppm"),
+        )
         .orderBy("payment_method")
     )
 
@@ -227,13 +232,18 @@ def revenue_per_order_item(cv: ConsumptionViews) -> DataFrame:
 
 
 def delivery_status_rate(cv: ConsumptionViews) -> DataFrame:
-    """KPIs 11 + 26: status distribution incl. returned count."""
+    """KPIs 11 + 26: status distribution incl. returned count; the
+    total comes from a window sum over the grouped counts (no separate
+    count() action)."""
     d = cv.current("delivery")
-    total = d.count()
     return (
         d.groupBy("delivery_status")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select("delivery_status", "n", _ppm(F.col("n"), F.lit(total)).alias("share_ppm"))
+        .select(
+            "delivery_status",
+            "n",
+            _ppm(F.col("n"), F.sum("n").over(Window.partitionBy())).alias("share_ppm"),
+        )
         .orderBy("delivery_status")
     )
 

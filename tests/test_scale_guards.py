@@ -1,0 +1,138 @@
+"""Guards for the round-2 scale fixes: LSH hot-bucket cap, sharded
+token-packing window, as-of NULL-value semantics, as-of under key skew.
+
+These pin behaviors the oracles can't see — a degenerate band bucket
+only exists in adversarial data, and the single-reducer-vs-sharded
+window distinction is invisible in results (identical bins, different
+physical plan).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.asof import asof_join
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidates,
+)
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+    pack_into_token_bins,
+)
+from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
+
+from .conftest import SF_SMOKE
+
+
+def _bands(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, band_idx int, band_hash string")
+
+
+def test_lsh_hot_bucket_cap_drops_degenerate_bucket(spark):
+    # 30 docs colliding in one band bucket (a band with no
+    # discriminating power) + one normal 2-doc bucket.
+    hot = [(i, 0, "HOT") for i in range(30)]
+    ok = [(100, 1, "OK"), (101, 1, "OK")]
+    bands = _bands(spark, hot + ok)
+
+    capped = lsh_candidates(bands, "doc_id", max_bucket_size=10)
+    got = {(r.id1, r.id2) for r in capped.collect()}
+    assert got == {(100, 101)}, "hot-bucket pairs must be dropped, normal pair kept"
+
+    # Uncapped still expands everything (the exactness kernel).
+    uncapped = lsh_candidates(bands, "doc_id", max_bucket_size=10_000)
+    assert uncapped.count() == 30 * 29 // 2 + 1
+
+    stats = lsh_bucket_stats(bands, "doc_id", max_bucket_size=10).collect()[0]
+    assert stats.n_buckets == 2
+    assert stats.n_over_cap == 1
+    assert stats.ids_in_over_cap == 30
+
+
+def test_pack_window_is_partitioned_no_single_reducer(spark):
+    """The q44 cumsum must run in a shard-partitioned window: a global
+    Window.orderBy funnels the whole corpus through one task. The plan
+    therefore must not round-trip through an Exchange SinglePartition
+    anywhere (the final orderBy is range-partitioned, not single)."""
+    df = all_queries()["q44_token_packing"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "token-packing cumsum fell back to one reducer"
+    assert "hashpartitioning" in plan, "window exchange should hash-partition by shard"
+
+
+def test_pack_shard_local_bins(spark):
+    # shard_size=3 → ids 0-2 are shard 0, ids 3-5 shard 1. Shard 0's
+    # running sum (9,18) crosses bin_tokens=10 at id 2; shard 1 must
+    # restart at 0 regardless of shard 0's totals.
+    rows = [(i, 9) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_into_token_bins(df, "doc_id", "n_tokens", bin_tokens=10, shard_size=3)
+    got = {r.doc_id: r.bin_id for r in out.collect()}
+    assert got == {
+        0: 0,  # cum_before 0
+        1: 0,  # cum_before 9
+        2: 1,  # cum_before 18 → local bin 1
+        3: 1_000_000,  # new shard: cum_before resets to 0
+        4: 1_000_000,
+        5: 1_000_001,
+    }
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 5, 1, h, m)
+
+
+def test_asof_null_right_value_preserved(spark):
+    """A matched right row whose value is legitimately NULL must yield
+    asof_value NULL with THAT row's timestamp — not silently inherit an
+    earlier non-null value (the pre-struct bug class)."""
+    left = spark.createDataFrame([("A", _ts(10))], "k string, lts timestamp")
+    right = spark.createDataFrame(
+        [("A", _ts(9), 1.0), ("A", _ts(9, 30), None)],
+        "k string, rts timestamp, value double",
+    )
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts", value_cols=["value"]).collect()
+    assert len(out) == 1
+    assert out[0].asof_value is None
+    assert out[0].asof_ts == _ts(9, 30)
+
+
+def test_asof_join_under_key_skew(spark):
+    """One dominant key (90% of rows) — the union+window formulation
+    partitions by key, so a hot key lands in one task but semantics
+    must not change. Verified against a brute-force pandas as-of."""
+    import pandas as pd
+
+    left_rows = [("HOT", _ts(8 + (i % 10), i % 60)) for i in range(900)] + [
+        (f"k{i}", _ts(12, i % 60)) for i in range(100)
+    ]
+    right_rows = [("HOT", _ts(7 + (i % 12), (i * 7) % 60), float(i)) for i in range(200)] + [
+        (f"k{i}", _ts(11, i % 60), float(1000 + i)) for i in range(0, 100, 2)
+    ]
+    left = spark.createDataFrame(left_rows, "k string, lts timestamp")
+    right = (
+        spark.createDataFrame(right_rows, "k string, rts timestamp, value double")
+        .groupBy("k", "rts")
+        .agg(F.max("value").alias("value"))
+    )
+
+    got = {
+        (r.k, r.lts): (r.asof_value, r.asof_ts)
+        for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts", value_cols=["value"]
+        ).collect()
+    }
+
+    rp = right.toPandas()
+    expected = {}
+    for k, lts in left_rows:
+        cand = rp[(rp.k == k) & (rp.rts <= lts)]
+        if len(cand):
+            best = cand.loc[cand.rts.idxmax()]
+            expected[(k, lts)] = (best.value, best.rts.to_pydatetime())
+        else:
+            expected[(k, lts)] = (None, None)
+    assert got == expected
