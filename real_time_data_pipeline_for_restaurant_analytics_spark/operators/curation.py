@@ -1,0 +1,195 @@
+"""Corpus-curation operators a training-data pipeline runs before
+anything touches a tokenizer: benchmark-contamination screening and
+multi-stage quality filtering with per-stage accounting.
+
+Both are pure DataFrame plans (no Python in the hot path):
+
+- contamination: the benchmark set's distinct n-gram shingles are a
+  SMALL relation (benchmarks are thousands of docs, not billions) —
+  broadcast them and the corpus-side check is a map-side hash-join +
+  one aggregation keyed by doc. No shuffle of corpus text, ever.
+- filter funnel: every stage predicate is evaluated in ONE pass as
+  nested conditional sums (a cumulative AND chain), then the single
+  aggregate row is unpivoted to stage rows with `stack`. The naive
+  form — one count() job per stage — scans the corpus S times; this
+  scans it once.
+
+Reference anchor: the reference's closest analog is its DQ gate
+(duplicate-audit HAVING count>1, `order_proc.sql:171-183`); the
+funnel generalizes that one-predicate gate to an ordered pipeline
+with drop accounting per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..catalog import load
+from ..registry import register
+
+SHINGLE_N = 5  # contamination n-gram width: long enough that chance
+# collisions are rare, short enough to survive small edits
+
+
+def _shingle_expr(ws_col: str, n: int) -> str:
+    offs = ", ".join(f"{ws_col}[i-1+{k}]" for k in range(n))
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({ws_col})-{n - 1}, 0)),"
+        f" i -> concat_ws(' ', {offs})))"
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per corpus doc: how many of its distinct word n-grams also
+    appear anywhere in the benchmark set. Returns only docs with ≥1
+    shared shingle (the sparse hit list).
+
+    The benchmark shingle set is deduplicated then broadcast — the
+    corpus side is explode → broadcast-hash-join → per-doc count, so
+    corpus rows never shuffle and the join is map-side at any corpus
+    size. ``contam_permille`` = ⌊1000·shared/total⌋ per doc.
+    """
+    def shingled(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws")).select(
+            F.col(id_col), F.explode(F.expr(_shingle_expr("ws", n))).alias("shingle")
+        )
+
+    bench_sh = shingled(benchmark).select("shingle").distinct()
+    corpus_sh = shingled(corpus)
+    sizes = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        corpus_sh.join(broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, id_col)
+        .select(
+            id_col,
+            "n_shared",
+            "n_shingles",
+            F.floor(F.lit(1000) * F.col("n_shared") / F.col("n_shingles"))
+            .cast("bigint")
+            .alias("contam_permille"),
+        )
+    )
+
+
+_BENCH_MAX_ID = 50  # self-contained benchmark set: doc_id < 50
+
+_CONTAM_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-{SHINGLE_N - 1}, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+  FROM words
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_MAX_ID}),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= {_BENCH_MAX_ID}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+)
+SELECT s.doc_id, s.n_shared, z.n_shingles,
+       CAST(1000 * s.n_shared AS BIGINT) // z.n_shingles AS contam_permille
+FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "q53_benchmark_contamination",
+    oracle=_CONTAM_ORACLE,
+    doc="Benchmark-contamination screen: corpus docs sharing 5-gram "
+    "shingles with the benchmark set (docs 0-49), via broadcast of the "
+    "deduped benchmark shingles — corpus text never shuffles.",
+)
+def q53_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < _BENCH_MAX_ID)
+    corpus = d.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    return contamination_check(corpus, bench, "doc_id", "text").orderBy("doc_id")
+
+
+def quality_funnel(
+    df: DataFrame, stages: list[tuple[str, F.Column]]
+) -> DataFrame:
+    """Ordered filter funnel with per-stage accounting in ONE pass.
+
+    ``stages`` = [(name, predicate), ...] applied cumulatively (a doc
+    must pass every earlier stage to be counted at a later one). The
+    plan is a single aggregation producing one row of conditional
+    sums, unpivoted with `stack` — corpus scanned once regardless of
+    stage count, vs. S full scans for the naive per-stage count().
+    """
+    cum = F.lit(True)
+    cols = [F.count(F.lit(1)).alias("c0")]
+    for i, (_, pred) in enumerate(stages, start=1):
+        cum = cum & pred
+        cols.append(F.sum(cum.cast("long")).alias(f"c{i}"))
+    one = df.agg(*cols)
+    stack_args = ", ".join(
+        f"'{i}_{name}', c{i - 1}, c{i}"
+        for i, (name, _) in enumerate(stages, start=1)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) AS (stage, docs_in, docs_out)"
+        )
+    ).select(
+        "stage",
+        "docs_in",
+        "docs_out",
+        (F.col("docs_in") - F.col("docs_out")).alias("dropped"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH f AS (
+  SELECT n_chars >= 150 AS f1,
+         n_chars >= 150 AND len(string_split(text, ' ')) >= 40 AS f2,
+         n_chars >= 150 AND len(string_split(text, ' ')) >= 40
+           AND lang IN ('en', 'es', 'fr') AS f3
+  FROM documents
+), agg AS (
+  SELECT COUNT(*) AS c0,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+  FROM f
+)
+SELECT '1_min_chars' AS stage, c0 AS docs_in, c1 AS docs_out, c0 - c1 AS dropped FROM agg
+UNION ALL
+SELECT '2_min_tokens', c1, c2, c1 - c2 FROM agg
+UNION ALL
+SELECT '3_lang', c2, c3, c2 - c3 FROM agg
+ORDER BY stage
+"""
+
+
+@register(
+    "q56_quality_filter_funnel",
+    oracle=_FUNNEL_ORACLE,
+    doc="Quality-filter funnel (min chars → min tokens → language "
+    "allowlist) with per-stage in/out/drop counts computed in a single "
+    "corpus scan (cumulative conditional sums + stack unpivot).",
+)
+def q56_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    stages = [
+        ("min_chars", F.col("n_chars") >= 150),
+        ("min_tokens", F.size(F.split("text", " ")) >= 40),
+        ("lang", F.col("lang").isin("en", "es", "fr")),
+    ]
+    return quality_funnel(d, stages).orderBy("stage")

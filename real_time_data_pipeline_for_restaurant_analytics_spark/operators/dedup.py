@@ -456,6 +456,118 @@ def q22_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(d, "doc_id", "text").orderBy("doc_id")
 
 
+def simhash_hamming_pairs(
+    fp: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, via bit-banding on
+    DISTINCT fingerprint VALUES.
+
+    A 16-bit fingerprint space holds ≤ 2^16 distinct values no matter
+    how many documents exist, so the expensive steps — banding, pair
+    candidacy, hamming verification — all run at the *value* level
+    (bounded work), and only verified value pairs expand to id pairs
+    (output-optimal: id-level work is proportional to the result).
+
+    Banding: the fingerprint splits into ``n_bands`` nibbles; by
+    pigeonhole, two values within hamming distance ``n_bands - 1``
+    agree on ≥1 nibble, so bucketing on (band_idx, nibble) has PERFECT
+    recall for ``max_hamming <= n_bands - 1``. Candidates are verified
+    with ``bit_count(xor)`` BEFORE any id expansion. Identical
+    fingerprints (hamming 0) expand directly from their id group.
+    """
+    width = 16 // n_bands
+    vals = fp.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    bands = vals.select(
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string")
+                        .alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("simhash", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    vpairs = (
+        lsh_candidates(bands, "simhash", max_bucket_size=1 << 16)
+        .select(F.col("id1").alias("_s1"), F.col("id2").alias("_s2"))
+        .withColumn("hamming", F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    v1 = vals.select(F.col("simhash").alias("_s1"), F.col("ids").alias("_ids1"))
+    v2 = vals.select(F.col("simhash").alias("_s2"), F.col("ids").alias("_ids2"))
+    cross = (
+        vpairs.join(v1, "_s1")
+        .join(v2, "_s2")
+        .select(F.explode("_ids1").alias("_a"), F.col("_ids2"), "hamming")
+        .select(F.col("_a"), F.explode("_ids2").alias("_b"), "hamming")
+        .select(
+            F.least("_a", "_b").alias("id1"),
+            F.greatest("_a", "_b").alias("id2"),
+            "hamming",
+        )
+    )
+    intra_pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+    )
+    intra = (
+        vals.filter(F.size("ids") >= 2)
+        .select(F.explode(intra_pairs).alias("p"))
+        .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"), F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    # same fingerprint CTE as q22's oracle; the oracle verifies ALL
+    # pairs by exact hamming — banding's perfect recall for d<=3 makes
+    # the two formulations equivalent
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) AS h FROM toks
+), sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS INT) AS simhash FROM sums
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+@register(
+    "q54_simhash_hamming_pairs",
+    oracle=_simhash_pairs_oracle(),
+    doc="SimHash near-dup pairs (hamming <= 3) via 4x4-bit banding: "
+    "perfect recall by pigeonhole, candidates verified with "
+    "bit_count(xor) — the linear-scale hamming search shape.",
+)
+def q54_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = simhash16(d, "doc_id", "text")
+    return simhash_hamming_pairs(fp, "doc_id").orderBy("id1", "id2")
+
+
 @register(
     "q36_dedup_clusters",
     oracle=None,  # iterative fixpoint — not single-statement SQL;

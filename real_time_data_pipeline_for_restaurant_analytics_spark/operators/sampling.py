@@ -205,6 +205,55 @@ def q44_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic global shuffle for training: shard assignment +
+    within-shard position, both pure functions of the id.
+
+    ``shard_id`` = md5-derived hash mod n_shards (uniform, rerun- and
+    engine-stable); ``pos`` = rank within the shard ordered by the md5
+    draw — together they define a reproducible random permutation of
+    the corpus WITHOUT a global sort: the only window is partitioned
+    by shard, so each task orders corpus/n_shards rows. At 100 TB pick
+    n_shards ~ O(10k) so a shard fits one task; a global
+    ``ROW_NUMBER() OVER (ORDER BY hash)`` — the naive permutation —
+    would funnel everything through one reducer.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    w = Window.partitionBy("shard_id").orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    return (
+        df.withColumn("shard_id", (h % n_shards).cast("bigint"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
+@register(
+    "q55_corpus_shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard_id,
+         md5(CAST(doc_id AS VARCHAR)) AS draw
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY draw, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY shard_id, pos
+""",
+    doc="Deterministic corpus shuffle: md5-hash shard assignment + "
+    "within-shard position — a reproducible random permutation with "
+    "no global sort (window partitioned by shard).",
+)
+def q55_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        corpus_shuffle_shards(d, "doc_id", n_shards=16)
+        .select("doc_id", "shard_id", "pos")
+        .orderBy("shard_id", "pos")
+    )
+
+
 def resample_by_weight(
     df: DataFrame, id_col: str, stratum_col: str, weights: dict[str, float]
 ) -> DataFrame:

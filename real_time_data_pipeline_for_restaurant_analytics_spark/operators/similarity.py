@@ -343,3 +343,68 @@ def q34_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return lsh_bucket_ann(emb, k=5).orderBy("query_id", "rank")
+
+
+def quantize_int8_stats(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector int8 quantization audit: symmetric scale
+    (max_abs/127), round-half-up quantize, reconstruction error.
+
+    Entirely map-side JVM higher-order functions — the quantize +
+    error fold never leaves the row, so this costs one corpus scan and
+    zero shuffles at any scale (the 100 TB pre-step before shipping
+    int8 embeddings to an ANN index). Error stats are emitted in
+    micro-units BIGINT: both engines run the identical sequential
+    fold, so floor(x*1e6+0.5) is hash-stable.
+
+    Quantization is floor(v/scale + 0.5) — explicit round-half-up,
+    because engines disagree on round()'s half-even/half-up choice.
+    """
+    max_abs = F.expr(
+        f"aggregate(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+    )
+    base = spread(emb, id_col).select(
+        F.col(id_col), F.col(vec_col).alias("v"), max_abs.alias("max_abs")
+    )
+    err_sum = F.expr(
+        "aggregate(transform(v, x -> abs(floor(CAST(x AS DOUBLE) / (max_abs / 127.0) + 0.5)"
+        " * (max_abs / 127.0) - CAST(x AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.floor(F.col("max_abs") * 1000000 + F.lit(0.5)).cast("bigint").alias("max_abs_micro"),
+        F.when(F.col("max_abs") == 0, F.lit(0))
+        .otherwise(F.floor(err_sum / F.size("v") * 1000000 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("mean_err_micro"),
+    )
+
+
+@register(
+    "q57_embedding_quantize_int8",
+    oracle="""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS n_dims,
+       CAST(FLOOR(max_abs * 1000000 + 0.5) AS BIGINT) AS max_abs_micro,
+       CASE WHEN max_abs = 0 THEN 0
+            ELSE CAST(FLOOR(list_sum(list_transform(v,
+                 x -> abs(floor(x / (max_abs / 127.0) + 0.5) * (max_abs / 127.0) - x)))
+                 / len(v) * 1000000 + 0.5) AS BIGINT)
+       END AS mean_err_micro
+FROM base ORDER BY vec_id
+""",
+    doc="Int8 symmetric-quantization audit per embedding: max-abs "
+    "scale and mean reconstruction error (micro-units) — map-side "
+    "fold, zero shuffles.",
+)
+def q57_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8_stats(emb).orderBy("vec_id")
