@@ -35,6 +35,43 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def canon_frame(df):
+    """Sort columns by name, rows by the repr of every cell (pandas)."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        key = df.apply(lambda row: tuple(repr(v) for v in row), axis=1)
+        df = df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
+    return df
+
+
+def compare_pandas_path(spark, name: str, build, oracle: str, sf_dir: str) -> list[str]:
+    """The driver-hash contract, as observed in round 1: the driver
+    compares Spark-via-``toPandas()`` against DuckDB-via-``.df()``, so
+    any dtype/repr divergence after those conversions (DuckDB coerces
+    every DECIMAL and bare SUM() HUGEINT to float64; Spark collects
+    Decimal/int64) breaks the hash even when values are identical.
+    This check fails on exactly that class: a query passes only when,
+    post-pandas, every column dtype and every cell repr agree."""
+    probs: list[str] = []
+    s = canon_frame(build(spark, sf_dir).toPandas())
+    d = canon_frame(duck_connection(sf_dir).execute(oracle).df())
+    if list(s.columns) != list(d.columns):
+        return [f"{name}: columns spark={list(s.columns)} duck={list(d.columns)}"]
+    if len(s) != len(d):
+        return [f"{name}: rows spark={len(s)} duck={len(d)}"]
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            probs.append(f"{name}: dtype[{c}] spark={s[c].dtype} duck={d[c].dtype}")
+    for c in s.columns:
+        bad = [(a, b) for a, b in zip(s[c].tolist(), d[c].tolist()) if repr(a) != repr(b)]
+        if bad:
+            probs.append(
+                f"{name}: {len(bad)}/{len(s)} cells differ in {c}; "
+                f"first spark={bad[0][0]!r} duck={bad[0][1]!r}"
+            )
+    return probs
+
+
 def compare(spark, name: str, build, oracle: str, sf_dir: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []

@@ -11,7 +11,7 @@ import pytest
 from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
 
 from .conftest import SF_SMOKE
-from .oracle_check import compare
+from .oracle_check import compare, compare_pandas_path
 
 QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle)
@@ -22,6 +22,15 @@ ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
 def test_oracle_parity(spark, name):
     q = QUERIES[name]
     problems = compare(spark, name, q.build, q.oracle, SF_SMOKE)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_hash_contract_pandas_path(spark, name):
+    """Round-1 regression class: values identical but the driver hash
+    diverges after pandas conversion (DECIMAL/HUGEINT → float64)."""
+    q = QUERIES[name]
+    problems = compare_pandas_path(spark, name, q.build, q.oracle, SF_SMOKE)
     assert not problems, "\n".join(problems)
 
 

@@ -185,3 +185,17 @@ def test_csv_on_error_abort(spark, tmp_path):
     assert raised, "malformed row should abort the load (FAILFAST)"
     ok = read_stage_csv(spark, str(p), ["id", "v"], audit=False, on_error="continue")
     assert ok.count() == 2
+
+
+def test_copy_history_introspection(loaded):
+    """S6 / the reference's information_schema.copy_history check
+    (`06 Menu Entity.sql:78-79`): after the two-day run each entity's
+    ledger exposes one history row per loaded file with the
+    fingerprint the idempotence gate keys on."""
+    wh, *_ = loaded
+    hist = wh.ledger("menu").history()
+    assert len(hist) == 2  # day-01 + day-02 loads; the rerun added none
+    for h in hist:
+        assert set(h) == {"path", "size", "mtime"}
+        assert h["path"].endswith("menu_items.csv")
+        assert h["size"] > 0
