@@ -339,3 +339,89 @@ def q47_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def mixture_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    token_count_col: str,
+    target_ppm: dict[str, int],
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Token-budget allocation for dataset mixing: given target corpus
+    shares (ppm per stratum), compute each stratum's current share and
+    the deterministic sampling rate that hits the target.
+
+    ``sample_rate_ppm`` = min(1e6, target_tokens/stratum_tokens) —
+    strata over their target get downsampled, strata at/under keep
+    everything (rate 1e6; upsampling is resample_by_weight's job).
+    One aggregation + a window sum over the per-stratum frame (tiny:
+    one row per stratum); the corpus is scanned once. Feed the rates
+    into hash_fraction for a rerun-stable subsample.
+    """
+    per = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col).cast("bigint").alias("n_tokens"),
+    )
+    target = None
+    for name, ppm in target_ppm.items():
+        branch = F.lit(int(ppm))
+        target = (
+            F.when(F.col(stratum_col) == name, branch)
+            if target is None
+            else target.when(F.col(stratum_col) == name, branch)
+        )
+    target = target.otherwise(F.lit(int(default_ppm))) if target is not None else F.lit(int(default_ppm))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        stratum_col,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.floor(F.lit(1000000) * F.col("n_tokens") / total).cast("bigint").alias("share_ppm"),
+        target.cast("bigint").alias("target_ppm"),
+        F.least(
+            F.lit(1000000),
+            F.floor(target * total / F.lit(1000000) * F.lit(1000000) / F.col("n_tokens")),
+        ).cast("bigint").alias("sample_rate_ppm"),
+    )
+
+
+# a deliberately skewed target: halve src0-src3, boost src4, rest equal
+_MIX_TARGETS = {"src0": 25000, "src1": 25000, "src2": 25000, "src3": 25000, "src4": 100000}
+_MIX_DEFAULT = 53333  # (1e6 - 200k) / 15 remaining sources
+
+
+def _mix_target_sql() -> str:
+    whens = " ".join(f"WHEN source = '{s}' THEN {p}" for s, p in _MIX_TARGETS.items())
+    return f"CASE {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@register(
+    "q59_source_mixture_allocation",
+    oracle=f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_tokens,
+       CAST(FLOOR(1000000.0 * n_tokens / total) AS BIGINT) AS share_ppm,
+       CAST({_mix_target_sql()} AS BIGINT) AS target_ppm,
+       least(1000000,
+             CAST(FLOOR(({_mix_target_sql()}) * total / 1000000.0 * 1000000.0 / n_tokens) AS BIGINT)
+       ) AS sample_rate_ppm
+FROM per, tot ORDER BY source
+""",
+    doc="Dataset-mixing allocation: per-source token share vs target "
+    "share (ppm) and the deterministic downsampling rate that hits the "
+    "target — one corpus scan + a window sum over the per-source frame.",
+)
+def q59_source_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    return mixture_allocation(
+        d, "source", "n_toks", _MIX_TARGETS, default_ppm=_MIX_DEFAULT
+    ).orderBy("source")

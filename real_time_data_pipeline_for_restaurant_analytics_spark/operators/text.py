@@ -316,3 +316,156 @@ ORDER BY doc_id, rank
 def q48_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return tfidf_top_terms(d).orderBy("doc_id", "rank")
+
+
+def repetition_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    and duplicate-3-gram fractions (a doc that keeps repeating itself
+    is low-quality training data even when every other filter passes).
+
+    Entirely map-side — token and shingle dedup happen inside the row
+    via ``array_distinct``, so this is one corpus scan with zero
+    shuffles at any scale. Fractions are integer ppm (exact
+    cross-engine math).
+    """
+    base = with_tokens(df, text_col).select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("distinct_tokens"),
+        F.expr(
+            "greatest(size(toks) - 2, 0)"
+        ).alias("n_3grams"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, greatest(size(toks)-2, 0)),"
+            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
+        ).alias("distinct_3grams"),
+    )
+    def dup_ppm(total: str, distinct: str) -> F.Column:
+        return (
+            F.when(F.col(total) == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.lit(1000000) * (F.col(total) - F.col(distinct)) / F.col(total)
+                )
+            )
+            .cast("bigint")
+        )
+    return base.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("distinct_tokens").cast("bigint").alias("distinct_tokens"),
+        dup_ppm("n_tokens", "distinct_tokens").alias("dup_token_ppm"),
+        F.col("n_3grams").cast("bigint").alias("n_3grams"),
+        F.col("distinct_3grams").cast("bigint").alias("distinct_3grams"),
+        dup_ppm("n_3grams", "distinct_3grams").alias("dup_3gram_ppm"),
+    )
+
+
+@register(
+    "q58_repetition_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         len(list_distinct(ws)) AS distinct_tokens,
+         greatest(len(ws) - 2, 0) AS n_3grams,
+         len(list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS distinct_3grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(distinct_tokens AS BIGINT) AS distinct_tokens,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST(1000000 * (n_tokens - distinct_tokens) AS BIGINT) // n_tokens
+       END AS dup_token_ppm,
+       CAST(n_3grams AS BIGINT) AS n_3grams,
+       CAST(distinct_3grams AS BIGINT) AS distinct_3grams,
+       CASE WHEN n_3grams = 0 THEN 0
+            ELSE CAST(1000000 * (n_3grams - distinct_3grams) AS BIGINT) // n_3grams
+       END AS dup_3gram_ppm
+FROM g ORDER BY doc_id
+""",
+    doc="Repetition quality signals (duplicate-token / duplicate-3-gram "
+    "ppm per doc) — the Gopher-style self-repetition filter, map-side.",
+)
+def q58_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return repetition_score(d).orderBy("doc_id")
+
+
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 32
+
+
+def token_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Overlapping fixed-size token chunking (context-window prep):
+    chunk k covers tokens [k·stride, k·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk clips to the doc.
+
+    n_chunks = max(1, ⌈(n − overlap) / stride⌉) in pure integer math
+    so both engines agree exactly. The chunk explode is the only row
+    multiplier (linear in output size); no shuffle — chunks inherit
+    the document's partition, which is what a downstream tokenizer
+    job wants.
+    """
+    stride = chunk_tokens - overlap
+    n = F.size(F.split(F.col(text_col), " "))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"CAST((size(split({text_col}, ' ')) - {overlap} + {stride} - 1) AS BIGINT) div {stride}"),
+    )
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"), n_chunks.alias("_nc"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("bigint").alias("start_tok"),
+            F.least(
+                F.col("chunk_idx") * stride + chunk_tokens, F.col("n_tokens")
+            ).cast("bigint").alias("end_tok"),
+        )
+        .withColumn("chunk_len", (F.col("end_tok") - F.col("start_tok")).cast("bigint"))
+    )
+
+
+@register(
+    "q60_token_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         unnest(generate_series(0, greatest(1,
+             (n_tokens - {CHUNK_OVERLAP} + {CHUNK_TOKENS - CHUNK_OVERLAP} - 1)
+             // {CHUNK_TOKENS - CHUNK_OVERLAP}) - 1)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS start_tok,
+       CAST(least(chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}, n_tokens) AS BIGINT) AS end_tok,
+       CAST(least(chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}, n_tokens)
+            - chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_len
+FROM c ORDER BY doc_id, chunk_idx
+""",
+    doc=f"Overlapping token chunking ({CHUNK_TOKENS}-token windows, "
+    f"{CHUNK_OVERLAP} overlap) — context-window prep; map-side explode, "
+    "chunks stay in the document's partition.",
+)
+def q60_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return token_chunks(d).orderBy("doc_id", "chunk_idx")
