@@ -136,3 +136,69 @@ def test_asof_join_under_key_skew(spark):
         else:
             expected[(k, lts)] = (None, None)
     assert got == expected
+
+
+def test_token_chunks_cover_every_token_exactly(spark):
+    """Chunk-boundary properties over doc lengths 0..300: chunks tile
+    [0, n) with stride = chunk - overlap, consecutive chunks overlap
+    by exactly `overlap` (until the clipped tail), and every token is
+    covered."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(["w"] * n) if n else "") for n in range(0, 301, 7)],
+        "doc_id long, text string",
+    )
+    out = token_chunks(docs, "doc_id", "text").collect()
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in range(0, 301, 7):
+        # size(split('')) == 1 (one empty token) — n=0 behaves as n=1
+        eff_n = max(n, 1)
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        assert chunks[0].start_tok == 0
+        assert chunks[-1].end_tok == eff_n, f"doc {n}: tail not clipped to doc"
+        for i, c in enumerate(chunks):
+            assert c.start_tok == i * stride
+            assert c.end_tok == min(i * stride + CHUNK_TOKENS, eff_n)
+            assert c.chunk_len == c.end_tok - c.start_tok
+        # full coverage, no gap: next chunk starts inside the previous
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok < a.end_tok
+        # no chunk beyond the one containing the last token
+        if len(chunks) > 1:
+            assert chunks[-1].start_tok < eff_n
+
+
+def test_mixture_allocation_invariants(spark):
+    """Rates are capped at 1e6; over-target strata get a rate that
+    lands within one token of the target share; at/under-target
+    strata keep everything."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+        mixture_allocation,
+    )
+
+    rows = [("big", 10) for _ in range(900)] + [("small", 10) for _ in range(100)]
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)], "id long, src string, toks int"
+    )
+    out = {
+        r.src: r
+        for r in mixture_allocation(
+            df, "src", "toks", {"big": 500000, "small": 500000}
+        ).collect()
+    }
+    assert out["big"].share_ppm == 900000
+    assert out["small"].share_ppm == 100000
+    assert out["small"].sample_rate_ppm == 1000000  # under target: keep all
+    # big must shrink to the 50% target: rate * tokens ≈ half the corpus
+    kept = out["big"].sample_rate_ppm * out["big"].n_tokens / 1e6
+    assert abs(kept - 5000) <= 10
+    for r in out.values():
+        assert 0 <= r.sample_rate_ppm <= 1000000
