@@ -193,3 +193,100 @@ def q56_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lang", F.col("lang").isin("en", "es", "fr")),
     ]
     return quality_funnel(d, stages).orderBy("stage")
+
+
+_MANIFEST_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-{SHINGLE_N - 1}, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS shingle
+  FROM words
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < {_BENCH_MAX_ID}),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM sh c JOIN bench b ON c.shingle = b.shingle
+  WHERE c.doc_id >= {_BENCH_MAX_ID}
+),
+canon AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+  FROM documents GROUP BY md5(text)
+),
+flags AS (
+  SELECT d.doc_id, d.source,
+         d.n_chars >= 150 AND len(string_split(d.text, ' ')) >= 40
+           AND d.lang IN ('en', 'es', 'fr') AS quality_pass,
+         ct.doc_id IS NOT NULL AS contaminated,
+         d.doc_id <> c.canonical_id AS duplicate
+  FROM documents d
+  JOIN canon c ON md5(d.text) = c.h
+  LEFT JOIN contaminated ct ON d.doc_id = ct.doc_id
+  WHERE d.doc_id >= {_BENCH_MAX_ID}
+)
+SELECT doc_id, source, quality_pass, contaminated, duplicate,
+       quality_pass AND NOT contaminated AND NOT duplicate AS kept
+FROM flags ORDER BY doc_id
+"""
+
+
+@register(
+    "q61_clean_corpus_manifest",
+    oracle=_MANIFEST_ORACLE,
+    doc="End-to-end curation manifest: per corpus doc the quality-"
+    "funnel verdict, benchmark-contamination flag, exact-dup flag, and "
+    "the final keep decision — the whole curation flow as ONE "
+    "declarative plan (near-dup removal composes the same way via the "
+    "q49 LSH->Jaccard chain).",
+)
+def q61_clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the curation surface into one keep/drop manifest.
+
+    Plan shape at scale: the quality flags are map-side expressions;
+    contamination is the broadcast shingle join of q53; the exact-dup
+    canonical comes from one shuffle on md5(text) (q19's kernel);
+    everything meets back on doc_id equi-joins. One wide scan of the
+    corpus feeds all three arms (Spark reuses the scan; no arm
+    re-reads the parquet)."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+    bench = d.filter(F.col("doc_id") < _BENCH_MAX_ID)
+    contaminated = (
+        contamination_check(corpus, bench, "doc_id", "text")
+        .select("doc_id")
+        .withColumn("_c", F.lit(True))
+    )
+    canon = (
+        d.select("doc_id", F.md5("text").alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("_canonical_id"))
+    )
+    flags = (
+        corpus.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("_h"),
+            (
+                (F.col("n_chars") >= 150)
+                & (F.size(F.split("text", " ")) >= 40)
+                & F.col("lang").isin("en", "es", "fr")
+            ).alias("quality_pass"),
+        )
+        .join(canon, "_h")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "quality_pass",
+            F.coalesce(F.col("_c"), F.lit(False)).alias("contaminated"),
+            (F.col("doc_id") != F.col("_canonical_id")).alias("duplicate"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        "source",
+        "quality_pass",
+        "contaminated",
+        "duplicate",
+        (F.col("quality_pass") & ~F.col("contaminated") & ~F.col("duplicate")).alias("kept"),
+    ).orderBy("doc_id")

@@ -568,11 +568,69 @@ def q54_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(fp, "doc_id").orderBy("id1", "id2")
 
 
+def _clusters_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS)
+    )
+    return f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM sig
+),
+brows AS ({band_rows}),
+near_e AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM brows a JOIN brows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+canon AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS c, COUNT(*) AS n
+  FROM documents GROUP BY md5(text)
+),
+exact_e AS (
+  SELECT c.c AS id1, d.doc_id AS id2
+  FROM documents d JOIN canon c ON md5(d.text) = c.h
+  WHERE c.n > 1 AND d.doc_id <> c.c
+),
+e0 AS (SELECT id1, id2 FROM exact_e UNION SELECT id1, id2 FROM near_e),
+e AS (SELECT id1 AS a, id2 AS b FROM e0 UNION SELECT id2, id1 FROM e0),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+r AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.b AS id, r.label FROM r JOIN e ON r.id = e.a
+),
+comp AS (SELECT id, MIN(label) AS component FROM r GROUP BY id)
+SELECT component AS canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY component ORDER BY canonical_id
+"""
+
+
 @register(
     "q36_dedup_clusters",
-    oracle=None,  # iterative fixpoint — not single-statement SQL;
-    # exactness vs a driver-side union-find is pinned in
-    # tests/test_dedup_clusters.py
+    # The fixpoint IS SQL-expressible in DuckDB via WITH RECURSIVE:
+    # min-label flooding — r enumerates (node, label) for every label
+    # reachable in the component (UNION dedup terminates it), then
+    # MIN(label) per node is the component canonical. Quadratic in
+    # component size, fine at oracle scale; Spark runs the O(diameter)
+    # iterative version. Exactness vs a driver-side union-find is
+    # additionally pinned in tests/test_dedup_clusters.py.
+    oracle=_clusters_oracle(),
     doc="Near-dup clusters: exact-dup edges ∪ LSH candidate edges → "
     "connected components → canonical doc + cluster size per component.",
 )
