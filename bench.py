@@ -35,19 +35,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # JMH-style warm-up: run every headline query once at smoke scale
-    # so the timed pass measures steady-state compute, not one-time
-    # whole-stage-codegen compilation, Python-worker fork/Arrow init
-    # (mapInPandas), or parquet footer caching. Plans are identical in
-    # shape across scale factors, so the codegen cache carries over.
+    # JMH-style warm-up: run every query once at smoke scale so the
+    # timed pass measures steady-state compute, not one-time
+    # whole-stage-codegen compilation, JVM JIT, or parquet footer
+    # caching (a fully interleaved warm-per-query variant was measured
+    # SLOWER overall: the first timed queries then pay JIT warm-up).
+    # Python-worker queries (mapInPandas) additionally get a re-warm
+    # immediately before their timed run — workers forked during the
+    # up-front loop idle out by the time the timed pass reaches them
+    # (measured as 8x noise on q30 without this).
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    python_kernel: set[str] = set()
     for name in HEADLINE:
-        qs[name].build(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        df = qs[name].build(spark, warm_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "InPandas" in plan or "ArrowEvalPython" in plan:
+            python_kernel.add(name)
+        df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         q = qs[name]
+        if name in python_kernel:
+            q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        # settle the heap before timing: stray young-gen GCs from the
+        # previous query otherwise land inside this query's window
+        # (sub-second queries jump 3-4x run-to-run without this)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = q.build(spark, sf_dir)
         # noop sink: forces full evaluation of every output column

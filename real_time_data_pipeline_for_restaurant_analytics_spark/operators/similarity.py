@@ -408,3 +408,174 @@ FROM base ORDER BY vec_id
 def q57_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return quantize_int8_stats(emb).orderBy("vec_id")
+
+
+_N_HYPERPLANES = 8
+_DIM = 64
+
+
+def _hyperplane_weights() -> list[list[int]]:
+    """Deterministic integer hyperplane weights from md5 — computed
+    once in Python and inlined as literals into BOTH the Spark plan
+    and the DuckDB oracle, so the sketch is identical by construction
+    (and costs no per-row hashing)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{h}|{k}".encode()).hexdigest()[:4], 16) - 32768
+            for k in range(_DIM)
+        ]
+        for h in range(_N_HYPERPLANES)
+    ]
+
+
+def _quantized(vec_col: str) -> Column:
+    """Int8 symmetric quantization as an integer array (same math as
+    quantize_int8_stats): q_i = floor(v_i / (max_abs/127) + 0.5).
+    Integer output ⇒ every downstream sign/bucket decision is exact —
+    the float-sign fragility that keeps q25 rows-only disappears."""
+    return F.expr(
+        f"CASE WHEN aggregate(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v)) = 0"
+        f" THEN transform({vec_col}, x -> CAST(0 AS BIGINT))"
+        f" ELSE transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) /"
+        f" (aggregate(transform({vec_col}, x2 -> abs(CAST(x2 AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v)) / 127.0) + 0.5) AS BIGINT)) END"
+    )
+
+
+def int8_lsh_bucket(qvec_col: str = "qv") -> Column:
+    """Integer hyperplane sketch: bit h = [Σ_k qv[k]·w[h][k] ≥ 0];
+    bucket = the 8-bit integer. Pure integer fold — engine-exact."""
+    ws = _hyperplane_weights()
+    bits = []
+    for h, w in enumerate(ws):
+        warr = F.array(*[F.lit(x).cast("bigint") for x in w])
+        dot = F.aggregate(
+            F.zip_with(F.col(qvec_col), warr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_int8_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """ANN with a DETERMINISTIC bucket stage: int8-quantize, integer
+    hyperplane sketch → 256 buckets, candidates = same-bucket pairs,
+    exact double-cosine re-rank (the q24-proven fold).
+
+    Unlike the float-sign LSH (q25, rows-only), every bucket decision
+    here is integer arithmetic, so DuckDB reproduces membership
+    bit-for-bit and the whole ANN path is hash-checkable. Scale shape
+    is unchanged: sketch is map-side, candidates come from a bucket
+    equi-join (volume = corpus/256 per query on average)."""
+    base = spread(emb, id_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
+        _quantized(vec_col).alias("qv"),
+    ).select(
+        id_col, "v", "nrm", int8_lsh_bucket("qv").alias("bucket")
+    )
+    pred = query_filter if query_filter is not None else F.col(id_col) < 10
+    q = base.filter(pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv_"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv_"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qv_", "cv_") / (F.col("qn") * F.col("cn")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("cos_r") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
+    )
+
+
+def _int8_lsh_oracle() -> str:
+    ws = _hyperplane_weights()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}),"
+        f" k -> qv[k] * ([{', '.join(str(x) for x in w)}])[k])) >= 0"
+        f" THEN {1 << h} ELSE 0 END)"
+        for h, w in enumerate(ws)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, v, nrm,
+         CASE WHEN max_abs = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT))
+         END AS qv
+  FROM base
+), bucketed AS (
+  SELECT vec_id, v, nrm, {bucket_terms} AS bucket FROM quant
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_r
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS rank,
+         CAST(FLOOR(cos_r * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q63_ann_int8_lsh_topk",
+    oracle=_int8_lsh_oracle(),
+    doc="Deterministic quantized-LSH ANN: int8 vectors + integer "
+    "hyperplane sketch (256 buckets) + exact cosine re-rank — the ANN "
+    "scale shape with a fully hash-checkable bucket stage (integer "
+    "signs, no float membership sensitivity).",
+)
+def q63_ann_int8_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_int8_lsh_topk(emb, k=5).orderBy("query_id", "rank")

@@ -621,3 +621,96 @@ def q16_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_key")
     )
+
+
+@register(
+    "q62_event_funnel",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t_view
+  FROM events
+), w2 AS (
+  SELECT user_id, ts, event_type, t_view,
+         MIN(CASE WHEN event_type = 'click' AND ts >= t_view THEN ts END)
+             OVER (PARTITION BY user_id) AS t_click
+  FROM w1
+), w3 AS (
+  SELECT user_id, t_view, t_click,
+         MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click THEN ts END)
+             OVER (PARTITION BY user_id) AS t_purchase
+  FROM w2
+), u AS (
+  SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+         MIN(t_purchase) AS t_purchase
+  FROM w3 GROUP BY user_id
+), agg AS (
+  SELECT CAST(COUNT(t_view) AS BIGINT) AS n1,
+         CAST(COUNT(t_click) AS BIGINT) AS n2,
+         CAST(COUNT(t_purchase) AS BIGINT) AS n3
+  FROM u
+)
+SELECT '1_view' AS stage, n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_from_prev_ppm FROM agg
+UNION ALL
+SELECT '2_click', n2, CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT) FROM agg
+UNION ALL
+SELECT '3_purchase', n3, CAST(FLOOR(1000000.0 * n3 / n2) AS BIGINT) FROM agg
+ORDER BY stage
+""",
+    doc="Ordered conversion funnel view→click→purchase: each stage's "
+    "timestamp must be at-or-after the previous stage's (per user), "
+    "computed with three same-partition window passes — ONE shuffle on "
+    "user_id total, then a scalar aggregate.",
+)
+def q62_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel semantics: t_view = user's first view; t_click = first
+    click at-or-after t_view; t_purchase = first purchase at-or-after
+    t_click. The three windows share one partitioning (user_id), so
+    Catalyst plans a single exchange feeding three Window nodes — the
+    per-event filters never leave the partition."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    agg = u.agg(
+        F.count("t_view").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(3,"
+                " '1_view', n1, CAST(1000000 AS BIGINT),"
+                " '2_click', n2, CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT),"
+                " '3_purchase', n3, CAST(FLOOR(1000000.0 * n3 / n2) AS BIGINT))"
+                " AS (stage, n_users, conv_from_prev_ppm)"
+            )
+        )
+        .orderBy("stage")
+    )
