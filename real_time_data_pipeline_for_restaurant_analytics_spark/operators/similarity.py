@@ -430,18 +430,26 @@ def _hyperplane_weights() -> list[list[int]]:
     ]
 
 
-def _quantized(vec_col: str) -> Column:
+def _max_abs(vec_col: str) -> Column:
+    """Max |element| of a vector column (exact, order-insensitive)."""
+    return F.expr(
+        f"aggregate(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+    )
+
+
+def _quantized(vec_col: str, max_abs_col: str) -> Column:
     """Int8 symmetric quantization as an integer array (same math as
     quantize_int8_stats): q_i = floor(v_i / (max_abs/127) + 0.5).
     Integer output ⇒ every downstream sign/bucket decision is exact —
-    the float-sign fragility that keeps q25 rows-only disappears."""
+    the float-sign fragility that keeps q25 rows-only disappears.
+    ``max_abs_col`` must be a precomputed column: referencing the fold
+    inside the transform lambda would re-run it per element."""
     return F.expr(
-        f"CASE WHEN aggregate(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v)) = 0"
+        f"CASE WHEN {max_abs_col} = 0"
         f" THEN transform({vec_col}, x -> CAST(0 AS BIGINT))"
         f" ELSE transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) /"
-        f" (aggregate(transform({vec_col}, x2 -> abs(CAST(x2 AS DOUBLE))),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v)) / 127.0) + 0.5) AS BIGINT)) END"
+        f" ({max_abs_col} / 127.0) + 0.5) AS BIGINT)) END"
     )
 
 
@@ -480,13 +488,16 @@ def ann_int8_lsh_topk(
     bit-for-bit and the whole ANN path is hash-checkable. Scale shape
     is unchanged: sketch is map-side, candidates come from a bucket
     equi-join (volume = corpus/256 per query on average)."""
-    base = spread(emb, id_col).select(
-        F.col(id_col),
-        F.col(vec_col).alias("v"),
-        _norm(vec_col).alias("nrm"),
-        _quantized(vec_col).alias("qv"),
-    ).select(
-        id_col, "v", "nrm", int8_lsh_bucket("qv").alias("bucket")
+    base = (
+        spread(emb, id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            _norm(vec_col).alias("nrm"),
+            _max_abs(vec_col).alias("_ma"),
+        )
+        .select(id_col, "v", "nrm", _quantized("v", "_ma").alias("qv"))
+        .select(id_col, "v", "nrm", int8_lsh_bucket("qv").alias("bucket"))
     )
     pred = query_filter if query_filter is not None else F.col(id_col) < 10
     q = base.filter(pred).select(
