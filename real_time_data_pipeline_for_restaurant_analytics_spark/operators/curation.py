@@ -290,3 +290,148 @@ def q61_clean_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duplicate",
         (F.col("quality_pass") & ~F.col("contaminated") & ~F.col("duplicate")).alias("kept"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing (PII-redaction kernel)
+# ---------------------------------------------------------------------------
+
+# Default PII patterns for production corpora. The regexes restrict
+# themselves to syntax Java regex (Spark) and RE2 (DuckDB, and most
+# scrubbing services) interpret identically: no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9]{2,3}[- ][0-9]{3,5}[- ][0-9]{4,6}", "[PHONE]"),
+    ("id_number", r"\b[0-9]{6,12}\b", "[ID]"),
+]
+
+
+def scrub_patterns(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: list[tuple[str, str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """PII/pattern scrubbing: per doc, count hits of each named pattern
+    (against the ORIGINAL text, so counts are order-independent) and
+    emit the text with all patterns replaced, applied in list order.
+
+    Entirely map-side JVM regex — one corpus scan, zero shuffles at
+    any scale; this is the redaction pass a training pipeline runs
+    right before tokenization. Returns the scrubbed text plus its md5
+    (the compact equality witness) and per-pattern hit counts.
+    """
+    scrubbed = F.col(text_col)
+    for _, rx, repl in patterns:
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(rx)).cast("bigint").alias(f"n_{name}")
+            for name, rx, _ in patterns
+        ],
+        F.length(text_col).cast("bigint").alias("orig_len"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# The synthetic corpus carries no emails/phones (PII_PATTERNS is
+# exercised on crafted rows in tests/test_curation.py), so the
+# registered query scrubs a dictionary pattern class that does occur —
+# the same kernel, real replacements, oracle-checkable end to end.
+_SCRUB_QUERY_PATTERNS: list[tuple[str, str, str]] = [
+    ("entity", r"\bcustomer\b", "[ENTITY]"),
+    ("term", r"\b(spark|vector)\b", "[TERM]"),
+]
+
+_SCRUB_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS BIGINT) AS n_entity,
+       CAST(len(regexp_extract_all(text, '\\b(spark|vector)\\b')) AS BIGINT) AS n_term,
+       CAST(len(text) AS BIGINT) AS orig_len,
+       CAST(len(scrubbed) AS BIGINT) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '\\bcustomer\\b', '[ENTITY]', 'g'),
+                        '\\b(spark|vector)\\b', '[TERM]', 'g') AS scrubbed
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q64_pattern_scrub",
+    oracle=_SCRUB_ORACLE,
+    doc="PII-redaction kernel over the corpus: per-pattern hit counts "
+    "(on original text) + sequential regexp_replace scrub, verified via "
+    "the scrubbed text's md5 — map-side regex, one scan, zero shuffles.",
+)
+def q64_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return scrub_patterns(d, "doc_id", "text", _SCRUB_QUERY_PATTERNS).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-group decile floor filter
+# ---------------------------------------------------------------------------
+
+
+def decile_floor_filter(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    drop_deciles: int = 1,
+) -> DataFrame:
+    """Drop the bottom ``drop_deciles`` tenths of every group, ranked
+    by (score, id) — the per-source "cut the worst X%" selection step
+    of corpus curation, with a deterministic integer rank (the id
+    tie-break makes it engine-reproducible; NTILE over ties is not).
+
+    One shuffle on ``group_col`` serves both window functions (rank
+    and group size share the partitioning). At 100 TB the group count
+    (sources/domains) is large, so partitions stay balanced; a single
+    giant group degrades to its own sort, which AQE splits.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    wg = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("grp_n"),
+    )
+    return ranked.filter(
+        F.col("rn") > F.floor(F.col("grp_n") * drop_deciles / 10)
+    ).select(id_col, group_col, score_col)
+
+
+_DECILE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS grp_n
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM ranked WHERE rn > grp_n // 10
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q66_decile_floor_filter",
+    oracle=_DECILE_ORACLE,
+    doc="Per-source bottom-decile cut: drop the shortest 10% of docs "
+    "within each source (deterministic (score,id) rank; one shuffle "
+    "shared by both windows).",
+)
+def q66_decile_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return decile_floor_filter(d, "source", "n_chars", "doc_id").orderBy("doc_id")

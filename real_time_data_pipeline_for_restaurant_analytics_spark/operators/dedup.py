@@ -568,7 +568,10 @@ def q54_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(fp, "doc_id").orderBy("id1", "id2")
 
 
-def _clusters_oracle() -> str:
+def _clusters_cte() -> str:
+    """Shared WITH RECURSIVE prefix ending in ``comp(id, component)``:
+    exact-dup ∪ LSH candidate edges, min-label flooding, component =
+    min reachable id. Used by the q36 and q65 oracles."""
     mins = ",\n         ".join(
         f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
     )
@@ -616,9 +619,36 @@ r AS (
   SELECT e.b AS id, r.label FROM r JOIN e ON r.id = e.a
 ),
 comp AS (SELECT id, MIN(label) AS component FROM r GROUP BY id)
+"""
+
+
+def _clusters_oracle() -> str:
+    return (
+        _clusters_cte()
+        + """
 SELECT component AS canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 FROM comp GROUP BY component ORDER BY canonical_id
 """
+    )
+
+
+def cluster_components(d: DataFrame) -> DataFrame:
+    """(id, component) for every doc in a near-dup cluster: exact-dup
+    edges ∪ ≥2-band LSH candidate edges → connected components. The
+    shared front half of q36 (cluster census) and q65 (canonical
+    selection)."""
+    exact_edges = (
+        exact_dedup(d, "doc_id", "text")
+        .filter(F.col("n_copies") > 1)
+        .join(d.select("doc_id", F.md5("text").alias("content_md5")), "content_md5")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("id1"), F.col("doc_id").alias("id2"))
+    )
+    sig = minhash_signatures(d, "doc_id", "text")
+    near_edges = lsh_candidates(lsh_bands(sig, "doc_id"), "doc_id").filter(
+        F.col("n_shared_bands") >= 2
+    ).select("id1", "id2")
+    return connected_components(exact_edges.union(near_edges))
 
 
 @register(
@@ -636,18 +666,7 @@ FROM comp GROUP BY component ORDER BY canonical_id
 )
 def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    exact_edges = (
-        exact_dedup(d, "doc_id", "text")
-        .filter(F.col("n_copies") > 1)
-        .join(d.select("doc_id", F.md5("text").alias("content_md5")), "content_md5")
-        .filter(F.col("doc_id") != F.col("canonical_id"))
-        .select(F.col("canonical_id").alias("id1"), F.col("doc_id").alias("id2"))
-    )
-    sig = minhash_signatures(d, "doc_id", "text")
-    near_edges = lsh_candidates(lsh_bands(sig, "doc_id"), "doc_id").filter(
-        F.col("n_shared_bands") >= 2
-    ).select("id1", "id2")
-    comps = connected_components(exact_edges.union(near_edges))
+    comps = cluster_components(d)
     return (
         comps.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -656,6 +675,64 @@ def q36_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("bigint").alias("cluster_size"),
         )
         .orderBy("canonical_id")
+    )
+
+
+def select_canonical_per_cluster(
+    comps: DataFrame, docs: DataFrame, score_col: str = "n_chars"
+) -> DataFrame:
+    """Canonical-doc selection over near-dup clusters: within each
+    component keep the doc with the highest ``score_col`` (doc_id as
+    the deterministic tie-break) — the keep-longest policy production
+    dedup uses (a canonical is chosen per cluster; the rest are
+    dropped from the training set).
+
+    One shuffle on component for the ranking window; the doc-attribute
+    join is on doc_id (clusters are a tiny fraction of the corpus, so
+    the join input is small by construction)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.desc(score_col), "id")
+    return (
+        comps.join(docs.select(F.col("doc_id").alias("id"), score_col), "id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            F.col("component"),
+            F.col("id").alias("doc_id"),
+            F.col(score_col),
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+def _canonical_oracle() -> str:
+    return (
+        _clusters_cte()
+        + """
+, ranked AS (
+  SELECT c.component, c.id AS doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.id) AS rn
+  FROM comp c JOIN documents d ON c.id = d.doc_id
+)
+SELECT component, doc_id, n_chars, rn = 1 AS keep
+FROM ranked ORDER BY component, doc_id
+"""
+    )
+
+
+@register(
+    "q65_cluster_canonical_keep",
+    oracle=_canonical_oracle(),
+    doc="Canonical selection per near-dup cluster: keep the longest "
+    "doc (doc_id tie-break) in every connected component, drop the "
+    "rest — the policy step that turns q36's cluster census into an "
+    "actual dedup decision.",
+)
+def q65_cluster_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return select_canonical_per_cluster(cluster_components(d), d).orderBy(
+        "component", "doc_id"
     )
 
 

@@ -590,3 +590,144 @@ ORDER BY query_id, rank
 def q63_ann_int8_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return ann_int8_lsh_topk(emb, k=5).orderBy("query_id", "rank")
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding (the k-means/IVF "train the coarse
+    quantizer" step, and the class-prototype builder for prototype
+    classification).
+
+    Engine-exact by construction: each element is nano-quantized to
+    BIGINT up front (floor(x·1e9 + 0.5), the q63 trick), so the
+    per-(label, dim) sum is integer arithmetic — no float summation
+    order to disagree on. posexplode → groupBy(label, pos) shuffles
+    rows×dims pairs, but map-side partial aggregation collapses each
+    task's contribution to labels×dims before the exchange, so the
+    shuffle is tiny at any corpus size. Mean emitted in micro-units.
+    """
+    nano = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    exploded = emb.select(
+        F.col(label_col).cast("bigint").alias("label"),
+        F.posexplode(nano).alias("pos", "en"),
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("en").alias("sum_nano"))
+        .select(
+            "label",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            F.floor(F.col("sum_nano").cast("double") / (F.col("n_vectors") * 1000.0))
+            .cast("bigint")
+            .alias("centroid_micro"),
+        )
+    )
+
+
+@register(
+    "q67_label_centroids",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))) AS en
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(floor(CAST(SUM(en) AS DOUBLE) / (COUNT(*) * 1000.0)) AS BIGINT) AS centroid_micro
+FROM q GROUP BY label, pos ORDER BY label, pos
+""",
+    doc="Per-label embedding centroids (mean vector per class) with "
+    "integer-exact math: nano-quantized elements summed as BIGINT, "
+    "posexplode + partial-agg groupBy — the coarse-quantizer training "
+    "step of IVF, hash-checkable cross-engine.",
+)
+def q67_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb).orderBy("label", "pos")
+
+
+def knn_label_vote(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """kNN majority-vote classification: exact top-k neighbors per
+    query (the q24 kernel), then the modal neighbor label (ties to the
+    smallest label) with the query's own label for an accuracy read.
+
+    The top-k set is tiny (queries × k), so the label join broadcasts
+    it against the corpus; the vote count and argmax are window ops
+    partitioned by query — no additional corpus shuffle."""
+    from pyspark.sql import Window
+
+    pred = query_filter if query_filter is not None else F.col(id_col) < 10
+    topk = brute_force_topk(emb, k=k, query_filter=pred)
+    labels = emb.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl"))
+    votes = (
+        F.broadcast(topk.select("query_id", "neighbor_id"))
+        .join(labels, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), "_nl")
+    best = votes.withColumn("_vr", F.row_number().over(w)).filter(F.col("_vr") == 1)
+    qlab = emb.filter(pred).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("_ql")
+    )
+    return best.join(qlab, "query_id").select(
+        "query_id",
+        F.col("_nl").cast("bigint").alias("predicted_label"),
+        F.col("votes").cast("bigint").alias("votes"),
+        F.col("_ql").cast("bigint").alias("query_label"),
+        (F.col("_nl") == F.col("_ql")).alias("correct"),
+    )
+
+
+@register(
+    "q68_knn_label_vote",
+    oracle=f"""
+WITH {_DUCK_COS_BASE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+  FROM base q JOIN base c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT r.query_id, e.label, COUNT(*) AS votes
+  FROM ranked r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE r.rank <= 10 GROUP BY r.query_id, e.label
+), best AS (
+  SELECT query_id, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+  FROM votes
+)
+SELECT b.query_id, CAST(b.label AS BIGINT) AS predicted_label,
+       CAST(b.votes AS BIGINT) AS votes,
+       CAST(q.label AS BIGINT) AS query_label,
+       b.label = q.label AS correct
+FROM best b JOIN embeddings q ON b.query_id = q.vec_id
+WHERE b.vr = 1 ORDER BY b.query_id
+""",
+    doc="kNN majority-label vote (k=10) over exact cosine neighbors: "
+    "per query the modal neighbor label, vote count, and whether it "
+    "matches the query's own label — the label-propagation/eval "
+    "composition of the ANN surface.",
+)
+def q68_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_label_vote(emb, k=10).orderBy("query_id")

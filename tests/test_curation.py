@@ -63,3 +63,56 @@ def test_quality_funnel_is_cumulative(spark):
     assert out["2_lang"].docs_in == 2
     assert out["2_lang"].docs_out == 1  # doc 2 only; doc 1 (en) already dropped
     assert out["2_lang"].dropped == 1
+
+
+def test_scrub_patterns_redacts_pii(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        PII_PATTERNS,
+        scrub_patterns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith@example.com or +91 98765-43210 now"),
+            (2, "ssn-ish 123456789 twice 987654321 here"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_patterns(df, "doc_id", "text", PII_PATTERNS).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert got[2].n_id_number == 2
+    assert got[3].n_email == got[3].n_phone == got[3].n_id_number == 0
+    # scrubbed text must not equal the original where hits occurred
+    assert got[1].scrubbed_len != got[1].orig_len
+    assert got[3].scrubbed_len == got[3].orig_len
+
+
+def test_scrub_counts_are_on_original_text(spark):
+    # a replacement from pattern 1 must not create or destroy pattern-2
+    # counts: counts are computed against the ORIGINAL text
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        scrub_patterns,
+    )
+
+    pats = [("a", r"xy", "Q"), ("b", r"Q", "Z")]
+    df = spark.createDataFrame([(1, "xy and Q")], "doc_id long, text string")
+    r = scrub_patterns(df, "doc_id", "text", pats).collect()[0]
+    assert r.n_a == 1
+    assert r.n_b == 1  # only the original Q, not the one produced by pattern a
+
+
+def test_decile_floor_filter_drops_bottom_tenth_per_group(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        decile_floor_filter,
+    )
+
+    rows = [(i, "s1", i * 10) for i in range(20)] + [(100 + i, "s2", 5) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = decile_floor_filter(df, "source", "n_chars", "doc_id").collect()
+    s1 = sorted(r.doc_id for r in kept if r.source == "s1")
+    s2 = sorted(r.doc_id for r in kept if r.source == "s2")
+    # 20 rows → floor(20/10)=2 dropped, the two smallest scores
+    assert s1 == list(range(2, 20))
+    # 5 rows → floor(5/10)=0 dropped; all-tied scores break by id either way
+    assert s2 == [100, 101, 102, 103, 104]

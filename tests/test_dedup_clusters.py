@@ -47,3 +47,19 @@ def test_q36_runs_and_is_consistent(spark):
     assert all(r.cluster_size >= 2 for r in out)
     canon = [r.canonical_id for r in out]
     assert canon == sorted(canon)
+
+
+def test_canonical_keeps_longest_per_cluster(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        select_canonical_per_cluster,
+    )
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (10, 5), (11, 5)], "doc_id long, n_chars long"
+    )
+    got = {r.doc_id: r.keep for r in select_canonical_per_cluster(comps, docs).collect()}
+    # longest wins; tie (2 vs 3 at 90) breaks to smaller id
+    assert got == {1: False, 2: True, 3: False, 10: True, 11: False}

@@ -46,3 +46,43 @@ def test_lsh_scores_match_exact_kernel(spark):
     }
     for r in lsh.collect():
         assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cos_r"]) < 1e-9
+
+
+def test_label_centroids_exact_small(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0], 7), (1, [3.0, 0.0], 7), (2, [10.0, 10.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r.label, r.pos): r for r in label_centroids(df).collect()}
+    # label 7: mean of (1,3)=2.0 and (-2,0)=-1.0 → micro units
+    assert got[(7, 0)].centroid_micro == 2_000_000
+    assert got[(7, 1)].centroid_micro == -1_000_000
+    assert got[(7, 0)].n_vectors == 2
+    assert got[(8, 0)].centroid_micro == 10_000_000
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        knn_label_vote,
+    )
+    from pyspark.sql import functions as F
+
+    # query 0 at origin-ish; neighbors: two of label 1 close, one of
+    # label 2 close, rest far — k=3 majority must be label 1
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.99, 0.1], 1),
+        (2, [0.98, 0.12], 1),
+        (3, [0.97, 0.2], 2),
+        (4, [-1.0, 0.0], 2),
+        (5, [-0.9, 0.1], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = knn_label_vote(df, k=3, query_filter=F.col("vec_id") == 0).collect()
+    assert len(got) == 1
+    assert got[0].predicted_label == 1 and got[0].votes == 2
+    assert got[0].query_label == 9 and not got[0].correct
