@@ -837,3 +837,122 @@ ORDER BY id1, id2
 def q49_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return verified_near_dups(d, "doc_id", "text").orderBy("id1", "id2")
+
+
+def dedup_against_base(
+    base: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared_bands: int = 2,
+    min_permille: int = 300,
+) -> DataFrame:
+    """Incremental dedup: flag docs in ``new`` that near-duplicate any
+    doc already in ``base`` — the daily-crawl shape (dedup today's
+    batch against the historical index), as opposed to q49's one-shot
+    corpus self-dedup.
+
+    The band join is new×base only (never base×base): in production
+    the base's band index is computed once, persisted bucketed on
+    (band_idx, band_hash), and each day's batch — orders of magnitude
+    smaller — broadcasts against it. Verification is exact Jaccard on
+    candidate pairs only, like q49. Re-running a batch is idempotent:
+    output depends only on (base, new) content.
+    """
+    bb = lsh_bands(minhash_signatures(base, id_col, text_col), id_col)
+    nb = lsh_bands(minhash_signatures(new, id_col, text_col), id_col)
+    cands = (
+        nb.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+        .join(
+            bb.select(F.col(id_col).alias("base_id"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+    sh_new = shingles(new, id_col, text_col).select(F.col(id_col).alias("new_id"), "shingle")
+    sh_base = shingles(base, id_col, text_col).select(F.col(id_col).alias("base_id"), "shingle")
+    sizes_n = sh_new.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    sizes_b = sh_base.groupBy("base_id").agg(F.count(F.lit(1)).alias("sz_base"))
+    inter = (
+        cands.join(sh_new, "new_id")
+        .join(sh_base, ["base_id", "shingle"])
+        .groupBy("new_id", "base_id", "n_shared_bands")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    return (
+        inter.join(sizes_n, "new_id")
+        .join(sizes_b, "base_id")
+        .select(
+            "new_id",
+            "base_id",
+            "n_shared_bands",
+            "inter_ct",
+            F.expr("CAST(inter_ct * 1000 AS BIGINT) div (sz_new + sz_base - inter_ct)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .filter(F.col("jaccard_permille") >= min_permille)
+    )
+
+
+def _incremental_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
+    )
+    band_exprs = ",\n    ".join(
+        "md5("
+        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM sig
+),
+brows AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+cands AS (
+  SELECT n.doc_id AS new_id, b.doc_id AS base_id, COUNT(*) AS n_shared_bands
+  FROM brows n JOIN brows b
+    ON n.band_idx = b.band_idx AND n.band_hash = b.band_hash
+  WHERE n.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.base_id, c.n_shared_bands, COUNT(*) AS inter_ct
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.new_id
+  JOIN sh b ON b.doc_id = c.base_id AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT i.new_id, i.base_id, i.n_shared_bands, i.inter_ct,
+       CAST(i.inter_ct * 1000 AS BIGINT) // (sn.sz + sb.sz - i.inter_ct) AS jaccard_permille
+FROM inter i JOIN sizes sn ON i.new_id = sn.doc_id JOIN sizes sb ON i.base_id = sb.doc_id
+WHERE CAST(i.inter_ct * 1000 AS BIGINT) // (sn.sz + sb.sz - i.inter_ct) >= 300
+ORDER BY new_id, base_id
+"""
+
+
+@register(
+    "q69_incremental_dedup",
+    oracle=_incremental_oracle(),
+    doc="Incremental (cross-corpus) dedup: LSH-candidate batch×base "
+    "band join (never base×base) + exact-Jaccard verify on candidates "
+    "— the daily-batch-vs-historical-index deployment shape. Batch = "
+    "doc_id%5=4, base = the rest.",
+)
+def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 4)
+    base = d.filter(F.col("doc_id") % 5 != 4)
+    return dedup_against_base(base, new, "doc_id", "text").orderBy("new_id", "base_id")

@@ -469,3 +469,60 @@ FROM c ORDER BY doc_id, chunk_idx
 def q60_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return token_chunks(d).orderBy("doc_id", "chunk_idx")
+
+
+def rarity_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Unigram-rarity scoring: per token its corpus document-frequency
+    count, per doc the mean of integer rarity credits
+    ``1e6 div tok_count`` — a model-free proxy for "informative vs
+    boilerplate" (common tokens contribute ~0, rare tokens up to 1e6),
+    the cheap cousin of perplexity filtering.
+
+    Two shuffles at any scale: token-count aggregation (map-side
+    partial combine makes it vocabulary-sized) and the per-doc
+    re-aggregation. The vocabulary relation is corpus-distinct-tokens
+    — broadcast it when it fits, let sort-merge handle it otherwise
+    (Spark AQE picks per stats; no hint needed). All-integer credits
+    keep the score engine-exact."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_ct"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("1000000 div tok_ct")).alias("rarity_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("rarity_sum").cast("bigint").alias("rarity_sum"),
+            F.expr("CAST(rarity_sum div n_tokens AS BIGINT)").alias("rarity_mean"),
+        )
+    )
+
+
+@register(
+    "q71_rarity_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS tok_ct FROM toks GROUP BY tok
+), agg AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(1000000 // tok_ct) AS BIGINT) AS rarity_sum
+  FROM toks t JOIN freq f ON t.tok = f.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, rarity_sum,
+       rarity_sum // n_tokens AS rarity_mean
+FROM agg ORDER BY doc_id
+""",
+    doc="Unigram-rarity document scoring (integer credits 1e6/df per "
+    "token, mean per doc) — the model-free boilerplate/informativeness "
+    "signal; vocabulary-sized join, all-integer math.",
+)
+def q71_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return rarity_score(d).orderBy("doc_id")

@@ -46,6 +46,7 @@ def all_queries() -> dict[str, Query]:
     from .operators import (  # noqa: F401
         approx,
         asof,
+        bloom,
         curation,
         dedup,
         dq,

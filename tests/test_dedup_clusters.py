@@ -63,3 +63,24 @@ def test_canonical_keeps_longest_per_cluster(spark):
     got = {r.doc_id: r.keep for r in select_canonical_per_cluster(comps, docs).collect()}
     # longest wins; tie (2 vs 3 at 90) breaks to smaller id
     assert got == {1: False, 2: True, 3: False, 10: True, 11: False}
+
+
+def test_incremental_dedup_only_reports_cross_corpus_pairs(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        dedup_against_base,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    base = spark.createDataFrame(
+        [(1, text), (2, text)],  # exact dups INSIDE base: must not be reported
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, text + " ok"), (101, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    got = dedup_against_base(base, new, "doc_id", "text").collect()
+    assert {r.new_id for r in got} == {100}
+    assert {r.base_id for r in got} == {1, 2}
+    for r in got:
+        assert r.jaccard_permille >= 300
