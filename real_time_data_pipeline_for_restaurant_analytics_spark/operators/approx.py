@@ -50,3 +50,58 @@ def approx_user_stats(events: DataFrame, rsd: float = 0.02) -> DataFrame:
 )
 def q35_approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_user_stats(load(spark, sf_dir, "events"))
+
+
+def sketch_rollup_daily_monthly(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of distinct users
+    (Apache DataSketches via ``hll_sketch_agg``), merged with
+    ``hll_union_agg`` into monthly estimates WITHOUT rescanning the
+    fact — next to a direct monthly sketch for comparison.
+
+    This is the incremental-distinct pattern a 100 TB warehouse runs:
+    daily partials are tiny (KBs) and commutatively mergeable, so the
+    monthly/quarterly rollup is a metadata-sized job instead of a
+    fact-table rescan, and late days just re-merge. Union of per-day
+    sketches over a partition of the data is mathematically the same
+    sketch as one pass (same lgK), so merged == direct exactly —
+    pinned in tests; registered rows-only (sketch internals are
+    engine-specific, no DuckDB oracle).
+    """
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    month = F.date_format("ts", "yyyy-MM").alias("month")
+    daily = events.select(day, month, "user_id").groupBy("day", "month").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("merged_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    direct = events.select(month, "user_id").groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("direct_users")
+    )
+    return (
+        merged.join(direct, "month")
+        .select(
+            "month",
+            "n_days",
+            "merged_users",
+            "direct_users",
+            (F.col("merged_users") == F.col("direct_users")).alias("merge_exact"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q73_sketch_rollup",
+    oracle=None,  # sketch bytes are DataSketches-specific; the contract
+    # (merged-of-daily == direct monthly, estimates within HLL error of
+    # exact) is pinned in tests/test_approx.py
+    doc="Mergeable HLL sketch rollup: daily user sketches union-merged "
+    "into monthly distinct estimates without rescanning the fact table "
+    "— the incremental-distinct pattern; merged == direct is asserted "
+    "in-row and test-pinned.",
+)
+def q73_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return sketch_rollup_daily_monthly(ev)

@@ -215,3 +215,111 @@ def q39_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Interval×interval overlap join ([a_start,a_end] ∩ [b_start,b_end]
+    ≠ ∅, same key) as an equi-join on (key, time bin) — the general
+    form of q39's point-in-range join (both sides are intervals here).
+
+    Each interval explodes to the bins it covers; the join is hash
+    equi on (key, bin); the exact overlap predicate filters the
+    candidates. A pair sharing several bins would duplicate, so each
+    pair is reported only in its FIRST shared bin — bin(max(starts)) =
+    max(bin(a_start), bin(b_start)), an algebraic responsibility
+    assignment that replaces the DISTINCT shuffle a naive dedup would
+    need. Join volume is rows × bins-per-interval: linear, tuned by
+    bin_seconds ≈ typical interval length.
+
+    Columns a_start/…/b_end are epoch-second longs (cast timestamps
+    upstream); a and b must not share column names besides ``key``.
+    """
+    ab = a.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(a_start) / bin_seconds).cast("long"),
+                (F.col(a_end) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(b_start) / bin_seconds).cast("long"),
+                (F.col(b_end) / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    overlap = (F.col(a_start) <= F.col(b_end)) & (F.col(b_start) <= F.col(a_end))
+    first_shared = F.greatest(
+        (F.col(a_start) / bin_seconds).cast("long"),
+        (F.col(b_start) / bin_seconds).cast("long"),
+    )
+    return (
+        ab.join(bb, on=[key, "_bin"])
+        .filter(overlap & (F.col("_bin") == first_shared))
+        .drop("_bin")
+    )
+
+
+@register(
+    "q72_interval_overlap_join",
+    oracle="""
+WITH ow AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch(o_orderdate) AS BIGINT) AS o_start,
+         CAST(epoch(o_orderdate) AS BIGINT) + 86400 AS o_end
+  FROM orders
+), ew AS (
+  SELECT event_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS e_start,
+         CAST(epoch(ts) AS BIGINT) + 3600 AS e_end
+  FROM events
+)
+SELECT o.o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(MIN(e.event_id) AS BIGINT) AS first_event_id
+FROM ow o JOIN ew e
+  ON e.user_id = o.o_custkey
+ AND o.o_start <= e.e_end AND e.e_start <= o.o_end
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+""",
+    doc="Interval×interval overlap join (1-day order windows × 1-hour "
+    "event activity windows, same user) via time-bin equi-join with "
+    "first-shared-bin pair responsibility (no DISTINCT dedup shuffle).",
+)
+def q72_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("o_start"),
+        (F.col("o_orderdate").cast("timestamp").cast("long") + 86400).alias("o_end"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("e_start"),
+        (F.col("ts").cast("long") + 3600).alias("e_end"),
+    )
+    j = interval_overlap_join(
+        orders, ev, "user_id", "o_start", "o_end", "e_start", "e_end"
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+        .orderBy("o_orderkey")
+    )

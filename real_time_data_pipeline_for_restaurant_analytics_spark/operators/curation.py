@@ -435,3 +435,82 @@ ORDER BY doc_id
 def q66_decile_floor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return decile_floor_filter(d, "source", "n_chars", "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-split contamination (train/test leakage)
+# ---------------------------------------------------------------------------
+
+
+def _frac_sql(col: str) -> str:
+    """DuckDB twin of sampling.hash_fraction for an arbitrary column."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 4294967296.0"
+    )
+
+
+def _split_case_sql(col: str) -> str:
+    f = _frac_sql(col)
+    return (
+        f"CASE WHEN {f} < 0.9 THEN 'train' WHEN {f} < 0.95 THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+def cross_split_leakage(
+    docs: DataFrame, splits: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (the q49
+    LSH→exact-Jaccard pipeline) whose two docs landed in DIFFERENT
+    splits — the leakage that silently inflates eval numbers. The
+    near-dup pair list is tiny relative to the corpus, so the two
+    split lookups are joins against a broadcast-sized relation.
+
+    ``splits`` must carry (id_col, split) — normally
+    ``sampling.split_assign``'s output, so the audit uses exactly the
+    split function the training run used."""
+    from .dedup import verified_near_dups
+
+    pairs = verified_near_dups(docs, id_col, text_col)
+    s1 = splits.select(F.col(id_col).alias("id1"), F.col("split").alias("split1"))
+    s2 = splits.select(F.col(id_col).alias("id2"), F.col("split").alias("split2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("id1", "id2", "jaccard_permille", "split1", "split2")
+    )
+
+
+def _leakage_oracle() -> str:
+    from .dedup import _verified_oracle
+
+    return f"""
+WITH pairs AS ({_verified_oracle()}),
+s AS (SELECT doc_id, {_split_case_sql("doc_id")} AS split FROM documents)
+SELECT p.id1, p.id2, p.jaccard_permille,
+       s1.split AS split1, s2.split AS split2
+FROM pairs p
+JOIN s s1 ON p.id1 = s1.doc_id
+JOIN s s2 ON p.id2 = s2.doc_id
+WHERE s1.split <> s2.split
+ORDER BY p.id1, p.id2
+"""
+
+
+@register(
+    "q74_cross_split_leakage",
+    oracle=_leakage_oracle(),
+    doc="Train/test leakage audit: verified near-dup pairs (q49 "
+    "pipeline) that straddle different splits of the q42 hash split — "
+    "the governance check run before any eval number is trusted.",
+)
+def q74_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import split_assign
+
+    d = load(spark, sf_dir, "documents")
+    splits = split_assign(
+        d.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return cross_split_leakage(d, splits).orderBy("id1", "id2")

@@ -43,3 +43,27 @@ def test_approx_quantiles_bracket_exact(spark):
         # allow 2% of the exact value as slack.
         assert abs(p50 - e50) <= max(abs(e50) * 0.02, 1e-9), f"{et} p50 {p50} vs {e50}"
         assert abs(p95 - e95) <= max(abs(e95) * 0.02, 1e-9), f"{et} p95 {p95} vs {e95}"
+
+
+def test_sketch_rollup_merge_equals_direct(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.approx import (
+        sketch_rollup_daily_monthly,
+    )
+    from .conftest import SF_SMOKE
+
+    ev = load(spark, SF_SMOKE, "events")
+    rows = sketch_rollup_daily_monthly(ev).collect()
+    assert rows, "rollup must produce at least one month"
+    assert all(r.merge_exact for r in rows), "union of daily sketches must equal direct sketch"
+    # estimate sanity: within 5% of exact distinct count per month
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.month: r.n
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.merged_users - exact[r.month]) <= max(2, 0.05 * exact[r.month])

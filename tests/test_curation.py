@@ -116,3 +116,23 @@ def test_decile_floor_filter_drops_bottom_tenth_per_group(spark):
     assert s1 == list(range(2, 20))
     # 5 rows → floor(5/10)=0 dropped; all-tied scores break by id either way
     assert s2 == [100, 101, 102, 103, 104]
+
+
+def test_cross_split_leakage_reports_only_cross_split_pairs(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        cross_split_leakage,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    t2 = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1 + " nu"), (3, t2), (4, t2 + " thirteen")],
+        "doc_id long, text string",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train")],
+        "doc_id long, split string",
+    )
+    got = cross_split_leakage(docs, splits).collect()
+    # (1,2) straddles train/test → reported; (3,4) both train → not
+    assert [(r.id1, r.id2, r.split1, r.split2) for r in got] == [(1, 2, "train", "test")]
