@@ -51,10 +51,16 @@ def test_q30_multimodal_uses_arrow_not_rowwise_python(spark):
 
 
 # q23/q24: documented O(n²) exactness kernels (broadcast nested-loop by
-# construction). q48: 1-row scalar combine — the corpus COUNT(*) joins
+# construction). q68 composes the q24 kernel: its broadcast side is the
+# bounded query set, so the nested loop is O(corpus × n_queries), not
+# corpus². q48: 1-row scalar combine — the corpus COUNT(*) joins
 # back as a broadcast cross of a single aggregate row (the declarative
 # replacement for a driver-side .count()), not a data-sized cross join.
-_QUADRATIC_BY_DESIGN = ("q23_embedding_near_dup", "q24_ann_bruteforce_topk")
+_QUADRATIC_BY_DESIGN = (
+    "q23_embedding_near_dup",
+    "q24_ann_bruteforce_topk",
+    "q68_knn_label_vote",
+)
 _SCALAR_CROSS_OK = ("q48_tfidf_top_terms",)
 
 
