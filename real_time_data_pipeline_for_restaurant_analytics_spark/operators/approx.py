@@ -92,6 +92,121 @@ def sketch_rollup_daily_monthly(events: DataFrame) -> DataFrame:
     )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_bucket(row_j: int, key: "F.Column") -> "F.Column":
+    """Bucket of ``key`` in CMS hash row ``row_j``: md5 of the salted
+    key, first 8 hex chars folded to an int, mod width — reproducible
+    in any engine (the q09 surrogate-key trick)."""
+    salted = F.concat(F.lit(f"{row_j}:"), key.cast("string"))
+    return (F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long") % _CMS_WIDTH).alias(
+        f"b{row_j}"
+    )
+
+
+def cms_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies, from scratch: a
+    depth×width grid of counters, each row counting under an
+    independent hash. Returned as (row_j, bucket, cnt) cells.
+
+    Scale shape: the explode multiplies rows by depth (4) BEFORE the
+    groupBy, but map-side partial aggregation collapses every task to
+    ≤ depth×width (1024) cells pre-shuffle, so the exchange moves
+    O(tasks × 1024) rows regardless of corpus size — the sketch is
+    mergeable by cell-wise SUM, which is exactly what the partial agg
+    does. Point estimates read MIN over the depth rows (each row only
+    overestimates, by collisions), the classic CM guarantee."""
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("row_j"), _cms_bucket(j, key).alias("bucket"))
+            for j in range(_CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row_j").alias("row_j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate_heavy_hitters(events: DataFrame, top_n: int = 10) -> DataFrame:
+    """Heavy hitters with their CMS point estimates next to exact
+    counts. The candidate set (exact top-N users) is tiny, so its
+    4 probe cells join the 1024-cell sketch by broadcast; the only
+    corpus-sized work is two groupBys over user_id — everything after
+    is KB-scale."""
+    sketch = cms_sketch(events, "user_id")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), "user_id").limit(top_n)
+    probes = cand.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"), _cms_bucket(j, F.col("user_id")).alias("bucket")
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "exact_n", F.col("p.row_j").alias("row_j"), F.col("p.bucket").alias("bucket"))
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["row_j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("never_underestimates"),
+    ).orderBy(F.desc("exact_n"), "user_id")
+
+
+@register(
+    "q77_cms_heavy_hitters",
+    oracle=f"""
+WITH rows_j AS (SELECT unnest(range({_CMS_DEPTH})) AS row_j),
+cells AS (
+  SELECT r.row_j,
+         CAST(('0x' || substr(md5(CAST(r.row_j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % {_CMS_WIDTH} AS bucket,
+         COUNT(*) AS cnt
+  FROM events e CROSS JOIN rows_j r
+  GROUP BY 1, 2
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1),
+cand AS (SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+probes AS (
+  SELECT c.user_id, c.exact_n, r.row_j,
+         CAST(('0x' || substr(md5(CAST(r.row_j AS VARCHAR) || ':' || CAST(c.user_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % {_CMS_WIDTH} AS bucket
+  FROM cand c CROSS JOIN rows_j r
+)
+SELECT p.user_id, CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate,
+       MIN(s.cnt) >= p.exact_n AS never_underestimates
+FROM probes p JOIN cells s ON p.row_j = s.row_j AND p.bucket = s.bucket
+GROUP BY p.user_id, p.exact_n
+ORDER BY exact_n DESC, user_id
+""",
+    doc="From-scratch count-min sketch (4×256 md5-hashed counter grid, "
+    "cell-wise-SUM mergeable, map-side-collapsed before the shuffle) "
+    "with point estimates for the exact top-10 users — estimate ≥ "
+    "exact (the CM overestimate-only guarantee) asserted in-row. The "
+    "streaming/distributed heavy-hitter path when exact per-key "
+    "counting stops fitting.",
+)
+def q77_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cms_estimate_heavy_hitters(load(spark, sf_dir, "events"))
+
+
 @register(
     "q73_sketch_rollup",
     oracle=None,  # sketch bytes are DataSketches-specific; the contract

@@ -514,3 +514,74 @@ def q74_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     )
     return cross_split_leakage(d, splits).orderBy("id1", "id2")
+
+
+def source_cap_sample(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document cap (the web-pipeline "domain cap"): keep at
+    most ``cap`` docs per source, chosen by a deterministic pseudo-random
+    rank (md5 of the id, ties by id) so reruns and engines agree and no
+    source's internal ordering biases the kept set.
+
+    One shuffle, partitioned by source. A pathological mega-source makes
+    that partition hot; the production mitigation is the same two-stage
+    trick as q32's salted agg — pre-rank within (source, salt) and keep
+    cap candidates per salt before the final per-source rank — worth it
+    only when a single source exceeds a task's row budget."""
+    from pyspark.sql import Window
+
+    rnd = F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(rnd, id_col)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+@register(
+    "q78_source_cap_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source, CAST(SUM(CASE WHEN rk <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN rk <= 40 THEN 0 ELSE 1 END) AS BIGINT) AS dropped_over_cap
+FROM ranked
+GROUP BY source ORDER BY source
+""",
+    doc="Per-source document cap (domain-cap curation): deterministic "
+    "md5-rank keeps ≤N docs per source so no single crawl domain "
+    "dominates the training mixture; per-source kept/dropped "
+    "accounting.",
+)
+def q78_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    rnd = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rnd, "doc_id")
+    ranked = d.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_plus_dropped"),
+            F.sum(F.when(F.col("_rk") <= 40, 0).otherwise(1)).cast("bigint").alias(
+                "dropped_over_cap"
+            ),
+        )
+        .select(
+            "source",
+            (F.col("kept_plus_dropped") - F.col("dropped_over_cap")).alias("kept"),
+            "dropped_over_cap",
+        )
+        .orderBy("source")
+    )

@@ -129,6 +129,103 @@ def q51_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_cube_segment_year",
+    oracle="""
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+       COALESCE(CAST(EXTRACT(year FROM o.o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       CAST(GROUPING(c.c_mktsegment) * 2
+            + GROUPING(EXTRACT(year FROM o.o_orderdate)) AS BIGINT) AS gid,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE(c.c_mktsegment, EXTRACT(year FROM o.o_orderdate))
+ORDER BY gid, segment, order_year
+""",
+    doc="CUBE over (segment, year): all four aggregation granularities "
+    "— (seg,yr), per-segment, per-year, grand total — in ONE shuffle "
+    "instead of four dashboard queries. Complements q40's ROLLUP "
+    "(hierarchical prefixes) with the full cross-combination lattice; "
+    "money travels as exact integer cents (hash-stable).",
+)
+def q75_cube_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    return (
+        joined.cube("seg", "yr")
+        .agg(
+            F.grouping_id().alias("gid"),
+            (F.sum("price") * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("seg", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "revenue_cents",
+            "n_orders",
+        )
+        .orderBy("gid", "segment", "order_year")
+    )
+
+
+@register(
+    "q76_group_percentiles",
+    oracle="""
+WITH q AS (
+  SELECT c.c_mktsegment AS segment,
+         quantile_cont(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100,
+                       [0.25, 0.5, 0.75, 0.9]) AS qs,
+         COUNT(*) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT segment,
+       CAST(FLOOR(CAST(qs[1] AS DOUBLE) * 10 + 0.5) AS BIGINT) AS p25_decicents,
+       CAST(FLOOR(CAST(qs[2] AS DOUBLE) * 10 + 0.5) AS BIGINT) AS p50_decicents,
+       CAST(FLOOR(CAST(qs[3] AS DOUBLE) * 10 + 0.5) AS BIGINT) AS p75_decicents,
+       CAST(FLOOR(CAST(qs[4] AS DOUBLE) * 10 + 0.5) AS BIGINT) AS p90_decicents,
+       n_orders
+FROM q ORDER BY segment
+""",
+    doc="Exact per-segment order-value percentiles (p25/p50/p75/p90, "
+    "linear interpolation over integer cents — both engines run the "
+    "identical IEEE arithmetic on exact ints, so deci-cent outputs are "
+    "hash-stable). Spark's exact percentile is a mergeable partial "
+    "aggregate whose state is a value→count map, so memory scales with "
+    "DISTINCT values per group (bounded for money), not rows; the "
+    "unbounded-cardinality fallback is the GK sketch path (q35).",
+)
+def q76_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice").cast(MONEY) * 100).cast("bigint").alias("cents"),
+    )
+    qs = F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D, 0.9D))")
+    agg = joined.groupBy("segment").agg(qs.alias("qs"), F.count(F.lit(1)).alias("n_orders"))
+    return agg.select(
+        "segment",
+        *[
+            F.floor(F.col("qs")[i] * 10 + F.lit(0.5)).cast("bigint").alias(name)
+            for i, name in enumerate(
+                ["p25_decicents", "p50_decicents", "p75_decicents", "p90_decicents"]
+            )
+        ],
+        "n_orders",
+    ).orderBy("segment")
+
+
+@register(
     "q52_moving_average",
     oracle="""
 WITH daily AS (

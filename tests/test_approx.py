@@ -67,3 +67,23 @@ def test_sketch_rollup_merge_equals_direct(spark):
     }
     for r in rows:
         assert abs(r.merged_users - exact[r.month]) <= max(2, 0.05 * exact[r.month])
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark):
+    """CM guarantee: every row of the sketch only overestimates (hash
+    collisions add, never subtract), so min-over-rows >= exact. On a
+    skewed stream the heavy hitter's estimate should also be TIGHT:
+    collision noise is bounded by total_other_mass / width per row."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.approx import (
+        _CMS_WIDTH,
+        cms_estimate_heavy_hitters,
+    )
+
+    rows = [(1, "e")] * 500 + [(u, "e") for u in range(2, 202)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in cms_estimate_heavy_hitters(df, top_n=5).collect()}
+    assert all(r["never_underestimates"] for r in out.values())
+    heavy = out[1]
+    assert heavy["exact_n"] == 500
+    # other mass is 200 rows over 256 buckets: slack < a few collisions
+    assert heavy["cms_estimate"] - heavy["exact_n"] <= 200

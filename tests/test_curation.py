@@ -136,3 +136,20 @@ def test_cross_split_leakage_reports_only_cross_split_pairs(spark):
     got = cross_split_leakage(docs, splits).collect()
     # (1,2) straddles train/test → reported; (3,4) both train → not
     assert [(r.id1, r.id2, r.split1, r.split2) for r in got] == [(1, 2, "train", "test")]
+
+
+def test_source_cap_sample_enforces_cap_deterministically(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        source_cap_sample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_cap_sample(docs, cap=10)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"big": 10, "small": 10}
+    # deterministic: same inputs -> identical kept set on a rerun
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in source_cap_sample(docs, cap=10).collect())
+    assert a == b

@@ -11,6 +11,7 @@ nested-loop by construction).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
 
@@ -74,3 +75,17 @@ def test_no_accidental_quadratic_or_rowwise_plans(spark, name):
     if name not in _SCALAR_CROSS_OK:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} lost its equi-join"
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-wise Python"
+
+
+def test_q76_exact_percentile_matches_numpy(spark):
+    """Spark's exact percentile == numpy linear interpolation on the
+    same values (the definition both engines implement)."""
+    import numpy as np
+
+    vals = [100, 250, 250, 400, 999, 1337, 20000]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    got = df.agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.9D))").alias("qs")
+    ).collect()[0]["qs"]
+    want = np.percentile(np.array(vals, dtype=np.float64), [25, 50, 90]).tolist()
+    assert got == pytest.approx(want, abs=1e-9)
