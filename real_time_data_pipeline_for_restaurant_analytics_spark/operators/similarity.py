@@ -731,3 +731,153 @@ WHERE b.vr = 1 ORDER BY b.query_id
 def q68_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return knn_label_vote(emb, k=10).orderBy("query_id")
+
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_assign(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Assign each vector to its nearest centroid — entirely map-side.
+
+    The centroids ride into the plan as a literal array-of-arrays
+    (k×dim ints, a few KB), so assignment is one whole-stage-codegen
+    projection over the corpus: squared-L2 per centroid via
+    zip_with/aggregate, argmin via array_min over (dist, j) structs
+    (lexicographic struct order = ties to the lowest cluster id).
+    NO shuffle and no join — the only corpus-sized exchange in a Lloyd
+    round is the k×dim recompute aggregate."""
+    cents = F.array(
+        *[F.array(*[F.lit(int(v)).cast("bigint") for v in c]) for c in centroids]
+    )
+    best = F.expr(
+        f"""array_min(transform(sequence(0, {len(centroids) - 1}), j ->
+              struct(aggregate(zip_with(em, _cents[j], (a, b) -> (a - b) * (a - b)),
+                               CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,
+                     CAST(j AS BIGINT) AS c)))"""
+    )
+    return (
+        base.withColumn("_cents", cents)
+        .withColumn("_best", best)
+        .select("vec_id", "em", F.col("_best.c").alias("cluster"), F.col("_best.d").alias("d"))
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = _KM_K, n_iter: int = _KM_ITERS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over micro-quantized embeddings — the training
+    loop behind the IVF coarse quantizer (q34) and the label centroids
+    (q67), engine-exact by construction.
+
+    Determinism: elements quantized to BIGINT micro-units up front;
+    init = the k lowest ids' vectors; distances are integer sums (no
+    float order sensitivity); recomputed centroids are
+    floor(int_sum / n) via one IEEE division of exact ints. So every
+    iteration is bit-reproducible across engines — the DuckDB oracle
+    replays the identical unrolled iterations.
+
+    Scale shape per round: assignment is map-side (centroids are a
+    literal, see _km_assign); the recompute groupBy(cluster, pos)
+    shuffles only k×dim rows after map-side partial aggregation; the
+    driver collects k×dim ints (KBs) to rebuild the literal — the
+    inherent sync point of an iterative algorithm (same pattern as the
+    connected-components rounds, dedup.py). Corpus text/vectors are
+    never shuffled."""
+    micro = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    base = emb.select(F.col(id_col).alias("vec_id"), micro.alias("em"))
+    init = base.orderBy("vec_id").limit(k).collect()  # k rows: the init-point read
+    centroids = [list(r["em"]) for r in init]
+    assigned = _km_assign(base, centroids)
+    for _ in range(n_iter - 1):
+        by_dim = (
+            assigned.select("cluster", F.posexplode("em").alias("pos", "e"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("e").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster", "pos",
+                F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("cm"),
+            )
+        )
+        rows = by_dim.collect()  # k×dim ints — the Lloyd sync point
+        cmap: dict[int, dict[int, int]] = {}
+        for r in rows:
+            cmap.setdefault(r["cluster"], {})[r["pos"]] = r["cm"]
+        centroids = [
+            [cmap[c][p] for p in sorted(cmap[c])] for c in sorted(cmap)
+        ]
+        assigned = _km_assign(base, centroids)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.col("d").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("string")
+            .alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle() -> str:
+    k, iters = _KM_K, _KM_ITERS
+    head = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS em
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, unnest(generate_series(0, len(em) - 1)) AS pos, unnest(em) AS e
+  FROM base
+),
+c0 AS (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, pos, e AS cm
+  FROM ex WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    steps = []
+    for i in range(iters):
+        prev_c = f"c{i}"
+        steps.append(f""",
+d{i} AS (
+  SELECT ex.vec_id, c.cluster, SUM((ex.e - c.cm) * (ex.e - c.cm)) AS d
+  FROM ex JOIN {prev_c} c ON ex.pos = c.pos
+  GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn FROM d{i}
+  ) WHERE rn = 1
+)""")
+        if i < iters - 1:
+            steps.append(f""",
+c{i + 1} AS (
+  SELECT a.cluster, ex.pos,
+         CAST(floor(CAST(SUM(ex.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+  FROM a{i} a JOIN ex ON a.vec_id = ex.vec_id
+  GROUP BY 1, 2
+)""")
+    tail = f"""
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(CAST(SUM(d) AS DECIMAL(38,0)) AS VARCHAR) AS inertia
+FROM a{iters - 1} GROUP BY cluster ORDER BY cluster
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q79_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    doc=f"Lloyd k-means (k={_KM_K}, {_KM_ITERS} unrolled iterations) over "
+    "micro-quantized embeddings — the IVF coarse-quantizer TRAINING loop, "
+    "made engine-exact (integer distances, floor-division centroids, "
+    "lowest-id init) so the DuckDB oracle replays the identical "
+    "iterations; per-cluster sizes + inertia. Assignment is map-side "
+    "against literal centroids; each round shuffles only k×dim rows.",
+)
+def q79_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_lloyd(load(spark, sf_dir, "embeddings"))

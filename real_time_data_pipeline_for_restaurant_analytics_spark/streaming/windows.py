@@ -176,3 +176,38 @@ def dedup_stream(
     an unbounded 100 TB/day firehose; an unbounded dropDuplicates
     would grow state forever)."""
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(keys)
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by event time: right rows match
+    a left row with the same key when ``left_ts <= right_ts <=
+    left_ts + within`` (order placed → delivery dispatched, the
+    reference's order⋈delivery pairing run on live streams).
+
+    Both sides carry watermarks and the join condition carries the
+    time-range bound — together they let Spark EVICT state: a buffered
+    left row can be dropped once the right watermark passes
+    ``left_ts + within``, so state is O(in-flight window), not
+    O(stream history). Without the range condition the state store
+    grows unboundedly; that shape is refused here by construction.
+    Works identically on batch frames (the watermark is a no-op)."""
+    l, r = left, right  # noqa: E741
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")

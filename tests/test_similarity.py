@@ -86,3 +86,46 @@ def test_knn_label_vote_majority_and_tiebreak(spark):
     assert len(got) == 1
     assert got[0].predicted_label == 1 and got[0].votes == 2
     assert got[0].query_label == 9 and not got[0].correct
+
+
+def test_kmeans_lloyd_matches_numpy_replay(spark):
+    """The Spark Lloyd loop == an independent numpy replay of the same
+    deterministic recipe (micro-quantize, lowest-id init, integer
+    distances, floor-division centroids) on separated synthetic data."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    rng = np.random.RandomState(7)
+    groups = [rng.normal(loc, 0.05, size=(20, 4)) for loc in (-2.0, 0.0, 2.0)]
+    vecs = np.concatenate(groups)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        r["cluster"]: (r["n_vectors"], int(r["inertia"]))
+        for r in kmeans_lloyd(df, k=3, n_iter=2).collect()
+    }
+
+    # numpy replay of the identical integer recipe
+    # the DataFrame column is array<float>: quantize what Spark stores
+    # (float32-rounded values), not the original float64s
+    em = np.floor(vecs.astype(np.float32).astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    cents = em[:3].copy()
+    for it in range(2):
+        d = ((em[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first-min tie-break, same as struct min
+        if it < 1:
+            cents = np.stack(
+                [
+                    np.floor(em[assign == c].sum(axis=0) / (assign == c).sum())
+                    for c in sorted(set(assign.tolist()))
+                ]
+            ).astype(np.int64)
+    want = {
+        c: ((assign == c).sum(), int(d[assign == c, c].sum()))
+        for c in sorted(set(assign.tolist()))
+    }
+    assert got == want

@@ -224,3 +224,44 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
     assert [r.event_id for r in rows] == [1, 2, 3]
+
+
+def test_stream_stream_join_within_time_bound(spark, tmp_path):
+    """Watermarked stream⋈stream: orders pair with deliveries of the
+    same key within 15 minutes; a delivery outside the bound never
+    matches, and the range condition makes join state evictable."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.windows import (
+        join_streams_within,
+    )
+
+    odir, ddir = str(tmp_path / "ord"), str(tmp_path / "del")
+    os.makedirs(odir)
+    os.makedirs(ddir)
+    with open(os.path.join(odir, "o.csv"), "w") as f:
+        f.write("order_id,o_ts\n1,2024-05-01 10:00:00\n2,2024-05-01 10:05:00\n3,2024-05-01 10:10:00\n")
+    with open(os.path.join(ddir, "d.csv"), "w") as f:
+        # order 1: +10min (match), order 2: +40min (outside bound),
+        # order 3: same minute (match)
+        f.write("order_id,d_ts\n1,2024-05-01 10:10:00\n2,2024-05-01 10:45:00\n3,2024-05-01 10:10:00\n")
+
+    orders = (
+        spark.readStream.schema("order_id long, o_ts timestamp")
+        .option("header", "true").csv(odir)
+    )
+    deliveries = (
+        spark.readStream.schema("order_id long, d_ts timestamp")
+        .option("header", "true").csv(ddir)
+        .withColumnRenamed("order_id", "d_order_id")
+    )
+    joined = join_streams_within(
+        orders, deliveries, "order_id", "d_order_id", "o_ts", "d_ts",
+        within="15 minutes",
+    )
+    q = (
+        joined.select("order_id", "o_ts", "d_ts")
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT order_id FROM ss_join ORDER BY order_id").collect()
+    assert [r.order_id for r in rows] == [1, 3]
