@@ -135,3 +135,69 @@ def q46_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(o, ["o_custkey", "o_orderpriority", "o_orderstatus"]).orderBy(
         "col_name"
     )
+
+
+_N_BUCKETS = 10
+
+
+def equidepth_histogram(df: DataFrame, val_col: str, n_buckets: int = _N_BUCKETS) -> DataFrame:
+    """Equi-depth histogram WITHOUT a global sort: the ntile() shape
+    funnels the whole relation through one reducer (the q44 round-1
+    lesson), so instead (1) boundary quantiles come from the exact
+    percentile aggregate — a mergeable map-side-combined state, one
+    tiny shuffle; (2) the single boundary row broadcast-crosses back
+    (the q48 scalar-combine pattern) and bucket assignment is a
+    map-side comparison sum; (3) one vocabulary-sized groupBy(bucket).
+    Depths are approximately equal (exact up to boundary ties and
+    interpolation), which is what a profiling histogram needs."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    arr = ", ".join(f"{p}D" for p in probs)
+    bnds = df.agg(F.expr(f"percentile({val_col}, array({arr}))").alias("bnds"))
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col(val_col).cast("double") > F.col("bnds")[i]).cast("int")
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .select(bucket.cast("bigint").alias("bucket"), F.col(val_col))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.min(val_col).cast("bigint").alias("min_val"),
+            F.max(val_col).cast("bigint").alias("max_val"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _hist_oracle() -> str:
+    probs = [i / _N_BUCKETS for i in range(1, _N_BUCKETS)]
+    arr = ", ".join(str(p) for p in probs)
+    terms = " + ".join(
+        f"(CASE WHEN CAST(cents AS DOUBLE) > q[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(_N_BUCKETS - 1)
+    )
+    return f"""
+WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents FROM orders),
+b AS (SELECT quantile_cont(CAST(cents AS DOUBLE), [{arr}]) AS q FROM v)
+SELECT CAST(1 + {terms} AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(cents) AS BIGINT) AS min_val,
+       CAST(MAX(cents) AS BIGINT) AS max_val
+FROM v CROSS JOIN b
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+@register(
+    "q82_equidepth_histogram",
+    oracle=_hist_oracle(),
+    doc="Equi-depth (decile) histogram of order value WITHOUT a global "
+    "sort: mergeable exact-percentile boundaries + scalar broadcast-"
+    "cross + map-side bucket assignment — the scale-safe replacement "
+    "for ntile() profiling; per-bucket count/min/max in exact cents.",
+)
+def q82_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint").alias("cents")
+    )
+    return equidepth_histogram(o, "cents")

@@ -526,3 +526,93 @@ FROM agg ORDER BY doc_id
 def q71_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return rarity_score(d).orderBy("doc_id")
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, top_k: int = 20,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-k n-gram counts (the raw material of n-gram LM
+    stats, boilerplate detection, and contamination screens).
+
+    One explode + one groupBy: per-task partial counts collapse the
+    exploded stream map-side, so the shuffle carries vocabulary-sized
+    partials, not one row per token occurrence. The top-k is a tiny
+    sort over distinct n-grams. Deterministic tie-break (count desc,
+    gram asc)."""
+    ws = F.split(F.col(text_col), " ")
+    offs = ", ".join(f"ws[i-1+{k}]" for k in range(n))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(ws)-{n - 1}, 0)), i -> concat_ws(' ', {offs}))"
+    )
+    return (
+        df.select(ws.alias("ws"))
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(top_k)
+    )
+
+
+@register(
+    "q80_top_bigrams",
+    oracle="""
+WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+         i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM ws
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram LIMIT 20
+""",
+    doc="Corpus top-20 bigram counts — vocabulary-sized shuffle via "
+    "map-side partial counts over the exploded n-gram stream; "
+    "deterministic (count, gram) tie-break.",
+)
+def q80_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_ngrams(load(spark, sf_dir, "documents"), n=2, top_k=20)
+
+
+def dictionary_encode(
+    df: DataFrame, col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dictionary-encode a low-cardinality string column to dense
+    integer codes (feature hashing's exact sibling; the prep step for
+    categorical columns feeding training).
+
+    The vocabulary is DISTINCT values + dense_rank — a global window,
+    but over the post-distinct relation, whose size is the column's
+    cardinality (sources/labels/languages: thousands at most), not the
+    corpus; it then broadcasts back onto the corpus, so the corpus is
+    never shuffled at all."""
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(F.col(col)).distinct()
+        .withColumn("code", F.dense_rank().over(Window.orderBy(F.col(col))).cast("bigint"))
+    )
+    return df.select(id_col, col).join(F.broadcast(vocab), col)
+
+
+@register(
+    "q81_dictionary_encode",
+    oracle="""
+WITH vocab AS (
+  SELECT source, CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT) AS code
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.source, v.code
+FROM documents d JOIN vocab v ON d.source = v.source
+ORDER BY d.doc_id
+""",
+    doc="Dictionary-encode the source column to dense integer codes: "
+    "vocabulary = distinct + dense_rank (window over the tiny "
+    "post-distinct relation, not the corpus), broadcast back — the "
+    "corpus itself is never shuffled.",
+)
+def q81_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dictionary_encode(d, "source").select("doc_id", "source", "code").orderBy("doc_id")

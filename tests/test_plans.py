@@ -62,7 +62,7 @@ _QUADRATIC_BY_DESIGN = (
     "q24_ann_bruteforce_topk",
     "q68_knn_label_vote",
 )
-_SCALAR_CROSS_OK = ("q48_tfidf_top_terms",)
+_SCALAR_CROSS_OK = ("q48_tfidf_top_terms", "q82_equidepth_histogram")
 
 
 @pytest.mark.parametrize(
