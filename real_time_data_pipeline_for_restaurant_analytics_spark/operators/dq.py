@@ -17,7 +17,7 @@ violation/profile rows instead of eyeballed result grids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -186,6 +186,171 @@ SELECT CAST(1 + {terms} AS BIGINT) AS bucket,
 FROM v CROSS JOIN b
 GROUP BY 1 ORDER BY bucket
 """
+
+
+def volume_anomalies(
+    events: DataFrame, ts_col: str = "ts", type_col: str = "event_type",
+    z_threshold: int = 2, trailing: int = 7, min_history: int = 3,
+) -> DataFrame:
+    """Daily-volume anomaly flags per event type: is today's count more
+    than `z_threshold` sample standard deviations from the trailing
+    `trailing`-day mean? The pipeline-health monitor that catches a
+    broken producer or a duplicating replay before it poisons a day of
+    training data.
+
+    The z-test is EXACT INTEGER arithmetic — no floats anywhere, so it
+    is hash-stable by construction.  With x = today, and (cnt, s, ss) =
+    count/sum/sum-of-squares over the trailing frame:
+
+        z^2 > T^2
+        <=> (x - s/cnt)^2 * (cnt-1) / (ss - s^2/cnt) > T^2
+        <=> (cnt*x - s)^2 * (cnt-1) > T^2 * cnt * (cnt*ss - s^2)
+
+    both sides BIGINT (daily counts up to ~1e9 stay inside 64 bits for
+    week-long frames; beyond that, widen the squared terms to
+    DECIMAL(38,0) — the comparison, not the output, so hash stability
+    is unaffected).  Scale shape: one groupBy(type, day) whose shuffle
+    carries per-task partial counts (days x types rows, not events),
+    then a window over the tiny daily relation partitioned by type —
+    never a global sort."""
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    x = F.col("n_events")
+    cnt = F.count(x).over(w).cast("bigint")
+    s = F.sum(x).over(w).cast("bigint")
+    ss = F.sum(x * x).over(w).cast("bigint")
+    dev = cnt * x - s
+    lhs = dev * dev * (cnt - 1)
+    rhs = F.lit(z_threshold * z_threshold) * cnt * (cnt * ss - s * s)
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            cnt.alias("trailing_days"),
+            F.coalesce(s, F.lit(0)).alias("trailing_sum"),
+            F.when((cnt >= min_history) & (lhs > rhs), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "q85_volume_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+framed AS (
+  SELECT event_type, day, n_events,
+         CAST(COUNT(n_events) OVER w AS BIGINT) AS cnt,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+       cnt AS trailing_days,
+       COALESCE(s, 0) AS trailing_sum,
+       CAST(CASE WHEN cnt >= 3
+                  AND (cnt*n_events - s) * (cnt*n_events - s) * (cnt - 1)
+                      > 4 * cnt * (cnt*ss - s*s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM framed ORDER BY event_type, day
+""",
+    doc="Daily event-volume anomaly flags (|z| > 2 vs the trailing "
+    "7-day window) in EXACT integer arithmetic — (cnt*x-s)^2*(cnt-1) "
+    "> 4*cnt*(cnt*ss-s^2) — the pipeline-health monitor; shuffle "
+    "carries daily partials, window runs over the tiny daily relation.",
+)
+def q85_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return volume_anomalies(load(spark, sf_dir, "events"))
+
+
+def vector_profile(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding-column health profile: vector counts, dim
+    drift, NaN/null payloads, zero vectors, and norm spread — the
+    column_profile idea extended to `array<float>` columns, which the
+    training pipeline must gate before any ANN/dedup stage trusts them.
+
+    Everything is one map-side fold per vector (size / isnan-count /
+    micro-quantized squared norm) followed by a single group-count
+    aggregate — no shuffle carries vectors, only the per-vector scalar
+    triple. Norms travel as exact integer micro^2 units (components
+    micro-quantized with the q23 floor(x*1e6+0.5) convention, then
+    squared and summed: <= ~6e12 per vector, BIGINT-safe), and the
+    group mean is exact integer division, so the output is hash-stable
+    across engines."""
+    q = f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    per_vec = emb.select(
+        F.col(group_col),
+        F.size(vec_col).cast("bigint").alias("dim"),
+        F.expr(
+            f"aggregate({vec_col}, 0L, (acc, x) -> acc + CAST(isnan(x) AS BIGINT))"
+        ).alias("n_nan"),
+        F.expr(f"aggregate({q}, 0L, (acc, x) -> acc + x * x)").alias("norm_sq"),
+    )
+    return (
+        per_vec.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct("dim").cast("bigint").alias("n_distinct_dims"),
+            F.sum((F.col("n_nan") > 0).cast("bigint")).alias("n_with_nan"),
+            F.sum((F.col("norm_sq") == 0).cast("bigint")).alias("n_zero_vecs"),
+            F.min("norm_sq").alias("min_norm_sq_micro2"),
+            F.max("norm_sq").alias("max_norm_sq_micro2"),
+            F.expr("sum(norm_sq) DIV count(1)").alias("avg_norm_sq_micro2"),
+        )
+        .orderBy(group_col)
+    )
+
+
+@register(
+    "q83_vector_dq_profile",
+    oracle="""
+WITH per_vec AS (
+  SELECT label,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(list_sum(list_transform(embedding, x -> CAST(isnan(x) AS BIGINT))) AS BIGINT) AS n_nan,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS norm_sq
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+       CAST(SUM(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+       CAST(SUM(CASE WHEN norm_sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+       CAST(MIN(norm_sq) AS BIGINT) AS min_norm_sq_micro2,
+       CAST(MAX(norm_sq) AS BIGINT) AS max_norm_sq_micro2,
+       CAST(SUM(norm_sq) // COUNT(*) AS BIGINT) AS avg_norm_sq_micro2
+FROM per_vec GROUP BY label ORDER BY label
+""",
+    doc="Embedding-column health profile per label: dim drift, NaN "
+    "payloads, zero vectors, micro^2-integer norm spread — the DQ gate "
+    "an ANN/dedup stage needs before trusting a vector column; one "
+    "map-side fold per vector, shuffle carries only scalar triples.",
+)
+def q83_vector_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vector_profile(load(spark, sf_dir, "embeddings"))
 
 
 @register(

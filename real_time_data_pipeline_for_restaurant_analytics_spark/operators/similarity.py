@@ -795,28 +795,15 @@ def _km_assign(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_lloyd(
+def kmeans_assignments(
     emb: DataFrame, k: int = _KM_K, n_iter: int = _KM_ITERS,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means over micro-quantized embeddings — the training
-    loop behind the IVF coarse quantizer (q34) and the label centroids
-    (q67), engine-exact by construction.
-
-    Determinism: elements quantized to BIGINT micro-units up front;
-    init = the k lowest ids' vectors; distances are integer sums (no
-    float order sensitivity); recomputed centroids are
-    floor(int_sum / n) via one IEEE division of exact ints. So every
-    iteration is bit-reproducible across engines — the DuckDB oracle
-    replays the identical unrolled iterations.
-
-    Scale shape per round: assignment is map-side (centroids are a
-    literal, see _km_assign); the recompute groupBy(cluster, pos)
-    shuffles only k×dim rows after map-side partial aggregation; the
-    driver collects k×dim ints (KBs) to rebuild the literal — the
-    inherent sync point of an iterative algorithm (same pattern as the
-    connected-components rounds, dedup.py). Corpus text/vectors are
-    never shuffled."""
+    """The Lloyd loop of kmeans_lloyd, stopping at the final
+    assignment relation (vec_id, em, cluster, d) — reused by the
+    semantic-dedup stage, which needs per-vector clusters rather than
+    the per-cluster summary. See kmeans_lloyd for the determinism and
+    scale contract."""
     micro = F.expr(
         f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
@@ -842,6 +829,32 @@ def kmeans_lloyd(
             [cmap[c][p] for p in sorted(cmap[c])] for c in sorted(cmap)
         ]
         assigned = _km_assign(base, centroids)
+    return assigned
+
+
+def kmeans_lloyd(
+    emb: DataFrame, k: int = _KM_K, n_iter: int = _KM_ITERS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over micro-quantized embeddings — the training
+    loop behind the IVF coarse quantizer (q34) and the label centroids
+    (q67), engine-exact by construction.
+
+    Determinism: elements quantized to BIGINT micro-units up front;
+    init = the k lowest ids' vectors; distances are integer sums (no
+    float order sensitivity); recomputed centroids are
+    floor(int_sum / n) via one IEEE division of exact ints. So every
+    iteration is bit-reproducible across engines — the DuckDB oracle
+    replays the identical unrolled iterations.
+
+    Scale shape per round: assignment is map-side (centroids are a
+    literal, see _km_assign); the recompute groupBy(cluster, pos)
+    shuffles only k×dim rows after map-side partial aggregation; the
+    driver collects k×dim ints (KBs) to rebuild the literal — the
+    inherent sync point of an iterative algorithm (same pattern as the
+    connected-components rounds, dedup.py). Corpus text/vectors are
+    never shuffled."""
+    assigned = kmeans_assignments(emb, k, n_iter, id_col, vec_col)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -854,7 +867,11 @@ def kmeans_lloyd(
     )
 
 
-def _kmeans_oracle() -> str:
+def _km_oracle_ctes() -> str:
+    """The WITH-clause prefix that replays the unrolled Lloyd
+    iterations in DuckDB, ending with the final assignment relation
+    a{iters-1}(vec_id, cluster, d). Shared by the q79 summary oracle
+    and the q87 semantic-dedup oracle."""
     k, iters = _KM_K, _KM_ITERS
     head = f"""
 WITH base AS (
@@ -893,12 +910,15 @@ c{i + 1} AS (
   FROM a{i} a JOIN ex ON a.vec_id = ex.vec_id
   GROUP BY 1, 2
 )""")
-    tail = f"""
+    return head + "".join(steps)
+
+
+def _kmeans_oracle() -> str:
+    return _km_oracle_ctes() + f"""
 SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST(CAST(SUM(d) AS DECIMAL(38,0)) AS VARCHAR) AS inertia
-FROM a{iters - 1} GROUP BY cluster ORDER BY cluster
+FROM a{_KM_ITERS - 1} GROUP BY cluster ORDER BY cluster
 """
-    return head + "".join(steps) + tail
 
 
 @register(
@@ -913,3 +933,247 @@ FROM a{iters - 1} GROUP BY cluster ORDER BY cluster
 )
 def q79_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(load(spark, sf_dir, "embeddings"))
+
+
+_JL_OUT_DIM = 16
+
+
+def _jl_signs(out_dim: int = _JL_OUT_DIM, in_dim: int = _DIM) -> list[list[int]]:
+    """Deterministic +-1 Rademacher sign matrix from md5 — generated
+    once in Python and inlined as literals into BOTH engines (the
+    _hyperplane_weights convention), so the projection is identical by
+    construction and costs no per-row hashing."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:4], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    out_dim: int = _JL_OUT_DIM,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (dim 64 -> 16) with a
+    Rademacher +-1 matrix — the standard cheapening step before ANN /
+    clustering when the embedding dim dominates cost (distances are
+    preserved within (1+-eps) w.h.p.; Achlioptas 2003 shows +-1
+    entries suffice, no Gaussians needed).
+
+    Components are micro-quantized to BIGINT first (the q23
+    floor(x*1e6+0.5) convention), so each output coordinate is an
+    EXACT integer signed sum — hash-stable, no float accumulation
+    order to disagree on. Entirely map-side: the sign matrix rides as
+    array literals through whole-stage codegen; the only shuffle is
+    the final presentation sort. Emits one row per (vec, out-dim) plus
+    the per-vector JL distortion read: ratio_milli =
+    floor(|proj|^2 * in_dim * 1000 / (out_dim * |orig|^2)) — ~1000
+    when the embedding geometry survives the projection."""
+    signs = _jl_signs(out_dim)
+    m = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    d = emb.select(F.col(id_col), m.alias("m"))
+    projs = []
+    for j, row in enumerate(signs):
+        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
+        dot = F.aggregate(
+            F.zip_with(F.col("m"), sarr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        projs.append(F.struct(F.lit(j).cast("bigint").alias("out_dim"), dot.alias("proj_micro")))
+    d = d.select(
+        id_col,
+        F.array(*projs).alias("p"),
+        F.expr("aggregate(m, 0L, (acc, x) -> acc + x * x)").alias("orig_sq"),
+    )
+    return (
+        d.select(
+            id_col,
+            F.explode("p").alias("pp"),
+            (
+                F.expr(
+                    "aggregate(p, 0L, (acc, s) -> acc + s.proj_micro * s.proj_micro)"
+                )
+                * _DIM * 1000
+            ).alias("proj_sq_scaled"),
+            "orig_sq",
+        )
+        .select(
+            F.col(id_col),
+            F.col("pp.out_dim").alias("out_dim"),
+            F.col("pp.proj_micro").alias("proj_micro"),
+            F.when(F.col("orig_sq") == 0, F.lit(0))
+            .otherwise(F.expr(f"proj_sq_scaled DIV (orig_sq * {out_dim})"))
+            .cast("bigint")
+            .alias("distortion_milli"),
+        )
+        .orderBy(id_col, "out_dim")
+    )
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    vals = ",\n  ".join(
+        "({}, [{}])".format(j, ", ".join(str(s) for s in row))
+        for j, row in enumerate(signs)
+    )
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS m
+  FROM embeddings
+),
+signs(j, s) AS (VALUES
+  {vals}
+),
+proj AS (
+  SELECT m.vec_id, CAST(signs.j AS BIGINT) AS out_dim,
+         CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+              i -> m.m[i] * signs.s[i])) AS BIGINT) AS proj_micro
+  FROM m CROSS JOIN signs
+),
+norms AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(m, x -> x * x)) AS BIGINT) AS orig_sq
+  FROM m
+),
+psum AS (
+  SELECT vec_id, CAST(SUM(proj_micro * proj_micro) AS BIGINT) AS proj_sq FROM proj GROUP BY vec_id
+)
+SELECT p.vec_id, p.out_dim, p.proj_micro,
+       CAST(CASE WHEN n.orig_sq = 0 THEN 0
+                 ELSE (ps.proj_sq * {_DIM} * 1000) // (n.orig_sq * {_JL_OUT_DIM})
+            END AS BIGINT) AS distortion_milli
+FROM proj p JOIN norms n USING (vec_id) JOIN psum ps USING (vec_id)
+ORDER BY p.vec_id, p.out_dim
+"""
+
+
+@register(
+    "q86_jl_projection",
+    oracle=_jl_oracle(),
+    doc=f"Johnson-Lindenstrauss Rademacher projection {_DIM}->{_JL_OUT_DIM} "
+    "over micro-quantized embeddings — exact integer signed sums "
+    "(hash-stable by construction), sign matrix inlined as literals in "
+    "both engines, entirely map-side; per-vector distortion_milli "
+    "reads ~1000 when distances survive, the cheapening step before "
+    "ANN/clustering when dim dominates cost.",
+)
+def q86_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jl_project(load(spark, sf_dir, "embeddings"))
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+def semantic_dedup(
+    emb: DataFrame, tau: float = _SEMDEDUP_TAU,
+    k: int = _KM_K, n_iter: int = _KM_ITERS,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus with k-means, then look for near-duplicate
+    cosine pairs ONLY within each cluster, and drop every vector that
+    has a kept (lower-id) near-neighbor in its cluster.
+
+    This is the scale story of embedding dedup: the q23 all-pairs
+    kernel is O(n^2) over the corpus; clustering first makes the pair
+    stage O(sum of cluster_size^2) — with balanced clusters an
+    n/k-fold reduction — while catching the same semantic duplicates,
+    which land in the same cluster by construction. The pair stage is
+    a cluster-keyed equi-self-join (shuffle on cluster id, quadratic
+    only within a cluster — the LSH-bucket shape, with the q21 cap
+    story available if a cluster degenerates).
+
+    Determinism: assignments come from the engine-exact Lloyd loop
+    (kmeans_assignments); dot products and squared norms are exact
+    integer sums over micro-quantized components; cosine divides those
+    exact ints in IEEE doubles (both engines: identical inputs ->
+    identical result). Emits one row per vector: cluster, is_kept, and
+    the id of the kept duplicate it lost to (or NULL)."""
+    assigned = kmeans_assignments(emb, k, n_iter)
+    nsq = F.expr("aggregate(em, 0L, (acc, x) -> acc + x * x)")
+    a = assigned.select("vec_id", "cluster", "em").withColumn("nsq", nsq)
+    left = a.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("em").alias("em_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    right = a.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("em").alias("em_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("em_a", "em_b", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dup_pairs = (
+        left.join(right, on="cluster")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .withColumn("cos_sim", dot / (F.sqrt("nsq_a") * F.sqrt("nsq_b")))
+        .filter(F.col("cos_sim") >= tau)
+        .groupBy("drop_id")
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    return (
+        a.select("vec_id", "cluster")
+        .join(dup_pairs, a.vec_id == dup_pairs.drop_id, "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("dup_of").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_kept"),
+            F.col("dup_of").cast("bigint"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_oracle() -> str:
+    last = f"a{_KM_ITERS - 1}"
+    return _km_oracle_ctes() + f""",
+nv AS (
+  SELECT b.vec_id, a.cluster, b.em,
+         CAST(list_sum(list_transform(b.em, x -> x * x)) AS BIGINT) AS nsq
+  FROM base b JOIN {last} a USING (vec_id)
+),
+dups AS (
+  SELECT y.vec_id AS drop_id, CAST(MIN(x.vec_id) AS BIGINT) AS dup_of
+  FROM nv x JOIN nv y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, len(x.em)),
+             i -> x.em[i] * y.em[i])) AS DOUBLE)
+        / (sqrt(x.nsq) * sqrt(y.nsq)) >= {_SEMDEDUP_TAU}
+  GROUP BY y.vec_id
+)
+SELECT nv.vec_id, nv.cluster,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept,
+       d.dup_of
+FROM nv LEFT JOIN dups d ON nv.vec_id = d.drop_id
+ORDER BY nv.vec_id
+"""
+
+
+@register(
+    "q87_semantic_dedup",
+    oracle=_semdedup_oracle(),
+    doc=f"SemDeDup-style semantic dedup: k-means cluster (k={_KM_K}, "
+    "engine-exact Lloyd), then cosine near-dup pairs ONLY within each "
+    "cluster (cluster-keyed self-join — O(sum cluster_size^2), the "
+    "n/k-fold reduction over the q23 all-pairs kernel), drop vectors "
+    "with a kept lower-id neighbor at tau=0.4; per-vector keep flag + "
+    "dup_of witness, exact integer dots over micro-quantized vectors.",
+)
+def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(load(spark, sf_dir, "embeddings"))

@@ -616,3 +616,60 @@ ORDER BY d.doc_id
 def q81_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dictionary_encode(d, "source").select("doc_id", "source", "code").orderBy("doc_id")
+
+
+def corpus_language_report(df: DataFrame) -> DataFrame:
+    """Per-language corpus composition report — the first table any
+    dataset card publishes (doc/token/char shares per language) and
+    the input to the q59 mixture-allocation step.
+
+    One pass: token counts are a map-side `size(split(...))`, then a
+    single language-keyed aggregate whose shuffle carries one partial
+    row per (task, lang). Chars-per-token (tokenizer-fertility proxy)
+    is exact integer milli via BIGINT division, so the report is
+    hash-stable across engines."""
+    per_doc = df.select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.expr("sum(n_chars) * 1000 DIV sum(n_tokens)").alias("chars_per_token_milli"),
+            F.expr("sum(n_tokens) DIV count(1)").alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q84_language_report",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) * 1000 // SUM(n_tokens) AS BIGINT) AS chars_per_token_milli,
+       CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS avg_tokens_per_doc
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    doc="Per-language corpus composition (docs/tokens/chars/source "
+    "counts + integer-milli chars-per-token fertility proxy) — the "
+    "dataset-card table and the input to q59's mixture allocation; "
+    "one pass, language-keyed partial aggregate.",
+)
+def q84_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_language_report(load(spark, sf_dir, "documents"))
