@@ -309,8 +309,8 @@ def q72_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("e_start"),
-        (F.col("ts").cast("long") + 3600).alias("e_end"),
+        F.col("ts").cast("timestamp").cast("long").alias("e_start"),
+        (F.col("ts").cast("timestamp").cast("long") + 3600).alias("e_end"),
     )
     j = interval_overlap_join(
         orders, ev, "user_id", "o_start", "o_end", "e_start", "e_end"
