@@ -46,29 +46,44 @@ def main() -> None:
     # (measured as 8x noise on q30 without this).
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     python_kernel: set[str] = set()
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        df = qs[name].build(spark, warm_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if "InPandas" in plan or "ArrowEvalPython" in plan:
-            python_kernel.add(name)
-        df.write.format("noop").mode("overwrite").save()
+        # One broken query must never zero the whole bench (round-2
+        # postmortem: a single AnalysisException in the warm-up loop
+        # left the round with no numbers at all). Record and move on.
+        try:
+            df = qs[name].build(spark, warm_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "InPandas" in plan or "ArrowEvalPython" in plan:
+                python_kernel.add(name)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: WARMUP FAILED {type(exc).__name__}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        if name in errors:
+            continue
         q = qs[name]
-        if name in python_kernel:
-            q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        # settle the heap before timing: stray young-gen GCs from the
-        # previous query otherwise land inside this query's window
-        # (sub-second queries jump 3-4x run-to-run without this)
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        # noop sink: forces full evaluation of every output column
-        # (count() alone would let Catalyst prune the projections).
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        try:
+            if name in python_kernel:
+                q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            # settle the heap before timing: stray young-gen GCs from the
+            # previous query otherwise land inside this query's window
+            # (sub-second queries jump 3-4x run-to-run without this)
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            df = q.build(spark, sf_dir)
+            # noop sink: forces full evaluation of every output column
+            # (count() alone would let Catalyst prune the projections).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"timed: {type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
+            continue
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
@@ -81,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -425,3 +425,65 @@ def q59_source_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame
     return mixture_allocation(
         d, "source", "n_toks", _MIX_TARGETS, default_ppm=_MIX_DEFAULT
     ).orderBy("source")
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the k
+    rows with the smallest integer priority
+
+        priority = (u * 1_000_000) DIV w,   u = md5(id) first 8 hex
+
+    — an integer-exact Efraimidis–Spirakis-style scheme (key u^(1/w)
+    replaced by its monotone integer proxy u/w): a row with twice the
+    weight halves its priority and doubles its selection odds, and the
+    draw is a pure function of the id, so reruns, repartitioning, and
+    engines all pick the same k rows. All arithmetic is BIGINT
+    (u < 2^32, ×1e6 < 2^52 — no float rounding anywhere).
+
+    Scale shape: priority is map-side; global top-k is TakeOrdered
+    (per-partition partial top-k, then a k-row merge on the driver
+    path of the sort-limit operator) — never a full global sort.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            F.expr(
+                f"(CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10)"
+                f" AS BIGINT) * 1000000) DIV CAST({weight_col} AS BIGINT)"
+            ).alias("priority"),
+        )
+        .orderBy("priority", id_col)
+        .limit(k)
+    )
+
+
+_WPS_K = 25
+
+_WPS_ORACLE = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 1000000)
+         // n_chars AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {_WPS_K}
+"""
+
+
+@register(
+    "q89_weighted_sample",
+    oracle=_WPS_ORACLE,
+    doc="Deterministic weighted sampling without replacement: integer "
+    "Efraimidis–Spirakis priority (md5 draw DIV weight), global top-k "
+    "via TakeOrdered — length-weighted corpus subsampling that is "
+    "rerun- and engine-stable.",
+)
+def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return weighted_priority_sample(d, "doc_id", "n_chars", _WPS_K)

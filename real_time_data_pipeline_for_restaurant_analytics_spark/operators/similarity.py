@@ -1177,3 +1177,118 @@ ORDER BY nv.vec_id
 )
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load(spark, sf_dir, "embeddings"))
+
+
+_PQ_M = 4  # subspaces per vector
+_PQ_K = 4  # codebook size per subspace; training set = vec_id < _PQ_K
+
+
+def pq_assign_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = _PQ_M,
+    k: int = _PQ_K,
+) -> DataFrame:
+    """Product-quantization code assignment: split each int8-quantized
+    vector into ``n_sub`` subvectors and map each to its nearest
+    codebook entry (integer L2), emitting (id, m, code, sqerr).
+
+    PQ is the memory layer under disk-scale ANN (IVF-PQ): 64 float
+    dims collapse to ``n_sub`` byte codes. The whole assignment is
+    engine-exact because it runs on the int8-quantized grid (the q57
+    kernel) — distances are BIGINT folds with no float tie ambiguity.
+
+    Scale shape: the codebook (n_sub×k subvectors, here trained as
+    the first ``k`` vectors' subvectors — q79's Lloyd loop is the real
+    trainer) is collected into a per-subspace array and broadcast;
+    assignment is then a map-side ``array_min`` over k candidates
+    inside whole-stage codegen. One corpus scan, zero shuffles for the
+    assignment itself; struct ordering (sqerr, code) breaks ties to
+    the lowest code deterministically.
+    """
+    dim = _vec_dim(emb, vec_col) or n_sub
+    sub = dim // n_sub
+    base = (
+        spread(emb, id_col)
+        .select(F.col(id_col), F.col(vec_col).alias("v"), _max_abs(vec_col).alias("_ma"))
+        .select(F.col(id_col), _quantized("v", "_ma").alias("qv"))
+    )
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("bigint").alias("m"),
+                F.slice("qv", mi * sub + 1, sub).alias("sub"),
+            )
+            for mi in range(n_sub)
+        ]
+    )
+    subs = base.select(F.col(id_col), F.explode(pieces).alias("p")).select(
+        F.col(id_col), F.col("p.m").alias("m"), F.col("p.sub").alias("sub")
+    )
+    cents = (
+        subs.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cent_id"), "m", F.col("sub").alias("csub"))
+        .groupBy("m")
+        .agg(F.sort_array(F.collect_list(F.struct("cent_id", "csub"))).alias("cents"))
+    )
+    best = F.expr(
+        "array_min(transform(cents, c -> named_struct("
+        "'d', aggregate(zip_with(sub, c.csub, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x),"
+        "'cid', CAST(c.cent_id AS BIGINT))))"
+    )
+    return (
+        subs.join(F.broadcast(cents), "m")
+        .select(F.col(id_col), "m", best.alias("b"))
+        .select(
+            F.col(id_col),
+            F.col("m"),
+            F.col("b.cid").alias("code"),
+            F.col("b.d").cast("bigint").alias("sqerr"),
+        )
+    )
+
+
+_PQ_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+         embedding AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+         END AS qv
+  FROM base
+), subs AS (
+  SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sub
+  FROM q, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m)
+), cents AS (
+  SELECT vec_id AS cent_id, m, sub AS csub FROM subs WHERE vec_id < {_PQ_K}
+), d AS (
+  SELECT s.vec_id, s.m, c.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, 16),
+              i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))) AS BIGINT) AS dist
+  FROM subs s JOIN cents c ON s.m = c.m
+)
+SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(cent_id AS BIGINT) AS code, dist AS sqerr
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_id) = 1
+ORDER BY vec_id, m
+"""
+
+
+@register(
+    "q92_pq_codes",
+    oracle=_PQ_ORACLE,
+    doc="Product-quantization code assignment: int8-quantized vectors "
+    "split into 4 subspaces, each mapped to its nearest of 4 codebook "
+    "entries by integer L2 — broadcast codebook, map-side array_min "
+    "argmin, zero assignment shuffles. The memory layer of IVF-PQ ANN.",
+)
+def q92_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_assign_codes(emb).orderBy("vec_id", "m")

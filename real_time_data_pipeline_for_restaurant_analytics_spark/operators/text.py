@@ -673,3 +673,57 @@ FROM per_doc GROUP BY lang ORDER BY lang
 )
 def q84_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_language_report(load(spark, sf_dir, "documents"))
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_k: int = 10
+) -> DataFrame:
+    """The counting step of a BPE-tokenizer training iteration: count
+    every adjacent character pair inside every word and keep the
+    ``top_k`` merge candidates ((count DESC, pair) — deterministic).
+
+    This is the map-reduce kernel BPE repeats per merge: at 100 TB
+    each executor emits per-partition partial pair counts (map-side
+    combine), the shuffle carries only the pair vocabulary (bounded by
+    charset², thousands of keys — not corpus rows), and top-k is
+    TakeOrdered over ≤|vocab| counts. The driver-side merge decision
+    (pick winner, update the segmentation) is the inherently
+    sequential part of BPE; each iteration's heavy lifting is exactly
+    this query.
+    """
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_k)
+    )
+
+
+@register(
+    "q93_bpe_pair_scan",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), p AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM w WHERE len(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 10
+""",
+    doc="BPE merge-candidate scan: adjacent in-word character-pair "
+    "counts, top-10 by frequency — the per-iteration map-reduce kernel "
+    "of tokenizer training; shuffle carries the pair vocabulary, never "
+    "corpus rows.",
+)
+def q93_bpe_pair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_counts(load(spark, sf_dir, "documents"))

@@ -714,3 +714,50 @@ def q62_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "q94_hopping_window",
+    oracle="""
+WITH w AS (
+  SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 900 * k.k) AS ws, value
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT ws AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS value_cents
+FROM w GROUP BY ws ORDER BY ws
+""",
+    doc="Hopping-window aggregation (1 h windows sliding every 15 min) "
+    "over the event stream — the batch twin of the streaming windowed "
+    "KPI (each event lands in exactly 4 windows; Spark's EXPAND emits "
+    "the replicas map-side, partial-aggregates, and shuffles only "
+    "window keys). Window starts as epoch-second BIGINT.",
+)
+def q94_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``F.window(ts, "1 hour", "15 minutes")`` —
+    identical window-start math to Structured Streaming's sliding
+    windows (streaming/windows.py's hourly KPI is the 1-window/event
+    special case), so this plan is the drop-in batch backfill for that
+    stream. Reference analog: the consumption layer's hourly KPI
+    dashboards (SURVEY §3.3) generalized to overlapping windows."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp").cast("long").alias("window_start"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("window_start")
+    )

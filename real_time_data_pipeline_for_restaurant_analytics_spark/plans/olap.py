@@ -267,3 +267,64 @@ def q52_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ma7_micro"),
         F.sum("revenue_cents").over(wcum).cast("bigint").alias("cum_revenue_cents"),
     ).orderBy("day")
+
+
+@register(
+    "q91_grouping_sets",
+    oracle="""
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+       COALESCE(CAST(EXTRACT(year FROM o.o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       COALESCE(o.o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(c.c_mktsegment) * 4
+            + GROUPING(EXTRACT(year FROM o.o_orderdate)) * 2
+            + GROUPING(o.o_orderpriority) AS BIGINT) AS gid,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c.c_mktsegment, EXTRACT(year FROM o.o_orderdate)),
+                        (o.o_orderpriority), ())
+ORDER BY gid, segment, order_year, priority
+""",
+    doc="Custom GROUPING SETS — (segment,year), (priority), grand "
+    "total — the dashboard set CUBE (q75) and ROLLUP (q40) can't "
+    "express without computing unwanted combinations. One expand+"
+    "shuffle pass instead of three queries; exact integer cents.",
+)
+def q91_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set lattice in one pass.
+
+    Spark's EXPAND physical operator replicates each input row once
+    per grouping set BEFORE the shuffle, and partial aggregation
+    applies per set — so the cost is sets×scan map-side and the
+    shuffle carries only partial states, same as q75's CUBE. Reference
+    analog: the consumption-layer KPI dashboards recompute each
+    granularity as its own query (SURVEY §3.3); this is the fused
+    form.
+    """
+    from pyspark.sql.functions import broadcast
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast(MONEY).alias("price"),
+    )
+    return (
+        joined.groupingSets([["seg", "yr"], ["prio"], []], "seg", "yr", "prio")
+        .agg(
+            F.grouping_id().alias("gid"),
+            (F.sum("price") * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("seg", F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            F.coalesce("prio", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "revenue_cents",
+            "n_orders",
+        )
+        .orderBy("gid", "segment", "order_year", "priority")
+    )

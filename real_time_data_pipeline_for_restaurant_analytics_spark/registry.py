@@ -47,9 +47,11 @@ def all_queries() -> dict[str, Query]:
         approx,
         asof,
         bloom,
+        cdc,
         curation,
         dedup,
         dq,
+        layout,
         multimodal,
         sampling,
         similarity,

@@ -1,0 +1,129 @@
+"""Round-3 operator kernels: z-order layout, weighted priority
+sampling, snapshot-diff CDC, product quantization, BPE pair scan.
+
+Each test pins the kernel's semantics against a hand-computed or
+pure-Python reference on crafted rows — the oracle parity tests cover
+the registered end-to-end queries; these cover the edge semantics the
+testdata doesn't exercise (deletes in CDC, exact bit interleaves,
+self-assignment of PQ training vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.cdc import snapshot_diff
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+    zorder_bucket_audit,
+    zorder_key,
+)
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+    weighted_priority_sample,
+)
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+    pq_assign_codes,
+)
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import (
+    bpe_pair_counts,
+)
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (5, 3), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT").withColumn(
+        "z", zorder_key("x", "y")
+    )
+    for x, y, z in df.collect():
+        assert z == _py_morton(x, y), (x, y)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    # A z-bucket of the top 2k bits confines BOTH keys to aligned
+    # 2^(16-k) ranges — the file-skipping guarantee. With 6 bucket
+    # bits (3 per dim) over 8-bit keys, each span must be < 2^13.
+    rows = [(i * 37 % 256, i * 91 % 256) for i in range(1000)]
+    df = spark.createDataFrame(rows, "x BIGINT, y BIGINT")
+    audit = zorder_bucket_audit(df, "x", "y", n_bucket_bits=6).collect()
+    assert sum(r["n_rows"] for r in audit) == 1000
+    for r in audit:
+        assert r["x_max"] - r["x_min"] < 1 << 13
+        assert r["y_max"] - r["y_min"] < 1 << 13
+
+
+def test_weighted_priority_sample_matches_python(spark):
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, w BIGINT")
+    got = [
+        (r["id"], r["priority"])
+        for r in weighted_priority_sample(df, "id", "w", k=15).collect()
+    ]
+
+    def prio(i: int, w: int) -> int:
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return u * 1_000_000 // w
+
+    want = sorted(((prio(i, w), i) for i, w in rows))[:15]
+    assert got == [(i, p) for p, i in want]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # identical ids hashed uniformly; weight 1000 vs 1 → the heavy
+    # half must dominate a k=50 draw from 100+100 rows
+    rows = [(i, 1000) for i in range(100)] + [(i, 1) for i in range(100, 200)]
+    df = spark.createDataFrame(rows, "id BIGINT, w BIGINT")
+    picked = weighted_priority_sample(df, "id", "w", k=50).collect()
+    heavy = sum(1 for r in picked if r["id"] < 100)
+    assert heavy >= 45
+
+
+def test_snapshot_diff_all_four_classes(spark):
+    old = spark.createDataFrame(
+        [(1, 5, 100), (2, 3, 50), (3, 1, 10)], "k BIGINT, n BIGINT, cents BIGINT"
+    )
+    new = spark.createDataFrame(
+        [(2, 3, 50), (3, 2, 20), (4, 7, 70)], "k BIGINT, n BIGINT, cents BIGINT"
+    )
+    out = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, key=["k"], value_cols=["n", "cents"]).collect()
+    }
+    assert out[1]["change_type"] == "delete" and out[1]["new_n"] == -1
+    assert out[2]["change_type"] == "unchanged"
+    assert out[3]["change_type"] == "update" and out[3]["old_cents"] == 10
+    assert out[4]["change_type"] == "insert" and out[4]["old_n"] == -1
+    assert len(out) == 4
+
+
+def test_pq_training_vectors_code_themselves(spark, sf=None):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = pq_assign_codes(emb)
+    train = codes.filter(F.col("vec_id") < 4).collect()
+    # every training vector's subvector is its own centroid: sqerr 0,
+    # code == vec_id (ties impossible at dist 0 unless duplicates)
+    for r in train:
+        assert r["sqerr"] == 0
+        assert r["code"] == r["vec_id"]
+    # codes live in [0, K)
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] <= 3
+
+
+def test_bpe_pair_counts_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "aab ab"), (2, "b aab")], "doc_id BIGINT, text STRING"
+    )
+    # words: aab, ab, b, aab → pairs: aa,ab | ab | — | aa,ab
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, top_k=10).collect()}
+    assert got == {"aa": 2, "ab": 3}
