@@ -956,3 +956,99 @@ def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 == 4)
     base = d.filter(F.col("doc_id") % 5 != 4)
     return dedup_against_base(base, new, "doc_id", "text").orderBy("new_id", "base_id")
+
+
+def source_minhash_similarity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    n_perm: int = N_PERM,
+) -> DataFrame:
+    """Corpus-level Jaccard similarity BETWEEN sources from mergeable
+    MinHash signatures: a group's signature component p is the min of
+    md5('<p>|'||shingle) over every shingle in the group — min is
+    associative/commutative, so the per-group signature is an ordinary
+    partial aggregate (one shuffle of n_perm hex strings per group,
+    never shingles), exactly how q73 merges HLL sketches.
+
+    Pairwise estimate: matching components / n_perm ≈ Jaccard of the
+    two sources' shingle SETS (the MinHash estimator; n_perm=16 →
+    ±~12% stderr — a composition-dashboard read, not a dedup verdict).
+    The pair join is |sources|², tiny by construction at any corpus
+    size. Integer outputs only.
+    """
+    base = docs.select(
+        F.col(group_col).alias("grp"), words(text_col).alias("ws")
+    ).select(F.col("grp"), shingle_array("ws", n).alias("sharr"))
+    base = base.filter(F.size("sharr") > 0)
+
+    def comp(p: int) -> Column:
+        return F.min(
+            F.array_min(
+                F.transform(F.col("sharr"), lambda s: F.md5(F.concat(F.lit(f"{p}|"), s)))
+            )
+        ).alias(f"mh{p}")
+
+    sig = base.groupBy("grp").agg(*[comp(p) for p in range(n_perm)])
+    a = sig.select(F.col("grp").alias("source1"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(n_perm)])
+    b = sig.select(F.col("grp").alias("source2"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(n_perm)])
+    match_sum = None
+    for p in range(n_perm):
+        t = F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        match_sum = t if match_sum is None else match_sum + t
+    return (
+        a.join(b, F.col("source1") < F.col("source2"))
+        .select(
+            "source1",
+            "source2",
+            match_sum.cast("bigint").alias("n_match"),
+        )
+        .withColumn(
+            "jaccard_permille",
+            F.expr(f"(1000 * n_match) DIV {n_perm}").cast("bigint"),
+        )
+        .orderBy("source1", "source2")
+    )
+
+
+def _src_minhash_oracle(n_perm: int = N_PERM) -> str:
+    comps = ",\n         ".join(
+        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(n_perm)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{p} = b.mh{p} THEN 1 ELSE 0 END)" for p in range(n_perm)
+    )
+    return f"""
+WITH ws AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+  FROM ws
+),
+sig AS (
+  SELECT source,
+         {comps}
+  FROM sh GROUP BY source
+)
+SELECT a.source AS source1, b.source AS source2,
+       CAST({matches} AS BIGINT) AS n_match,
+       CAST(1000 * ({matches}) AS BIGINT) // {n_perm} AS jaccard_permille
+FROM sig a JOIN sig b ON a.source < b.source
+ORDER BY source1, source2
+"""
+
+
+@register(
+    "q95_source_minhash_similarity",
+    oracle=_src_minhash_oracle(),
+    doc="Source×source corpus overlap from mergeable MinHash "
+    "signatures: per-source component = MIN(md5(p|shingle)) — an "
+    "ordinary partial aggregate, shuffle carries 16 hex strings per "
+    "source, never shingles; pairwise matching-component estimate of "
+    "shingle-set Jaccard. The sketch-merge pattern of q73 applied to "
+    "set similarity.",
+)
+def q95_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_minhash_similarity(load(spark, sf_dir, "documents"))

@@ -366,3 +366,74 @@ def q82_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint").alias("cents")
     )
     return equidepth_histogram(o, "cents")
+
+
+def partition_fingerprints(
+    df: DataFrame, part_col: Column, content_cols: list[str]
+) -> DataFrame:
+    """Per-partition content fingerprint for incremental-pipeline
+    change detection: which day-partitions changed since the last run
+    (and therefore need their rollups recomputed — the q50 incremental
+    fold's invalidation input, and the batch analog of the reference's
+    copy_history idempotence ledger, `06 Menu Entity.sql:78-79`).
+
+    The fingerprint is (n_rows, h_sum, h_min, h_max) over h =
+    md5(row-content) first 8 hex as BIGINT — every component is an
+    ordinary commutative partial aggregate, so the scan is one pass
+    and the shuffle carries 4 integers per partition. Deliberately NOT
+    md5(string_agg(...)): an order-dependent digest needs a per-
+    partition sort and a collect_list whose memory is the partition
+    size; the component form is mergeable at any scale and
+    order-insensitive by construction. A matching fingerprint is
+    overwhelming (not cryptographic) evidence of unchanged content —
+    the right trade for cache invalidation.
+    """
+    row_h = F.expr(
+        "CAST(conv(substring(md5(concat_ws('|', "
+        + ", ".join(f"CAST({c} AS STRING)" for c in content_cols)
+        + ")), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.select(part_col.alias("part"), row_h.alias("h"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("h_sum"),
+            F.min("h").cast("bigint").alias("h_min"),
+            F.max("h").cast("bigint").alias("h_max"),
+        )
+        .orderBy("part")
+    )
+
+
+@register(
+    "q97_partition_fingerprints",
+    oracle="""
+WITH h AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS part,
+         CAST(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+              CAST(o_orderstatus AS VARCHAR) || '|' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
+              CAST(o_orderpriority AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM orders
+)
+SELECT part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h) AS BIGINT) AS h_sum,
+       CAST(MIN(h) AS BIGINT) AS h_min,
+       CAST(MAX(h) AS BIGINT) AS h_max
+FROM h GROUP BY part ORDER BY part
+""",
+    doc="Month-partition content fingerprints over orders "
+    "(n_rows/h_sum/h_min/h_max of per-row md5-derived ints) — "
+    "mergeable order-insensitive change detection for incremental "
+    "recomputes; one scan, 4 integers per partition on the shuffle.",
+)
+def q97_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return partition_fingerprints(
+        o,
+        F.date_format("o_orderdate", "yyyy-MM"),
+        ["o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)", "o_orderpriority"],
+    )

@@ -761,3 +761,48 @@ def q94_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "q96_event_cooccurrence",
+    oracle="""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+p AS (
+  SELECT a.event_type AS type1, b.event_type AS type2,
+         CAST(COUNT(*) AS BIGINT) AS n_users_both
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type1, type2, n_users_both,
+       CAST(1000 * n_users_both AS BIGINT) // u.n_users AS support_permille
+FROM p, u ORDER BY type1, type2
+""",
+    doc="Event-type co-occurrence mining: users performing both of "
+    "each type pair, with integer-permille support — the market-basket "
+    "support scan. DISTINCT (user,type) first (one shuffle, bounds the "
+    "self-join at |types|² rows per user regardless of event volume), "
+    "pair counts are |types|²-sized, the user total rides in as a "
+    "1-row broadcast cross join.",
+)
+def q96_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    d = e.select("user_id", "event_type").distinct()
+    u = e.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    a = d.select(F.col("user_id"), F.col("event_type").alias("type1"))
+    b = d.select(F.col("user_id").alias("uid2"), F.col("event_type").alias("type2"))
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("uid2")) & (F.col("type1") < F.col("type2")))
+        .groupBy("type1", "type2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users_both"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(u))
+        .select(
+            "type1",
+            "type2",
+            "n_users_both",
+            F.expr("(1000 * n_users_both) DIV n_users").cast("bigint").alias("support_permille"),
+        )
+        .orderBy("type1", "type2")
+    )

@@ -143,12 +143,17 @@ def q50_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = sorted(r[0] for r in partials.select("day").distinct().collect())
     state = None
-    for d in days:
+    for i, d in enumerate(days):
         delta = partials.filter(F.col("day") == F.lit(d)).drop("day")
         state = merge_additive_aggregate(state, delta, ["user_id"])
-        # production folds persist state per refresh; here lineage is
-        # cut the same way so the plan doesn't grow with day count
-        state = state.localCheckpoint()
+        # Production folds persist state per refresh; replaying N
+        # refreshes in one process, a per-day checkpoint would run N
+        # sequential materialization jobs. Cutting lineage every 8
+        # folds keeps the plan depth bounded (the compaction-interval
+        # pattern) at 1/8th the job count — the between-checkpoint
+        # chain is 8 cheap union+reduce steps over key-sized frames.
+        if (i + 1) % 8 == 0:
+            state = state.localCheckpoint()
     return state.select(
         "user_id",
         F.col("n_events").cast("bigint").alias("n_events"),

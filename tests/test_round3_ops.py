@@ -127,3 +127,43 @@ def test_bpe_pair_counts_exact(spark):
     # words: aab, ab, b, aab → pairs: aa,ab | ab | — | aa,ab
     got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs, top_k=10).collect()}
     assert got == {"aa": 2, "ab": 3}
+
+
+def test_partition_fingerprint_is_order_insensitive_and_mergeable(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dq import (
+        partition_fingerprints,
+    )
+
+    rows = [(i, f"v{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "k BIGINT, s STRING")
+    fp = partition_fingerprints(df, F.lit("all"), ["k", "s"]).collect()[0]
+    # shuffled input → identical fingerprint (commutative aggregates)
+    df2 = spark.createDataFrame(list(reversed(rows)), "k BIGINT, s STRING").repartition(7)
+    fp2 = partition_fingerprints(df2, F.lit("all"), ["k", "s"]).collect()[0]
+    assert (fp["n_rows"], fp["h_sum"], fp["h_min"], fp["h_max"]) == (
+        fp2["n_rows"], fp2["h_sum"], fp2["h_min"], fp2["h_max"],
+    )
+    # single changed row → fingerprint moves
+    rows3 = rows[:-1] + [(99, "CHANGED")]
+    fp3 = partition_fingerprints(
+        spark.createDataFrame(rows3, "k BIGINT, s STRING"), F.lit("all"), ["k", "s"]
+    ).collect()[0]
+    assert fp3["h_sum"] != fp["h_sum"]
+
+
+def test_source_minhash_identical_sources_full_match(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        source_minhash_similarity,
+    )
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, "sA", txt), (2, "sB", txt), (3, "sC", "completely different words here entirely")],
+        "doc_id BIGINT, source STRING, text STRING",
+    )
+    out = {
+        (r["source1"], r["source2"]): r["jaccard_permille"]
+        for r in source_minhash_similarity(docs, "source", "text").collect()
+    }
+    assert out[("sA", "sB")] == 1000  # identical shingle sets: every component matches
+    assert out[("sA", "sC")] == 0 and out[("sB", "sC")] == 0
