@@ -127,7 +127,9 @@ def brute_force_topk(
     if (query_ids is None) == (query_filter is None):
         raise ValueError("pass exactly one of query_ids / query_filter")
     pred = query_filter if query_filter is not None else F.col(id_col).isin(query_ids)
-    base = emb.select(F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
+    base = spread(emb, id_col).select(
+        F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm")
+    )
     q = base.filter(pred).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -187,7 +189,7 @@ def lsh_bucket_ann(
         prod = F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y)
         dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
         sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    bucketed = emb.select(
+    bucketed = spread(emb, id_col).select(
         F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm"),
         F.concat(*sign_bits).alias("bucket"),
     )
@@ -263,7 +265,9 @@ def ivf_topk(
         ranked = F.reverse(F.array_sort(F.array(*scored)))
         return F.transform(F.slice(ranked, 1, n), lambda st: st["c"])
 
-    base = emb.select(F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm"))
+    base = spread(emb, id_col).select(
+        F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm")
+    )
     assigned = base.withColumn("cell", best_cells("v", 1)[0])
     probes = (
         base.filter(F.col(id_col) < query_max_id)
@@ -826,7 +830,7 @@ def kmeans_assignments(
     micro = F.expr(
         f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
-    base = emb.select(F.col(id_col).alias("vec_id"), micro.alias("em"))
+    base = spread(emb, id_col).select(F.col(id_col).alias("vec_id"), micro.alias("em"))
     init = base.orderBy("vec_id").limit(k).collect()  # k rows: the init-point read
     centroids = [list(r["em"]) for r in init]
     assigned = _km_assign(base, centroids)
@@ -997,7 +1001,7 @@ def jl_project(
     m = F.expr(
         f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
-    d = emb.select(F.col(id_col), m.alias("m"))
+    d = spread(emb, id_col).select(F.col(id_col), m.alias("m"))
     projs = []
     for j, row in enumerate(signs):
         sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
@@ -1118,7 +1122,16 @@ def semantic_dedup(
     the id of the kept duplicate it lost to (or NULL)."""
     assigned = kmeans_assignments(emb, k, n_iter)
     nsq = F.expr("aggregate(em, 0L, (acc, x) -> acc + x * x)")
-    a = assigned.select("vec_id", "cluster", "em").withColumn("nsq", nsq)
+    # Materialize the final assignment once: it feeds three plan
+    # branches (both self-join sides + the keep/drop projection), and
+    # each would otherwise re-run the k×dim argmin per row. Persisting
+    # assignments is also what the production pipeline does — they are
+    # the clustering's output artifact, not a transient.
+    a = (
+        assigned.select("vec_id", "cluster", "em")
+        .withColumn("nsq", nsq)
+        .localCheckpoint()
+    )
     left = a.select(
         F.col("cluster"),
         F.col("vec_id").alias("keep_id"),
