@@ -964,6 +964,7 @@ def source_minhash_similarity(
     text_col: str = "text",
     n: int = 3,
     n_perm: int = N_PERM,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus-level Jaccard similarity BETWEEN sources from mergeable
     MinHash signatures: a group's signature component p is the min of
@@ -978,7 +979,10 @@ def source_minhash_similarity(
     The pair join is |sources|², tiny by construction at any corpus
     size. Integer outputs only.
     """
-    base = docs.select(
+    # spread by the doc id, not the group: n_perm×shingles md5s per
+    # doc is the hot kernel, and the partial aggregate combines
+    # per-partition minima regardless of where a group's docs live
+    base = spread(docs, id_col).select(
         F.col(group_col).alias("grp"), words(text_col).alias("ws")
     ).select(F.col("grp"), shingle_array("ws", n).alias("sharr"))
     base = base.filter(F.size("sharr") > 0)

@@ -437,3 +437,66 @@ def q97_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus",
         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)", "o_orderpriority"],
     )
+
+
+@register(
+    "q99_mad_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), med AS (
+  SELECT CAST(FLOOR(quantile_cont(n_events, 0.5) * 1000 + 0.5) AS BIGINT) AS med_milli
+  FROM daily
+), dev AS (
+  SELECT d.day, d.n_events, abs(1000 * d.n_events - m.med_milli) AS dev_milli
+  FROM daily d, med m
+), mad AS (
+  SELECT CAST(FLOOR(quantile_cont(dev_milli, 0.5) + 0.5) AS BIGINT) AS mad_milli FROM dev
+)
+SELECT dev.day, dev.n_events,
+       CAST(dev.dev_milli AS BIGINT) AS dev_milli,
+       CAST(CASE WHEN dev.dev_milli > 3 * mad.mad_milli THEN 1 ELSE 0 END AS BIGINT)
+         AS is_anomaly
+FROM dev, mad ORDER BY dev.day
+""",
+    doc="Robust daily-volume anomaly screen: median/MAD instead of "
+    "mean/stddev (q85's z-scores break when the anomaly itself inflates "
+    "the stddev; MAD has a 50% breakdown point). Exact interpolated "
+    "percentiles over integer milli-units on both engines; per-day "
+    "counts are one partial aggregate, the two medians reduce a "
+    "days-sized frame, scalars ride back via broadcast cross join.",
+)
+def q99_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    med = daily.agg(
+        F.floor(F.expr("percentile(n_events, 0.5)") * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("med_milli")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_events",
+        F.abs(F.lit(1000) * F.col("n_events") - F.col("med_milli")).alias("dev_milli"),
+    )
+    mad = dev.agg(
+        F.floor(F.expr("percentile(dev_milli, 0.5)") + F.lit(0.5))
+        .cast("bigint")
+        .alias("mad_milli")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.col("dev_milli").cast("bigint").alias("dev_milli"),
+            F.when(F.col("dev_milli") > 3 * F.col("mad_milli"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
