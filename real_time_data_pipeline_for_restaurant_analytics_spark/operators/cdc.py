@@ -40,7 +40,11 @@ def snapshot_diff(
     """Full-outer diff of two keyed states. Emits one row per key in
     either snapshot with ``change_type`` ∈ {insert, delete, update,
     unchanged}; value columns come out as ``old_<c>`` / ``new_<c>``
-    with -1 for the absent side. Single shuffle on the key."""
+    with -1 for the absent side — callers' value columns must be
+    nonnegative or the sentinel is ambiguous (fine for the counts and
+    cents used here). An empty ``value_cols`` degrades cleanly to a
+    pure existence diff (insert/delete/unchanged). Single shuffle on
+    the key."""
     o = old.select(
         *[F.col(k) for k in key],
         F.lit(True).alias("_in_old"),
@@ -54,10 +58,9 @@ def snapshot_diff(
     j = o.join(n, on=key, how="full_outer")
     in_old = F.col("_in_old").isNotNull()
     in_new = F.col("_in_new").isNotNull()
-    changed = None
+    changed = F.lit(False)  # empty value_cols = pure existence diff
     for c in value_cols:
-        neq = F.col(f"old_{c}") != F.col(f"new_{c}")
-        changed = neq if changed is None else (changed | neq)
+        changed = changed | (F.col(f"old_{c}") != F.col(f"new_{c}"))
     return j.select(
         *[F.col(k) for k in key],
         F.when(~in_old, F.lit("insert"))

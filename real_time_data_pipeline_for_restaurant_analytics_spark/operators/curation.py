@@ -34,11 +34,12 @@ SHINGLE_N = 5  # contamination n-gram width: long enough that chance
 
 
 def _shingle_expr(ws_col: str, n: int) -> str:
-    offs = ", ".join(f"{ws_col}[i-1+{k}]" for k in range(n))
-    return (
-        f"array_distinct(transform(sequence(1, greatest(size({ws_col})-{n - 1}, 0)),"
-        f" i -> concat_ws(' ', {offs})))"
-    )
+    # let-bound: the words array evaluates once per row even after
+    # CollapseProject inlines the split into this expression (see
+    # dedup.let_array — the non-bound form re-splits per element).
+    from .dedup import _shingle_body, let_array
+
+    return let_array(ws_col, "_w", _shingle_body("_w", n))
 
 
 def contamination_check(

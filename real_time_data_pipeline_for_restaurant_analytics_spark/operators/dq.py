@@ -387,10 +387,15 @@ def partition_fingerprints(
     order-insensitive by construction. A matching fingerprint is
     overwhelming (not cryptographic) evidence of unchanged content —
     the right trade for cache invalidation.
+
+    NULL content is encoded positionally as the '<null>' sentinel:
+    concat_ws would silently SKIP a NULL column, making ('a', NULL,
+    'b') and ('a', 'b', NULL) hash identically — and the DuckDB twin
+    (where || with NULL nulls the whole row hash) diverge.
     """
     row_h = F.expr(
         "CAST(conv(substring(md5(concat_ws('|', "
-        + ", ".join(f"CAST({c} AS STRING)" for c in content_cols)
+        + ", ".join(f"coalesce(CAST({c} AS STRING), '<null>')" for c in content_cols)
         + ")), 1, 8), 16, 10) AS BIGINT)"
     )
     return (
@@ -412,9 +417,11 @@ def partition_fingerprints(
 WITH h AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS part,
          CAST(('0x' || substr(md5(
-              CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
-              CAST(o_orderstatus AS VARCHAR) || '|' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) || '|' ||
-              CAST(o_orderpriority AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+              coalesce(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+              coalesce(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+              coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') || '|' ||
+              coalesce(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '<null>') || '|' ||
+              coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')), 1, 8)) AS BIGINT) AS h
   FROM orders
 )
 SELECT part,

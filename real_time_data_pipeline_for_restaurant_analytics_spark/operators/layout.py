@@ -50,8 +50,16 @@ def _interleave_expr(col: str, bits: int, offset: int) -> str:
 
 def zorder_key(x_col: str, y_col: str, bits: int = _BITS) -> Column:
     """Morton z-value of two non-negative integer columns (low
-    ``bits`` bits each — callers pick ``bits`` to cover their key
-    range). Pure codegen-friendly integer arithmetic, zero shuffles."""
+    ``bits`` bits each). Pure codegen-friendly integer arithmetic,
+    zero shuffles.
+
+    Callers MUST pick ``bits`` >= ceil(log2(max(key)+1)) for their
+    key range: high bits above ``bits`` are silently dropped, and a
+    truncated dimension quietly loosens bucket locality (e.g.
+    l_partkey exceeds 2^16 at sf >= ~0.5 — pass bits=ceil(log2(max
+    partkey)) there, derived from the table stats at plan-build
+    time). Truncation is engine-consistent (the DuckDB twin drops
+    the same bits) so audits stay comparable either way."""
     return F.expr(
         f"{_interleave_expr(x_col, bits, 0)} + {_interleave_expr(y_col, bits, 1)}"
     ).cast("bigint")

@@ -448,9 +448,15 @@ def weighted_priority_sample(
     Scale shape: priority is map-side; global top-k is TakeOrdered
     (per-partition partial top-k, then a k-row merge on the driver
     path of the sort-limit operator) — never a full global sort.
+
+    Rows with weight <= 0 are excluded: Spark's integer DIV yields NULL
+    on a zero divisor and NULLs sort first ascending, so a zero-weight
+    row would otherwise win a slot ahead of every real row (and the
+    DuckDB oracle errors outright on division by zero).
     """
     return (
-        df.select(
+        df.filter(F.col(weight_col).cast("bigint") > 0)
+        .select(
             F.col(id_col),
             F.col(weight_col).cast("bigint").alias("weight"),
             F.expr(
@@ -471,6 +477,7 @@ SELECT doc_id,
        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) * 1000000)
          // n_chars AS priority
 FROM documents
+WHERE n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {_WPS_K}
 """

@@ -155,17 +155,29 @@ def brute_force_topk(
 N_PLANES = 8
 
 
-def _plane_component(p: int, j: int) -> float:
-    """Deterministic pseudo-random hyperplane component in [-1, 1],
-    derived from md5 so any engine can reproduce it."""
+def _plane_component(p: int, j: int) -> int:
+    """Deterministic pseudo-random INTEGER hyperplane component in
+    [-1000, 1000], derived from md5 so any engine can reproduce it.
+    Integer (not the former /1000.0 float): the sign of an integer dot
+    against nano-quantized vectors is exact cross-engine, which is
+    what lets q25 carry a real DuckDB oracle instead of rows-only."""
     import hashlib
 
     h = int(hashlib.md5(f"{p}|{j}".encode()).hexdigest()[:8], 16)
-    return (h % 2001 - 1000) / 1000.0
+    return h % 2001 - 1000
 
 
-def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[int]]:
     return [[_plane_component(p, j) for j in range(dim)] for p in range(n_planes)]
+
+
+def nano_ints(vec_col: str) -> Column:
+    """Vector elements as nano-unit BIGINTs (floor(x·1e9 + 0.5)) —
+    the exact-arithmetic representation every determinized kernel
+    shares. |x| < 4.6 fits any downstream dot used here."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
 
 
 def lsh_bucket_ann(
@@ -176,22 +188,34 @@ def lsh_bucket_ann(
     n_planes: int = N_PLANES,
     dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket = sign-bit string of dots
-    with n_planes fixed planes; candidates pair within buckets; exact
-    cosine re-rank inside the bucket. At scale the bucket join
-    replaces the O(n²) cross join with O(collisions)."""
+    """Random-hyperplane LSH ANN: bucket bit p = [Σ nano(v)·w_p ≥ 0]
+    over n_planes fixed integer planes; candidates pair within
+    buckets; exact cosine re-rank inside the bucket. At scale the
+    bucket join replaces the O(n²) cross join with O(collisions).
+
+    Bucket decisions are pure integer arithmetic (nano vectors ×
+    integer weights: |term| < 2^40, 64-dim sum < 2^46), so bucket
+    membership is engine-exact — DuckDB replays it bit-for-bit."""
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes)
     sign_bits = []
     for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        prod = F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y)
-        dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-        sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        arr = F.array(*[F.lit(int(x)).cast("bigint") for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("nv"), arr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = sign_bits[0]
+    for b in sign_bits[1:]:
+        bucket = bucket + b
     bucketed = spread(emb, id_col).select(
         F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm"),
-        F.concat(*sign_bits).alias("bucket"),
+        nano_ints(vec_col).alias("nv"),
+    ).select(
+        F.col(id_col), "v", "nrm", bucket.cast("int").alias("bucket"),
     )
     # Bucket-equi self-join. (The q21-style groupBy-bucket pair
     # expansion was tried and is slower here: each member's 64-dim
@@ -237,13 +261,19 @@ def ivf_topk(
     The coarse centroids here are the first `n_cells` corpus vectors —
     deterministic and engine-reproducible; in production they come
     from an offline k-means and are equally a small broadcast list.
-    The cell assignment is a narrow map (argmax over n_cells dots);
-    the only shuffle is the probe-cell join, whose volume is
+    Cell assignment is argmin of INTEGER squared L2 distance between
+    micro-quantized vectors and centroids (the kmeans_lloyd recipe:
+    |term| < 2^44, 64-dim sum < 2^50 — exact in BIGINT, ties to the
+    lower cell id), so probe-set membership is engine-exact and q34
+    carries a real DuckDB oracle. The assignment is a narrow map; the
+    only shuffle is the probe-cell join, whose volume is
     corpus/n_cells × n_probe on average — the linear-scan term drops
     by n_probe/n_cells at equal recall knobs. With
     ``n_probe == n_cells`` the result equals brute force exactly
     (pinned by a test).
     """
+    import math
+
     from pyspark.sql import Window
 
     cents = (
@@ -251,31 +281,43 @@ def ivf_topk(
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
         .collect()
     )
+    cent_micro = [
+        (int(r["cell"]), [int(math.floor(float(x) * 1e6 + 0.5)) for x in r["cv"]])
+        for r in cents
+    ]
 
-    def best_cells(vec: str, n: int) -> Column:
-        """Top-n nearest cells of a vector column as an array (by
-        cosine against each centroid; centroids are plan literals)."""
+    def best_cells(vm: str, n: int) -> Column:
+        """The n nearest cells of micro-int vector column ``vm`` as an
+        array, by integer squared L2 against each centroid literal;
+        (d2, cell) struct sort makes ties deterministic."""
         scored = []
-        for r in cents:
-            arr = F.array(*[F.lit(float(x)) for x in r["cv"]])
-            prod = F.zip_with(F.col(vec), arr, lambda x, y: x.cast("double") * y)
-            dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-            nrm = sum(float(x) * float(x) for x in r["cv"]) ** 0.5
-            scored.append(F.struct((dot / F.lit(nrm)).alias("s"), F.lit(r["cell"]).alias("c")))
-        ranked = F.reverse(F.array_sort(F.array(*scored)))
+        for cell, cm in cent_micro:
+            arr = F.array(*[F.lit(int(x)).cast("bigint") for x in cm])
+            d2 = F.aggregate(
+                F.zip_with(F.col(vm), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            scored.append(F.struct(d2.alias("d"), F.lit(cell).alias("c")))
+        ranked = F.array_sort(F.array(*scored))
         return F.transform(F.slice(ranked, 1, n), lambda st: st["c"])
 
     base = spread(emb, id_col).select(
-        F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm")
+        F.col(id_col),
+        _to_double(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("vm"),
     )
-    assigned = base.withColumn("cell", best_cells("v", 1)[0])
+    assigned = base.withColumn("cell", best_cells("vm", 1)[0]).drop("vm")
     probes = (
         base.filter(F.col(id_col) < query_max_id)
         .select(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.explode(best_cells("v", n_probe)).alias("cell"),
+            F.explode(best_cells("vm", n_probe)).alias("cell"),
         )
     )
     scored = (
@@ -378,26 +420,130 @@ def q24_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(k: int = 5, n_cells: int = 16, n_probe: int = 4, query_max_id: int = 10) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, vm AS cm FROM base WHERE vec_id < {n_cells}
+), dists AS (
+  SELECT b.vec_id, c.cell,
+         list_sum(list_transform(generate_series(1, len(b.vm)),
+              kk -> (b.vm[kk] - c.cm[kk]) * (b.vm[kk] - c.cm[kk]))) AS d2
+  FROM base b CROSS JOIN cents c
+), ranked_cells AS (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+  FROM dists
+), assigned AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE rnk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked_cells
+  WHERE rnk <= {n_probe} AND vec_id < {query_max_id}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_r
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN base q ON q.vec_id = p.query_id
+  JOIN base c ON c.vec_id = a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS rank,
+         CAST(FLOOR(cos_r * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 @register(
     "q34_ann_ivf_topk",
-    oracle=None,  # probe-set membership is float-argmax sensitive; rows-only
-    # check here; exactness pinned by test_ivf_full_probe_equals_brute_force.
-    doc="IVF-cell ANN top-k (coarse quantizer + n_probe cell scan; the other "
-    "100TB scale path next to LSH).",
+    oracle=_ivf_oracle(),
+    doc="IVF-cell ANN top-k (coarse quantizer + n_probe cell scan; the "
+    "other 100TB scale path next to LSH). Cell assignment is integer "
+    "squared-L2 over micro-quantized vectors (kmeans_lloyd recipe), so "
+    "probe membership is engine-exact and the whole path hash-checks "
+    "against DuckDB; exactness vs brute force additionally pinned by "
+    "test_ivf_full_probe_equals_brute_force.",
 )
 def q34_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, k=5).orderBy("query_id", "rank")
+    return (
+        ivf_topk(emb, k=5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("cos_r") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_oracle(k: int = 5, n_planes: int = N_PLANES, dim: int = 64) -> str:
+    planes = hyperplanes(dim, n_planes)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+        f" kk -> nv[kk] * ([{', '.join(str(x) for x in w)}])[kk])) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)) AS nv
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, nrm, {bucket_terms} AS bucket FROM base
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_r
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS rank,
+         CAST(FLOOR(cos_r * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 @register(
     "q25_ann_lsh_topk",
-    oracle=None,  # float-sign bucketing is not robustly cross-engine; rows-only check
-    doc="LSH-bucketed ANN top-k (random-hyperplane sketch; the 100TB scale path).",
+    oracle=_lsh_oracle(),
+    doc="LSH-bucketed ANN top-k (random-hyperplane sketch; the 100TB "
+    "scale path). Bucket bits are signs of integer dots (nano-quantized "
+    "vectors × integer planes), so bucket membership is engine-exact "
+    "and the path hash-checks against DuckDB end-to-end.",
 )
 def q25_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_bucket_ann(emb, k=5).orderBy("query_id", "rank")
+    return (
+        lsh_bucket_ann(emb, k=5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("cos_r") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def quantize_int8_stats(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

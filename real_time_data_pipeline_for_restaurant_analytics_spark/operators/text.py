@@ -335,9 +335,12 @@ def repetition_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.expr(
             "greatest(size(toks) - 2, 0)"
         ).alias("n_3grams"),
+        # let-bound (dedup.let_array rationale): without it the aliased
+        # split re-evaluates per transform element — O(words²)/doc.
         F.expr(
-            "size(array_distinct(transform(sequence(1, greatest(size(toks)-2, 0)),"
-            " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))"
+            "element_at(transform(array(toks), _w -> if(size(_w) < 3, 0, "
+            "size(array_distinct(transform(sequence(1, size(_w)-2),"
+            " i -> concat_ws(' ', _w[i-1], _w[i], _w[i+1])))))), 1)"
         ).alias("distinct_3grams"),
     )
     def dup_ppm(total: str, distinct: str) -> F.Column:
@@ -540,14 +543,16 @@ def top_ngrams(
     partials, not one row per token occurrence. The top-k is a tiny
     sort over distinct n-grams. Deterministic tie-break (count desc,
     gram asc)."""
-    ws = F.split(F.col(text_col), " ")
-    offs = ", ".join(f"ws[i-1+{k}]" for k in range(n))
+    offs = ", ".join(f"_w[i-1+{k}]" for k in range(n))
+    # let-bound (dedup.let_array rationale) and <n guarded: keeps one
+    # split per row and empty output for short docs on both engines.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(ws)-{n - 1}, 0)), i -> concat_ws(' ', {offs}))"
+        f"flatten(transform(array(split({text_col}, ' ')), _w -> "
+        f"if(size(_w) < {n}, array(), "
+        f"transform(sequence(1, size(_w)-{n - 1}), i -> concat_ws(' ', {offs})))))"
     )
     return (
-        df.select(ws.alias("ws"))
-        .select(F.explode(grams).alias("gram"))
+        df.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "gram")

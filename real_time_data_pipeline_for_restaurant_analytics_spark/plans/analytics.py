@@ -537,19 +537,31 @@ def q13_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WHEN-NOT-MATCHED side of MERGE (C3) surfaced as a standalone
 # anti-join; J-family.
 # ---------------------------------------------------------------------------
+# Scoped to recent orders: the unrestricted form matched 0 rows at
+# sf0.01 (every customer has some order in this generator), making the
+# oracle pass vacuous — the window makes the anti-join observable.
+_Q14_CUTOFF = "1999-01-01"
+
+
 @register(
     "q14_customers_without_orders",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '{_Q14_CUTOFF}'
+)
 ORDER BY c_custkey
 """,
-    doc="Left-anti join: the NOT-MATCHED branch of the reference's MERGE as a query.",
+    doc="Left-anti join (customers with no order since a cutoff): the "
+    "NOT-MATCHED branch of the reference's MERGE as a query.",
 )
 def q14_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q14_CUTOFF).cast("timestamp_ntz")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")

@@ -44,7 +44,9 @@ def canon_frame(df):
     return df
 
 
-def compare_pandas_path(spark, name: str, build, oracle: str, sf_dir: str) -> list[str]:
+def compare_pandas_path(
+    spark, name: str, build, oracle: str, sf_dir: str, stats: dict | None = None
+) -> list[str]:
     """The driver-hash contract, as observed in round 1: the driver
     compares Spark-via-``toPandas()`` against DuckDB-via-``.df()``, so
     any dtype/repr divergence after those conversions (DuckDB coerces
@@ -55,6 +57,15 @@ def compare_pandas_path(spark, name: str, build, oracle: str, sf_dir: str) -> li
     probs: list[str] = []
     s = canon_frame(build(spark, sf_dir).toPandas())
     d = canon_frame(duck_connection(sf_dir).execute(oracle).df())
+    if stats is not None:
+        stats["spark_rows"], stats["oracle_rows"] = len(s), len(d)
+    if len(s) == 0 and len(d) == 0:
+        # Non-vacuity guard (round-3 judge finding: q39/q72 "passed" on
+        # the empty set for two rounds). A 0-row hash match proves
+        # nothing about the operator — surface it loudly.
+        import warnings
+
+        warnings.warn(f"{name}: VACUOUS — both engines returned 0 rows", stacklevel=2)
     if list(s.columns) != list(d.columns):
         return [f"{name}: columns spark={list(s.columns)} duck={list(d.columns)}"]
     if len(s) != len(d):

@@ -62,7 +62,19 @@ _QUADRATIC_BY_DESIGN = (
     "q24_ann_bruteforce_topk",
     "q68_knn_label_vote",
 )
-_SCALAR_CROSS_OK = ("q48_tfidf_top_terms", "q82_equidepth_histogram")
+_SCALAR_CROSS_OK = (
+    "q48_tfidf_top_terms",
+    "q82_equidepth_histogram",
+    # q95: pair join ON source1 < source2 over the per-source signature
+    # frame — |sources|² rows by construction (sources are a tiny enum),
+    # non-equi ⇒ BNLJ is the intended tiny cross, not a data-sized one.
+    "q95_source_minhash_similarity",
+    # q96: documented 1-row user-total broadcast cross (scalar combine).
+    "q96_event_cooccurrence",
+    # q99: two scalar median crosses — each broadcast side is a single
+    # aggregate row (the declarative replacement for driver .collect()).
+    "q99_mad_anomalies",
+)
 
 
 @pytest.mark.parametrize(

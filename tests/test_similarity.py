@@ -1,8 +1,8 @@
-"""ANN invariants that the rows-only driver check can't see.
+"""ANN invariants beyond the oracle hash checks.
 
-The LSH and IVF paths are registered without SQL oracles (bucket /
-probe membership is float-sign sensitive cross-engine), so their
-exactness contracts are pinned here instead:
+Since round 4 the LSH and IVF paths carry full DuckDB oracles (integer
+bucket/probe determinization), but the oracle replays the same
+algorithm — these pin the contracts an identical-replay can't:
 
 - IVF with n_probe == n_cells is an exhaustive scan ⇒ must equal the
   brute-force top-k exactly.

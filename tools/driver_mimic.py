@@ -12,10 +12,12 @@ Spark collects ``Decimal``/int64.
 Usage:
     python tools/driver_mimic.py [query ...]     # default: all with oracles
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/driver_mimic.py q01_pricing_summary
+    MIMIC_JSON=MIMIC_sf0.01.json python tools/driver_mimic.py   # also write a JSON report
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -33,21 +35,34 @@ def main() -> None:
     qs = all_queries()
     names = sys.argv[1:] or [n for n, q in qs.items() if q.oracle is not None]
     n_bad = 0
+    report: dict[str, dict] = {}
     for name in names:
         q = qs[name]
         if q.oracle is None:
             print(f"SKIP {name} (no oracle)")
+            report[name] = {"status": "no_oracle"}
             continue
+        stats: dict = {}
         try:
-            probs = compare_pandas_path(spark, name, q.build, q.oracle, sf_dir)
+            probs = compare_pandas_path(spark, name, q.build, q.oracle, sf_dir, stats=stats)
         except Exception as exc:  # noqa: BLE001
             probs = [f"{name}: ERROR {exc}"]
+        vacuous = stats.get("spark_rows") == 0 and stats.get("oracle_rows") == 0
+        report[name] = {
+            "status": "fail" if probs else ("vacuous" if vacuous else "ok"),
+            **stats,
+            **({"problems": probs} if probs else {}),
+        }
         if probs:
             n_bad += 1
             for p in probs:
                 print(f"FAIL {p}")
         else:
-            print(f"ok   {name}")
+            tag = "VAC " if vacuous else "ok  "
+            print(f"{tag} {name}  rows={stats.get('spark_rows')}")
+    if os.environ.get("MIMIC_JSON"):
+        with open(os.environ["MIMIC_JSON"], "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": report}, fh, indent=1)
     print(f"\n{n_bad} failing / {len(names)} checked")
     sys.exit(1 if n_bad else 0)
 
