@@ -76,7 +76,9 @@ def bloom_prune(
     shiftrightunsigned — pure integer expressions that stay inside
     whole-stage codegen, evaluated before any exchange. No false
     negatives ⇒ safe before any exact join."""
-    mask = F.array(*[F.lit(w).cast("long") for w in words])
+    # one SQL string, not len(words) Py4J F.lit round trips (driver-side
+    # plan-build cost; see similarity.sql_bigint_array)
+    mask = F.expr("array(" + ", ".join(f"{int(w)}L" for w in words) + ")")
     probes = [
         (
             F.expr(

@@ -171,6 +171,15 @@ def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[int]]:
     return [[_plane_component(p, j) for j in range(dim)] for p in range(n_planes)]
 
 
+def sql_bigint_array(vals) -> str:
+    """``array(...)`` SQL literal of BIGINTs as ONE expression string.
+    The Column-object equivalent (`F.array(*[F.lit(v) ...])`) costs one
+    Py4J round trip per element — at k×dim literals that is seconds of
+    DRIVER-side plan build per query (measured ~7 s on the 16×64 IVF
+    centroids), for an identical physical plan."""
+    return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+
 def nano_ints(vec_col: str) -> Column:
     """Vector elements as nano-unit BIGINTs (floor(x·1e9 + 0.5)) —
     the exact-arithmetic representation every determinized kernel
@@ -199,23 +208,17 @@ def lsh_bucket_ann(
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes)
-    sign_bits = []
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(int(x)).cast("bigint") for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col("nv"), arr, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        sign_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = sign_bits[0]
-    for b in sign_bits[1:]:
-        bucket = bucket + b
+    bucket_terms = " + ".join(
+        f"(CASE WHEN aggregate(zip_with(nv, {sql_bigint_array(plane)},"
+        f" (x, y) -> x * y), 0L, (a, v) -> a + v) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
     bucketed = spread(emb, id_col).select(
         F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm"),
         nano_ints(vec_col).alias("nv"),
     ).select(
-        F.col(id_col), "v", "nrm", bucket.cast("int").alias("bucket"),
+        F.col(id_col), "v", "nrm",
+        F.expr(f"CAST(({bucket_terms}) AS INT)").alias("bucket"),
     )
     # Bucket-equi self-join. (The q21-style groupBy-bucket pair
     # expansion was tried and is slower here: each member's 64-dim
@@ -289,18 +292,24 @@ def ivf_topk(
     def best_cells(vm: str, n: int) -> Column:
         """The n nearest cells of micro-int vector column ``vm`` as an
         array, by integer squared L2 against each centroid literal;
-        (d2, cell) struct sort makes ties deterministic."""
-        scored = []
-        for cell, cm in cent_micro:
-            arr = F.array(*[F.lit(int(x)).cast("bigint") for x in cm])
-            d2 = F.aggregate(
-                F.zip_with(F.col(vm), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
+        (d2, cell) struct sort makes ties deterministic.
+
+        Assembled as ONE SQL string: the Column-object equivalent costs
+        n_cells × dim Py4J round trips for the literals alone (~7 s of
+        driver-side plan build at 16×64 — measured; the string is
+        milliseconds) and produces the identical plan."""
+        structs = ", ".join(
+            "struct(aggregate(zip_with({vm}, array({lits}), (x, y) -> (x - y) * (x - y)),"
+            " 0L, (a, v) -> a + v) AS d, {cell} AS c)".format(
+                vm=vm,
+                lits=", ".join(f"{int(x)}L" for x in cm),
+                cell=int(cell),
             )
-            scored.append(F.struct(d2.alias("d"), F.lit(cell).alias("c")))
-        ranked = F.array_sort(F.array(*scored))
-        return F.transform(F.slice(ranked, 1, n), lambda st: st["c"])
+            for cell, cm in cent_micro
+        )
+        return F.expr(
+            f"transform(slice(array_sort(array({structs})), 1, {n}), st -> st.c)"
+        )
 
     base = spread(emb, id_col).select(
         F.col(id_col),
@@ -656,21 +665,15 @@ def _quantized(vec_col: str, max_abs_col: str) -> Column:
 
 def int8_lsh_bucket(qvec_col: str = "qv") -> Column:
     """Integer hyperplane sketch: bit h = [Σ_k qv[k]·w[h][k] ≥ 0];
-    bucket = the 8-bit integer. Pure integer fold — engine-exact."""
+    bucket = the 8-bit integer. Pure integer fold — engine-exact.
+    Assembled as one SQL string (see sql_bigint_array)."""
     ws = _hyperplane_weights()
-    bits = []
-    for h, w in enumerate(ws):
-        warr = F.array(*[F.lit(x).cast("bigint") for x in w])
-        dot = F.aggregate(
-            F.zip_with(F.col(qvec_col), warr, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    terms = " + ".join(
+        f"(CASE WHEN aggregate(zip_with({qvec_col}, {sql_bigint_array(w)},"
+        f" (x, y) -> x * y), 0L, (a, v) -> a + v) >= 0 THEN {1 << h} ELSE 0 END)"
+        for h, w in enumerate(ws)
+    )
+    return F.expr(f"CAST(({terms}) AS INT)")
 
 
 def ann_int8_lsh_topk(
@@ -948,8 +951,8 @@ def _km_assign(base: DataFrame, centroids: list[list[int]]) -> DataFrame:
     (lexicographic struct order = ties to the lowest cluster id).
     NO shuffle and no join — the only corpus-sized exchange in a Lloyd
     round is the k×dim recompute aggregate."""
-    cents = F.array(
-        *[F.array(*[F.lit(int(v)).cast("bigint") for v in c]) for c in centroids]
+    cents = F.expr(
+        "array(" + ", ".join(sql_bigint_array(c) for c in centroids) + ")"
     )
     best = F.expr(
         f"""array_min(transform(sequence(0, {len(centroids) - 1}), j ->
@@ -1148,18 +1151,15 @@ def jl_project(
         f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
     )
     d = spread(emb, id_col).select(F.col(id_col), m.alias("m"))
-    projs = []
-    for j, row in enumerate(signs):
-        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
-        dot = F.aggregate(
-            F.zip_with(F.col("m"), sarr, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        projs.append(F.struct(F.lit(j).cast("bigint").alias("out_dim"), dot.alias("proj_micro")))
+    proj_structs = ", ".join(
+        f"struct(CAST({j} AS BIGINT) AS out_dim,"
+        f" aggregate(zip_with(m, {sql_bigint_array(row)}, (x, y) -> x * y),"
+        f" 0L, (a, v) -> a + v) AS proj_micro)"
+        for j, row in enumerate(signs)
+    )
     d = d.select(
         id_col,
-        F.array(*projs).alias("p"),
+        F.expr(f"array({proj_structs})").alias("p"),
         F.expr("aggregate(m, 0L, (acc, x) -> acc + x * x)").alias("orig_sq"),
     )
     return (
