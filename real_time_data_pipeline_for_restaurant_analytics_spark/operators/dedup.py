@@ -36,6 +36,49 @@ N_PERM = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERM // N_BANDS
 
+# Affine MinHash permutation family (a_p·h + b_p) mod _MH_MOD over the
+# 32-bit base shingle hash h = md5→BIGINT. _MH_MOD is the first prime
+# above 2^32, so each permutation is injective on [0, 2^32); a_p < 2^17
+# keeps a_p·h + b_p < 2^50 — exact in 64-bit integers on both engines.
+# ONE md5 per shingle + n_perm multiply-adds replaces n_perm md5s per
+# shingle (~10× cheaper map kernel), and the signature state is 16
+# BIGINTs instead of 16 hex strings. Fixed arbitrary constants
+# (engine-portable determinism is the point, not secrecy).
+_MH_MOD = 4_294_967_311
+_MH_PERMS: list[tuple[int, int]] = [
+    (31_415, 92_653), (58_979, 32_384), (62_643, 38_327), (95_028, 84_197),
+    (16_939, 93_751), (10_582, 9_749), (44_592, 30_781), (64_062, 86_208),
+    (9_986, 28_034), (82_534, 21_170), (67_982, 14_808), (65_132, 82_306),
+    (64_709, 38_460), (9_550, 58_223), (17_253, 59_408), (12_848, 11_174),
+]
+
+# Spark-side: one-md5 32-bit base hash of a shingle string column
+_H_SQL = "CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+# DuckDB twin of _H_SQL
+_DUCK_H_SQL = "CAST(('0x' || substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def _sig_mins_duck() -> str:
+    """DuckDB sig-CTE aggregate list: per-permutation min over the
+    affine family (matches minhash_signatures component-for-component)."""
+    return ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MH_MOD}) AS mh{p}"
+        for p, (a, b) in enumerate(_MH_PERMS[:N_PERM])
+    )
+
+
+def _band_exprs_duck() -> str:
+    """DuckDB band-hash list: md5 over the '|'-joined decimal component
+    strings (matches lsh_bands)."""
+    return ",\n    ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+
 
 def words(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
@@ -154,42 +197,56 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, n_perm: int = N_PERM
 ) -> DataFrame:
-    """MinHash signature per doc: for permutation p, min over shingles
-    of md5('<p>|'||shingle). Min of md5 hex strings is a valid uniform
-    min-hash (lexicographic order on a uniform 128-bit value).
+    """MinHash signature per doc: ONE md5→BIGINT base hash per shingle,
+    component p = min over shingles of the affine permutation
+    (a_p·h + b_p) mod _MH_MOD — a standard universal-hash MinHash
+    family whose integer arithmetic any engine replays exactly
+    (formerly n_perm md5s per shingle: ~10× more hash kernel for the
+    same estimator quality).
 
     Computed entirely map-side with array higher-order functions
-    (shingle array → per-permutation array_min) — signature generation
-    over a 100 TB corpus is a narrow projection with NO shuffle; the
-    only shuffles in the whole LSH pipeline are the band-bucket
-    self-join and the final pair aggregation.
+    (shingle array → hash array → per-permutation array_min) —
+    signature generation over a 100 TB corpus is a narrow projection
+    with NO shuffle; the only shuffles in the whole LSH pipeline are
+    the band-bucket self-join and the final pair aggregation.
     """
     base = spread(df, id_col).select(F.col(id_col), words(text_col).alias("ws")).select(
         F.col(id_col), shingle_array("ws", n).alias("sharr")
+    ).select(
+        F.col(id_col),
+        F.expr("transform(sharr, s -> " + _H_SQL.format(s="s") + ")").alias("harr"),
     )
-
-    def perm_hash(p: int):
-        # single-arg lambda: a 2-arg lambda would be interpreted by
-        # F.transform as (element, index)
-        return lambda s: F.md5(F.concat(F.lit(f"{p}|"), s))
-
     mins = [
-        F.array_min(F.transform(F.col("sharr"), perm_hash(p))).alias(f"mh{p}")
-        for p in range(n_perm)
+        F.array_min(
+            F.expr(f"transform(harr, h -> ({a} * h + {b}) % {_MH_MOD})")
+        ).alias(f"mh{p}")
+        for p, (a, b) in enumerate(_MH_PERMS[:n_perm])
     ]
     return base.select(F.col(id_col), *mins)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
-    """Fold the signature into band hashes → (id, band_idx, band_hash)."""
+    """Fold the signature into band hashes → (id, band_idx, band_hash).
+    Band hash = md5 of the '|'-joined decimal component strings (the
+    separator matters: without it (1, 23) and (12, 3) would collide).
+    Null-propagating concat, NOT concat_ws: a doc with no shingles has
+    NULL components and must get a NULL band_hash (dropped by the
+    band equi-join), not a shared md5('') bucket."""
     n_perm = len([c for c in sig.columns if c.startswith("mh")])
     rows = n_perm // n_bands
+
+    def _joined(bi: int):
+        parts = []
+        for r in range(rows):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh{bi * rows + r}").cast("string"))
+        return F.concat(*parts)
+
     bands = [
         F.struct(
             F.lit(bi).alias("band_idx"),
-            F.md5(F.concat(*[F.col(f"mh{bi * rows + r}") for r in range(rows)])).alias(
-                "band_hash"
-            ),
+            F.md5(_joined(bi)).alias("band_hash"),
         )
         for bi in range(n_bands)
     ]
@@ -404,22 +461,18 @@ def q20_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    mins = ",\n         ".join(
-        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
-    )
-    band_exprs = ",\n    ".join(
-        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
-        for b in range(N_BANDS)
-    )
+    mins = _sig_mins_duck()
+    band_exprs = _band_exprs_duck()
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS)
     )
     return f"""
 WITH {_DUCK_SHINGLES},
+hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -591,22 +644,18 @@ def _clusters_cte() -> str:
     """Shared WITH RECURSIVE prefix ending in ``comp(id, component)``:
     exact-dup ∪ LSH candidate edges, min-label flooding, component =
     min reachable id. Used by the q36 and q65 oracles."""
-    mins = ",\n         ".join(
-        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
-    )
-    band_exprs = ",\n    ".join(
-        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS band{b}"
-        for b in range(N_BANDS)
-    )
+    mins = _sig_mins_duck()
+    band_exprs = _band_exprs_duck()
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS)
     )
     return f"""
 WITH RECURSIVE {_DUCK_SHINGLES},
+hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -802,21 +851,15 @@ def verified_near_dups(
 
 
 def _verified_oracle() -> str:
-    mins = ",\n         ".join(
-        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
-    )
-    band_exprs = ",\n    ".join(
-        "md5("
-        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + f") AS band{b}"
-        for b in range(N_BANDS)
-    )
+    mins = _sig_mins_duck()
+    band_exprs = _band_exprs_duck()
     return f"""
 WITH {_DUCK_SHINGLES},
+hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -917,21 +960,15 @@ def dedup_against_base(
 
 
 def _incremental_oracle() -> str:
-    mins = ",\n         ".join(
-        f"MIN(md5('{p}|' || shingle)) AS mh{p}" for p in range(N_PERM)
-    )
-    band_exprs = ",\n    ".join(
-        "md5("
-        + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-        + f") AS band{b}"
-        for b in range(N_BANDS)
-    )
+    mins = _sig_mins_duck()
+    band_exprs = _band_exprs_duck()
     return f"""
 WITH {_DUCK_SHINGLES},
+hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
 sig AS (
   SELECT doc_id,
          {mins}
-  FROM sh GROUP BY doc_id
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id,
@@ -975,20 +1012,6 @@ def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 == 4)
     base = d.filter(F.col("doc_id") % 5 != 4)
     return dedup_against_base(base, new, "doc_id", "text").orderBy("new_id", "base_id")
-
-
-# Affine MinHash permutation family (a_p·h + b_p) mod _MH_MOD over the
-# 32-bit base hash h. _MH_MOD is the first prime above 2^32, so each
-# permutation is a bijection on [0, 2^32); a_p < 2^16 keeps a_p·h + b_p
-# < 2^49 — exact in 64-bit integers on both engines. Fixed arbitrary
-# constants (engine-portable determinism is the point, not secrecy).
-_MH_MOD = 4_294_967_311
-_MH_PERMS: list[tuple[int, int]] = [
-    (31_415, 92_653), (58_979, 32_384), (62_643, 38_327), (95_028, 84_197),
-    (16_939, 93_751), (10_582, 9_749), (44_592, 30_781), (64_062, 86_208),
-    (9_986, 28_034), (82_534, 21_170), (67_982, 14_808), (65_132, 82_306),
-    (64_709, 38_460), (9_550, 58_223), (17_253, 59_408), (12_848, 11_174),
-]
 
 
 def source_minhash_similarity(
