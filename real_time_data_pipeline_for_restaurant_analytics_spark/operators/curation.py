@@ -665,3 +665,71 @@ FROM per GROUP BY source ORDER BY source
 )
 def q98_normalized_dedup_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup_lift(load(spark, sf_dir, "documents"))
+
+
+def quantile_normalize_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Within-group quantile normalization of a quality score: each
+    row's score becomes its integer-permille rank position inside its
+    group — permille = 1000·(rank-1) DIV (n-1), rank ordered by
+    (score, id) for determinism; a single-row group maps to 500.
+
+    Why: per-source quality scores are not comparable across sources
+    (different length/style distributions), so a single global
+    threshold over- or under-prunes whole sources. Normalizing to
+    within-source quantiles first makes one global cut behave like a
+    per-source percentile cut — the standard curation recipe before
+    mixing heterogeneous corpora.
+
+    Scale shape: ONE shuffle on the group key; both the rank and the
+    group count come out of the same window partition, so a group's
+    rows stream through one sorted partition (skew follows the largest
+    source — salt or split upstream if one source dominates).
+    Integer-exact on both engines (no float percentile).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    n = Window.partitionBy(group_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(n).alias("_n"),
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.when(F.col("_n") == 1, F.lit(500).cast("bigint"))
+        .otherwise(F.expr("CAST((_rk - 1) * 1000 AS BIGINT) div (_n - 1)"))
+        .alias("permille"),
+    )
+
+
+@register(
+    "q101_quality_quantile_normalize",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CASE WHEN n = 1 THEN CAST(500 AS BIGINT)
+            ELSE CAST((rk - 1) * 1000 AS BIGINT) // (n - 1) END AS permille
+FROM r ORDER BY doc_id
+""",
+    doc="Within-source quantile normalization of a quality score "
+    "(integer permille of the (score,id) rank): makes one global "
+    "threshold act as a per-source percentile cut before mixing "
+    "heterogeneous corpora — one shuffle on the source key.",
+)
+def q101_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_normalize_by_group(d, "source", "n_chars", "doc_id").orderBy("doc_id")

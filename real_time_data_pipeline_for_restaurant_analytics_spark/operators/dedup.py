@@ -1131,3 +1131,81 @@ ORDER BY source1, source2
 )
 def q95_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_minhash_similarity(load(spark, sf_dir, "documents"))
+
+
+PASSAGE_W = 10  # words per passage — RefinedWeb-style exact-substring
+# dedup granularity (50 BPE tokens ≈ 10-40 words; 10 keeps the synthetic
+# docs multi-passage)
+
+
+def passage_dedup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = PASSAGE_W
+) -> DataFrame:
+    """Corpus-level exact passage dedup audit (the C4/RefinedWeb
+    "remove text duplicated elsewhere in the corpus" shape at passage
+    granularity): split each doc into consecutive non-overlapping
+    w-word passages, count each passage's corpus-wide occurrences, and
+    report per doc how much of it is duplicated elsewhere.
+
+    Scale shape: one explode linear in tokens/w; ONE shuffle on the
+    passage md5 for the corpus-wide counts (map-side partial counts
+    collapse repeats first); one hash join back (passage-vocabulary ×
+    passage-instance, both bounded by corpus token count / w) and a
+    per-doc re-aggregate. No pairwise comparisons anywhere — exact
+    dedup at any corpus size. Docs shorter than w words have no
+    passage and drop out (engine-consistent; the trailing partial
+    passage is likewise ignored on both engines).
+    """
+    body = (
+        f"if(size(_w) < {w}, array(), "
+        f"transform(sequence(1, size(_w) DIV {w}),"
+        f" i -> concat_ws(' ', slice(_w, (i-1)*{w} + 1, {w}))))"
+    )
+    p = df.select(
+        F.col(id_col),
+        F.explode(F.expr(let_array(f"split({text_col}, ' ')", "_w", body))).alias("passage"),
+    ).select(F.col(id_col), F.md5("passage").alias("ph"))
+    counts = p.groupBy("ph").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        p.join(counts, "ph")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_passages"),
+        )
+        .select(
+            F.col(id_col),
+            "n_passages",
+            "n_dup_passages",
+            F.expr("CAST(n_dup_passages * 1000000 AS BIGINT) div n_passages").alias("dup_ppm"),
+        )
+    )
+
+
+@register(
+    "q100_passage_dedup",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ')) AS ph
+  FROM w, UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
+  WHERE len(ws) >= {PASSAGE_W}
+),
+c AS (SELECT ph, COUNT(*) AS n_occ FROM p GROUP BY ph)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+         // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+FROM p JOIN c USING (ph)
+GROUP BY p.doc_id ORDER BY p.doc_id
+""",
+    doc="Corpus-wide exact passage dedup audit (consecutive 10-word "
+    "passages, md5 corpus counts, per-doc duplicated-passage ppm) — the "
+    "C4/RefinedWeb exact-substring dedup shape: one explode, one "
+    "md5-keyed shuffle, no pairwise comparison at any corpus size.",
+)
+def q100_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return passage_dedup_stats(d).orderBy("doc_id")
