@@ -152,6 +152,103 @@ def brute_force_topk(
     )
 
 
+def truncation_recall(
+    emb: DataFrame,
+    trunc_dim: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Dimension-truncation retrieval quality audit (the Matryoshka /
+    cheap-prefix question): per query, how many of the exact top-k
+    cosine neighbors under the FULL vector survive when retrieval uses
+    only the first ``trunc_dim`` components. recall_permille ≈ 1000
+    means prefix-truncated vectors are safe for first-stage retrieval
+    (4× less memory/bandwidth at trunc 64→16); low values mean the
+    tail dims carry the geometry and truncation would silently degrade
+    every downstream dedup/dedup-lift/ANN consumer.
+
+    Two bounded brute-force passes (queries broadcast, corpus scanned
+    twice) joined on (query, neighbor) — the join is k×queries-sized.
+    Deterministic: both rankings use the exact double fold + (cos desc,
+    id) tie-break that q24 hash-proves engine-identical.
+    """
+    pred = query_filter if query_filter is not None else F.col(id_col) < 10
+    full = brute_force_topk(emb, k=k, id_col=id_col, vec_col=vec_col, query_filter=pred)
+    tr = emb.select(
+        F.col(id_col), F.expr(f"slice({vec_col}, 1, {trunc_dim})").alias(vec_col)
+    )
+    trunc = brute_force_topk(tr, k=k, id_col=id_col, vec_col=vec_col, query_filter=pred)
+    hits = full.select("query_id", "neighbor_id").join(
+        trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    queries = full.select("query_id").distinct()
+    return (
+        queries.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) * 1000 / k)
+            .cast("bigint")
+            .alias("recall_permille"),
+        )
+    )
+
+
+def _truncation_oracle(trunc_dim: int = 16, k: int = 5, query_max_id: int = 10) -> str:
+    def ranked(vec_expr: str, name: str) -> str:
+        return f"""
+{name}_base AS (
+  SELECT vec_id,
+         list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform({vec_expr},
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+), {name}_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+  FROM {name}_base q JOIN {name}_base c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {query_max_id}
+), {name}_top AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM {name}_scored)
+  WHERE rk <= {k}
+)"""
+
+    return f"""
+WITH {ranked("embedding", "full")},
+{ranked(f"embedding[1:{trunc_dim}]", "tr")}
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.neighbor_id) * 1000 / {k} AS BIGINT) AS recall_permille
+FROM full_top f
+LEFT JOIN tr_top t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register(
+    "q102_truncation_recall",
+    oracle=_truncation_oracle(),
+    doc="Dimension-truncation retrieval audit (Matryoshka check): "
+    "top-5 exact cosine neighbors by the 16-dim prefix vs the full "
+    "64-dim vector, per-query overlap and recall permille — decides "
+    "whether prefix-truncated vectors are safe for first-stage "
+    "retrieval. Two bounded brute-force passes, k×queries-sized join.",
+)
+def q102_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return truncation_recall(emb).orderBy("query_id")
+
+
 N_PLANES = 8
 
 

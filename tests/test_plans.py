@@ -61,6 +61,9 @@ _QUADRATIC_BY_DESIGN = (
     "q23_embedding_near_dup",
     "q24_ann_bruteforce_topk",
     "q68_knn_label_vote",
+    # q102 composes the q24 kernel twice (full + truncated vectors);
+    # both crosses broadcast the bounded query set, O(corpus × queries)
+    "q102_truncation_recall",
 )
 _SCALAR_CROSS_OK = (
     "q48_tfidf_top_terms",
