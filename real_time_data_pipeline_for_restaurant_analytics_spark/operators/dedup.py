@@ -548,9 +548,14 @@ def simhash_hamming_pairs(
     fingerprints (hamming 0) expand directly from their id group.
     """
     width = 16 // n_bands
+    # vals is consumed by FOUR branches (bands, both value-pair join
+    # sides, intra) — without a lineage cut each branch re-runs the
+    # corpus scan + fingerprint fold. The frame itself is bounded by
+    # the 2^16 fingerprint space, so checkpointing is cheap at any
+    # corpus size and turns four corpus scans into one.
     vals = fp.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    )
+    ).localCheckpoint()
     bands = vals.select(
         F.col("simhash"),
         F.explode(
@@ -1180,6 +1185,78 @@ def passage_dedup_stats(
             F.expr("CAST(n_dup_passages * 1000000 AS BIGINT) div n_passages").alias("dup_ppm"),
         )
     )
+
+
+def boilerplate_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    w: int = PASSAGE_W,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: the top-k most-repeated
+    w-word passages, with occurrence count, distinct-doc count, and
+    distinct-source spread — the removal-candidate list implied by the
+    q100 audit (a passage repeated across many sources is template
+    boilerplate; repeated within one doc is self-repetition).
+
+    One explode + one groupBy on the passage md5 (map-side partial
+    aggregation collapses repeats before the exchange; the two
+    distinct counts ride the same shuffle); the top-k is a tiny sort
+    over the >1-occurrence vocabulary. Deterministic order
+    (n_occ desc, passage_md5 asc).
+    """
+    body = (
+        f"if(size(_w) < {w}, array(), "
+        f"transform(sequence(1, size(_w) DIV {w}),"
+        f" i -> concat_ws(' ', slice(_w, (i-1)*{w} + 1, {w}))))"
+    )
+    p = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(F.expr(let_array(f"split({text_col}, ' ')", "_w", body))).alias("passage"),
+    ).select(F.col(id_col), F.col(source_col), F.md5("passage").alias("passage_md5"))
+    return (
+        p.groupBy("passage_md5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.desc("n_occ"), "passage_md5")
+        .limit(top_k)
+    )
+
+
+@register(
+    "q103_boilerplate_passages",
+    oracle=f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT doc_id, source,
+         md5(array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ')) AS passage_md5
+  FROM w, UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
+  WHERE len(ws) >= {PASSAGE_W}
+)
+SELECT passage_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM p GROUP BY passage_md5
+HAVING COUNT(*) > 1
+ORDER BY n_occ DESC, passage_md5
+LIMIT 20
+""",
+    doc="Corpus-wide boilerplate passages: top-20 most-repeated 10-word "
+    "passages with doc and source spread — the removal-candidate list "
+    "behind q100's dedup audit. One explode + one md5-keyed shuffle; "
+    "top-k over the repeated-passage vocabulary only.",
+)
+def q103_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return boilerplate_passages(d)
 
 
 @register(

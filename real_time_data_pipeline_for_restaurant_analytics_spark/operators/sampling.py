@@ -313,12 +313,17 @@ FROM counted GROUP BY bucket ORDER BY bucket
 )
 def q47_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    n_toks = F.size(F.split("text", " "))
+    # let-bound token count: the bucket CASE is inlined into every
+    # downstream weight branch by CollapseProject, so an unbound
+    # size(split(text)) would re-split the text ~20× per row (plan
+    # audit finding); binding n evaluates the split once per CASE.
     bucketed = d.select(
         "doc_id",
-        F.when(n_toks >= 20, "long").when(n_toks >= 10, "mid").otherwise("short").alias(
-            "bucket"
-        ),
+        F.expr(
+            "element_at(transform(array(size(split(text, ' '))), n ->"
+            " CASE WHEN n >= 20 THEN 'long' WHEN n >= 10 THEN 'mid'"
+            " ELSE 'short' END), 1)"
+        ).alias("bucket"),
     )
     mixed = resample_by_weight(
         bucketed, "doc_id", "bucket", {"long": 2.5, "mid": 1.0, "short": 0.25}
