@@ -92,6 +92,32 @@ def test_no_accidental_quadratic_or_rowwise_plans(spark, name):
     assert "BatchEvalPython" not in plan, f"{name} fell back to row-wise Python"
 
 
+@pytest.mark.parametrize(
+    "name,expr,budget",
+    [
+        # round-4 plan audit: CollapseProject inlines aliased expensive
+        # expressions into every reference — these pin the evaluated-
+        # occurrence counts so a refactor can't silently reintroduce
+        # O(refs × cost) duplication (q47 was at 22 splits/row).
+        ("q21_minhash_lsh_candidates", "split(", 2),
+        ("q21_minhash_lsh_candidates", "md5(", 6),
+        ("q47_weighted_mixture", "split(", 14),
+        ("q95_source_minhash_similarity", "split(", 4),
+        ("q100_passage_dedup", "split(", 2),
+        ("q22_simhash_fingerprints", "md5(", 2),
+    ],
+)
+def test_expression_duplication_budget(spark, name, expr, budget):
+    df = QUERIES[name].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = plan.count(expr)
+    assert n <= budget, (
+        f"{name}: {expr!r} appears {n}× in the optimized plan "
+        f"(budget {budget}) — an aliased expensive expression is being "
+        f"re-evaluated; let-bind it (see dedup.let_array)"
+    )
+
+
 def test_q76_exact_percentile_matches_numpy(spark):
     """Spark's exact percentile == numpy linear interpolation on the
     same values (the definition both engines implement)."""
