@@ -818,3 +818,149 @@ def q96_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type1", "type2")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — event-transition matrix (Markov flow). Extends the A5 KPI
+# family's funnel/retention reads (`README.md:108-135`) with the
+# session-flow view the reference's Power BI layer implies.
+# ---------------------------------------------------------------------------
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user consecutive event-type transitions with per-state
+    probabilities: for each (prev_type → event_type) pair, the count
+    and the integer-permille share of all transitions leaving
+    prev_type (the Markov row-normalization).
+
+    Scale shape: ONE shuffle on user_id for the lag window (events
+    stream through each user partition in (ts, event_id) order — the
+    deterministic tie-break); pair counts partial-aggregate map-side
+    to the |types|² matrix, and the row normalization is a window over
+    that tiny matrix, not the event stream.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = t.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    row_total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.expr("CAST(n_transitions * 1000 AS BIGINT)")
+        .alias("_num"),
+        F.sum("n_transitions").over(row_total).alias("_den"),
+    ).select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.expr("_num div _den").cast("bigint").alias("permille_of_prev"),
+    )
+
+
+@register(
+    "q104_event_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+       CAST(CAST(n_transitions * 1000 AS BIGINT)
+         // SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT) AS permille_of_prev
+FROM c ORDER BY prev_type, event_type
+""",
+    doc="Event-transition matrix (Markov flow): per-user consecutive "
+    "event-type pairs with integer-permille per-state transition "
+    "probabilities — one lag-window shuffle on user_id, matrix-sized "
+    "aggregation, row normalization over the |types|² matrix only.",
+)
+def q104_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return event_transitions(e).orderBy("prev_type", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q105 — weekly cohort retention matrix. The cohort generalization of
+# the reference's churn/3-month-retention KPIs (`README.md` KPI list);
+# weeks (epoch-day DIV 7) because the event epoch spans one month.
+# ---------------------------------------------------------------------------
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Classic cohort grid: users grouped by first-activity week
+    (epoch-week integer), counted in each later week they were active,
+    with integer-permille retention vs the cohort size.
+
+    Scale shape: distinct (user, week) first (one shuffle, bounds all
+    later work by users × weeks); cohort = min week per user (partial
+    min, same shuffle key); the grid and cohort sizes are
+    weeks²-sized, joined broadcast. Engine-exact week arithmetic:
+    epoch-day DIV 7 (no locale week-start dependence).
+    """
+    uw = events.select(
+        "user_id",
+        F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7 AS BIGINT)").alias("week"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    grid = (
+        uw.join(first, "user_id")
+        .groupBy("cohort_week", F.expr("week - cohort_week").alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        grid.join(broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.expr("CAST(n_active * 1000 AS BIGINT) div cohort_size")
+            .cast("bigint")
+            .alias("retention_permille"),
+        )
+    )
+
+
+@register(
+    "q105_cohort_retention",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+grid AS (
+  SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM uw u JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first GROUP BY cohort_week)
+SELECT CAST(g.cohort_week AS BIGINT) AS cohort_week,
+       CAST(g.week_offset AS BIGINT) AS week_offset,
+       g.n_active, s.cohort_size,
+       CAST(g.n_active * 1000 AS BIGINT) // s.cohort_size AS retention_permille
+FROM grid g JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+    doc="Weekly cohort retention matrix (first-activity week × week "
+    "offset, integer-permille retention) — the cohort generalization "
+    "of the reference's churn/retention KPIs; one distinct shuffle on "
+    "(user, week), weeks²-sized grid, broadcast cohort sizes.",
+)
+def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return cohort_retention(e).orderBy("cohort_week", "week_offset")
