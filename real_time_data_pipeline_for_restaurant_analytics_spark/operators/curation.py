@@ -706,7 +706,7 @@ def quantile_normalize_by_group(
         F.col(group_col),
         F.col(score_col),
         F.when(F.col("_n") == 1, F.lit(500).cast("bigint"))
-        .otherwise(F.expr("CAST((_rk - 1) * 1000 AS BIGINT) div (_n - 1)"))
+        .otherwise(F.expr("(CAST(_rk - 1 AS BIGINT) * 1000) div (_n - 1)"))
         .alias("permille"),
     )
 

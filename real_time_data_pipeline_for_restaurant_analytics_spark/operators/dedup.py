@@ -1052,7 +1052,7 @@ def source_minhash_similarity(
     ).select(F.col("grp"), shingle_array("ws", n).alias("sharr"))
     # no size>0 pre-filter: explode of an empty array emits nothing,
     # and a filter would evaluate the shingle kernel a second time.
-    # h < 2^32, a_p < 2^16 ⇒ a_p·h + b_p < 2^49: BIGINT-exact in both
+    # h < 2^32, a_p < 2^17 ⇒ a_p·h + b_p < 2^49: BIGINT-exact in both
     # engines; M prime > 2^32 so the permutations are injective mod M.
     # Explode + plain MIN aggregates (not per-row array_min transforms):
     # the 16 affine minima evaluate scalar-at-a-time inside one

@@ -190,8 +190,11 @@ def truncation_recall(
         .select(
             "query_id",
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
-            (F.coalesce(F.col("n_overlap"), F.lit(0)) * 1000 / k)
-            .cast("bigint")
+            # integer floor-div, NOT double-divide-then-truncate: double
+            # division re-rounds (666.9999... vs 667) and the oracle's
+            # CAST rounds half-even — integer `div` on both sides makes
+            # any k hash-stable, not just divisors of 1000.
+            F.expr(f"(CAST(coalesce(n_overlap, 0) AS BIGINT) * 1000) div {k}")
             .alias("recall_permille"),
         )
     )
@@ -226,7 +229,7 @@ WITH {ranked("embedding", "full")},
 {ranked(f"embedding[1:{trunc_dim}]", "tr")}
 SELECT f.query_id,
        CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
-       CAST(COUNT(t.neighbor_id) * 1000 / {k} AS BIGINT) AS recall_permille
+       CAST(COUNT(t.neighbor_id) * 1000 // {k} AS BIGINT) AS recall_permille
 FROM full_top f
 LEFT JOIN tr_top t
   ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
@@ -315,7 +318,15 @@ def lsh_bucket_ann(
         nano_ints(vec_col).alias("nv"),
     ).select(
         F.col(id_col), "v", "nrm",
-        F.expr(f"CAST(({bucket_terms}) AS INT)").alias("bucket"),
+        # dim guard INSIDE the bucket expression (can't be pruned): a
+        # vector whose length differs from `dim` would zip_with-pad
+        # with NULLs here while the DuckDB oracle's list_sum skips
+        # NULLs — a silent cross-engine bucket divergence. Fail loudly
+        # per-row instead; zero extra jobs.
+        F.expr(
+            f"CAST(IF(size(nv) = {dim}, ({bucket_terms}), "
+            f"raise_error('lsh_bucket_ann: embedding length <> dim={dim}')) AS INT)"
+        ).alias("bucket"),
     )
     # Bucket-equi self-join. (The q21-style groupBy-bucket pair
     # expansion was tried and is slower here: each member's 64-dim
