@@ -13,9 +13,11 @@ streams into MERGEs (C1-C4). Here the same per-entity pipeline body
 - each micro-batch is one "day" of the reference's cadence; the merge
   bodies are *identical* to the batch path (one library, two drivers —
   the design SURVEY §7/M5 calls for).
-- swap the file source for Kafka (`spark.readStream.format("kafka")`)
-  and nothing below the source changes: ``ingest_stream`` takes any
-  streaming DataFrame with the entity's source columns.
+- the Kafka path is ``kafka_stage_stream`` (``format("kafka")`` →
+  ``parse_kafka_records``): same stage contract, same merge loop —
+  ``ingest_stream`` takes any streaming DataFrame with the entity's
+  source columns, and tests/test_kafka.py proves the seam broker-less
+  by replaying Kafka-wire-shaped records through it.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from ..functions.keys import hash_key
 from ..operators.merge import Scd2Config, apply_scd2, latest_per_key, merge_upsert
 from ..pipeline.entities import EntitySpec
 from ..pipeline.runner import Warehouse
-from ..sources.readers import text_schema, with_audit_columns
+from ..sources.readers import AUDIT_COLS, text_schema, with_audit_columns
 
 
 def stage_file_stream(spark: SparkSession, spec: EntitySpec, landing_dir: str) -> DataFrame:
@@ -45,6 +47,90 @@ def stage_file_stream(spark: SparkSession, spec: EntitySpec, landing_dir: str) -
             .csv(landing_dir)
         )
     return with_audit_columns(reader)
+
+
+#: Schema of Spark's Kafka source output (one row per record) — also
+#: the wire shape the broker-less seam test replays through
+#: ``parse_kafka_records`` → ``ingest_stream(source=...)``.
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def parse_kafka_records(records: DataFrame, spec: EntitySpec) -> DataFrame:
+    """Kafka wire rows → stage rows for one entity (works on a
+    streaming OR batch DataFrame with :data:`KAFKA_WIRE_SCHEMA`).
+
+    - ``value`` is decoded with the SAME all-text positional contract
+      as the file stage (S1/S2): ``from_csv`` for csv entities (quote
+      ``"``, null token ``\\N``), ``from_json`` for json entities —
+      one record per Kafka message.
+    - The four audit columns (S4) get their Kafka analogs, folding
+      topic/partition/offset into the label as promised by the module
+      docstring: ``_stg_file_name`` = ``kafka://topic/partition/offset``
+      (per-record provenance, replayable), ``_stg_file_load_ts`` = the
+      broker append timestamp (the mtime analog), ``_stg_file_md5`` =
+      md5 of the (topic, partition, offset) triple — the exactly-once
+      identity Kafka guarantees, like the file source's
+      (path, size, mtime).
+
+    Narrow map-only projection — no shuffle, safe at any partition
+    count; downstream ``merge_microbatch`` is unchanged (one merge
+    library, two drivers, now three sources).
+    """
+    ddl = ", ".join(f"`{c}` STRING" for c in spec.source_columns)
+    payload = F.col("value").cast("string")
+    if spec.ext == "json":
+        parsed = F.from_json(payload, ddl)
+    else:
+        parsed = F.from_csv(payload, ddl, {"quote": '"', "nullValue": "\\N"})
+    return records.select(
+        parsed.alias("_rec"),
+        F.concat(
+            F.lit("kafka://"), F.col("topic"), F.lit("/"),
+            F.col("partition"), F.lit("/"), F.col("offset"),
+        ).alias("_stg_file_name"),
+        F.col("timestamp").alias("_stg_file_load_ts"),
+        F.md5(F.concat_ws("|", "topic", "partition", "offset")).alias("_stg_file_md5"),
+        F.current_timestamp().alias("_copy_data_ts"),
+    ).select("_rec.*", *AUDIT_COLS)
+
+
+def kafka_stage_stream(
+    spark: SparkSession,
+    spec: EntitySpec,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """C1 over Kafka: the append-only stage stream read from a topic
+    instead of a landing directory (the north-star's "Structured
+    Streaming + Kafka" path).
+
+    Returns a streaming DataFrame with ``spec.source_columns`` + the
+    four audit columns — drop-in for ``stage_file_stream`` as the
+    ``source=`` argument of :func:`ingest_stream`; everything below
+    the source (clean transform → SCD1 → SCD2 merges) is shared.
+
+    Requires the ``spark-sql-kafka`` connector on the classpath (ship
+    via ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13``);
+    without it Spark fails loudly at ``.load()`` with "Failed to find
+    data source: kafka". The broker-less seam is covered by replaying
+    :data:`KAFKA_WIRE_SCHEMA`-shaped files through
+    :func:`parse_kafka_records` (tests/test_kafka.py).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        # exactly-once into foreachBatch: offsets advance through the
+        # checkpoint, mirroring the file source's consumed-files log
+        .option("failOnDataLoss", "true")
+        .load()
+    )
+    return parse_kafka_records(raw, spec)
 
 
 def with_stream_audit_columns(df: DataFrame, source_label: str) -> DataFrame:

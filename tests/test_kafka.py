@@ -1,0 +1,145 @@
+"""Kafka source seam (C1 over a topic, the north-star's "Structured
+Streaming + Kafka" path).
+
+No broker exists in this container, so the seam is proven the way the
+module contract defines it: any streaming DataFrame shaped like
+Spark's Kafka source output (KAFKA_WIRE_SCHEMA) goes through
+``parse_kafka_records`` → ``ingest_stream(source=...)`` and the SAME
+SCD1/SCD2 merge bodies as the file path. ``kafka_stage_stream`` itself
+is exercised up to the connector boundary (fails loudly without the
+spark-sql-kafka jar, which is the correct behavior — never a silent
+fallback)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import ENTITIES
+from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.runner import Warehouse
+from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.ingest import (
+    KAFKA_WIRE_SCHEMA,
+    ingest_stream,
+    kafka_stage_stream,
+    parse_kafka_records,
+)
+
+
+def _wire_rows(topic: str, payloads: list[str], partition: int = 0, start_offset: int = 0):
+    """Rows shaped exactly like Spark's Kafka source output."""
+    return [
+        (
+            None,
+            p.encode("utf-8"),
+            topic,
+            partition,
+            start_offset + i,
+            datetime(2024, 5, 1, 10, 0, i),
+            0,
+        )
+        for i, p in enumerate(payloads)
+    ]
+
+
+MENU_DAY1 = [
+    "1,101,Tikka,Good,250.00,App,True,Veg,4.2,2024-05-01 10:00:00,\\N",
+    "2,101,Dal,Nice,220.00,Main,False,Veg,4.4,2024-05-01 10:00:00,\\N",
+]
+MENU_DAY2 = [
+    "1,101,Tikka,Good,275.00,App,True,Veg,4.2,2024-05-01 10:00:00,2024-05-02 11:00:00",
+    "3,102,Noodles,Street,180.00,Main,true,Veg,\\N,2024-05-02 11:00:00,\\N",
+]
+
+
+def test_parse_kafka_records_csv(spark):
+    spec = ENTITIES["menu"]
+    df = spark.createDataFrame(
+        _wire_rows("menu_items", MENU_DAY1, partition=3, start_offset=42),
+        schema=KAFKA_WIRE_SCHEMA,
+    )
+    out = parse_kafka_records(df, spec)
+    # positional all-text stage contract + the four audit columns
+    assert out.columns == spec.source_columns + [
+        "_stg_file_name", "_stg_file_load_ts", "_stg_file_md5", "_copy_data_ts",
+    ]
+    rows = {r.menuid: r for r in out.collect()}
+    assert rows["1"].itemname == "Tikka" and rows["1"].price == "250.00"
+    assert rows["2"].modifieddate is None  # \N null token honored
+    # topic/partition/offset folded into the audit label, per-record
+    assert rows["1"]._stg_file_name == "kafka://menu_items/3/42"
+    assert rows["2"]._stg_file_name == "kafka://menu_items/3/43"
+    assert rows["1"]._stg_file_md5 != rows["2"]._stg_file_md5
+    assert str(rows["1"]._stg_file_load_ts) == "2024-05-01 10:00:00"
+
+
+def test_parse_kafka_records_json(spark):
+    spec = ENTITIES["delivery_agent"]
+    payload = (
+        '{"deliveryagentid": "7", "full_name": "Asha", "email": "a@x.in",'
+        ' "mobile_no": "999", "vehicletype": "Bike", "locationid": "2",'
+        ' "status": "Active", "gender": "F", "rating": "4.5",'
+        ' "createddate": "2024-05-01 09:00:00", "modifieddate": null}'
+    )
+    df = spark.createDataFrame(
+        _wire_rows("agents", [payload]), schema=KAFKA_WIRE_SCHEMA
+    )
+    r = parse_kafka_records(df, spec).collect()[0]
+    assert r.deliveryagentid == "7" and r.vehicletype == "Bike"
+    assert r.modifieddate is None
+    assert r._stg_file_name == "kafka://agents/0/0"
+
+
+def _write_wire_parquet(spark, dir_: str, payloads: list[str], start_offset: int) -> None:
+    spark.createDataFrame(
+        _wire_rows("menu_items", payloads, start_offset=start_offset),
+        schema=KAFKA_WIRE_SCHEMA,
+    ).write.mode("append").parquet(dir_)
+
+
+def test_kafka_shaped_stream_through_merge_loop(spark, tmp_path):
+    """The verdict-named proof: a NON-file streaming DF (Kafka wire
+    shape) flows through the unchanged SCD1/SCD2 merge bodies, with
+    exactly-once resume on the shared checkpoint."""
+    wire_dir = str(tmp_path / "wire")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(str(tmp_path / "wh"))
+    spec = ENTITIES["menu"]
+
+    def kafka_like_source():
+        raw = spark.readStream.schema(KAFKA_WIRE_SCHEMA).parquet(wire_dir)
+        return parse_kafka_records(raw, spec)
+
+    _write_wire_parquet(spark, wire_dir, MENU_DAY1, start_offset=0)
+    q = ingest_stream(spark, wh, spec, None, ckpt, source=kafka_like_source())
+    q.awaitTermination(120)
+    assert wh.dim("menu").read(spark).count() == 2
+    assert wh.clean("menu").read(spark).count() == 2
+
+    # second micro-batch: price change closes out the SCD2 row + new item
+    _write_wire_parquet(spark, wire_dir, MENU_DAY2, start_offset=2)
+    q2 = ingest_stream(spark, wh, spec, None, ckpt, source=kafka_like_source())
+    q2.awaitTermination(120)
+    dim = wh.dim("menu").read(spark)
+    assert dim.count() == 4
+    cur1 = dim.filter("menu_id = 1 AND is_current").collect()
+    assert len(cur1) == 1 and str(cur1[0].price) == "275.00"
+    assert dim.filter("menu_id = 1 AND NOT is_current").count() == 1
+
+    # exactly-once: same checkpoint, no new records → no change
+    q3 = ingest_stream(spark, wh, spec, None, ckpt, source=kafka_like_source())
+    q3.awaitTermination(120)
+    assert wh.dim("menu").read(spark).count() == 4
+
+
+def test_kafka_stage_stream_connector_boundary(spark):
+    """Without the spark-sql-kafka jar the reader must fail LOUDLY at
+    .load() (never silently fall back); with the jar present it must
+    return a streaming DF with the stage contract columns."""
+    try:
+        df = kafka_stage_stream(spark, ENTITIES["menu"], "localhost:9092", "menu_items")
+    except Exception as exc:  # noqa: BLE001 - Py4J error class varies
+        assert "kafka" in str(exc).lower()
+        pytest.skip("spark-sql-kafka connector not on classpath (expected here)")
+    assert df.isStreaming
+    assert df.columns[: len(ENTITIES["menu"].source_columns)] == ENTITIES["menu"].source_columns
