@@ -528,8 +528,15 @@ def q22_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(d, "doc_id", "text").orderBy("doc_id")
 
 
+DEFAULT_MAX_IDS_PER_VALUE = 100_000
+
+
 def simhash_hamming_pairs(
-    fp: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+    fp: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_ids_per_value: int = DEFAULT_MAX_IDS_PER_VALUE,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, via bit-banding on
     DISTINCT fingerprint VALUES.
@@ -546,14 +553,39 @@ def simhash_hamming_pairs(
     recall for ``max_hamming <= n_bands - 1``. Candidates are verified
     with ``bit_count(xor)`` BEFORE any id expansion. Identical
     fingerprints (hamming 0) expand directly from their id group.
+
+    ``max_ids_per_value`` bounds the per-fingerprint id array (the
+    ``max_bucket_size`` pattern from :func:`lsh_candidates`): a
+    pathologically hot fingerprint — e.g. every empty/boilerplate doc
+    hashing to the same 16 bits — would otherwise put ALL its ids in
+    ONE ``collect_list`` row (multi-GB at corpus scale) and then emit
+    size^2 intra pairs. Ids past the cap are dropped BEFORE the array
+    is built (row_number filter, so the oversized buffer never
+    exists); the window shares the groupBy's hash partitioning, so no
+    extra shuffle — and Catalyst rewrites the ``row_number <= cap``
+    filter into a MAP-SIDE ``WindowGroupLimit``, so each input
+    partition forwards at most cap rows per value: the hot value
+    arrives at its reducer as <= cap x n_partitions rows, not the
+    whole corpus (plan-verified: one Exchange, WindowGroupLimit both
+    sides of it). Use :func:`simhash_value_stats` to observe what a
+    cap would drop.
     """
+    from pyspark.sql import Window
+
     width = 16 // n_bands
+    w = Window.partitionBy("simhash").orderBy(id_col)
+    bounded = (
+        fp.select("simhash", id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_ids_per_value)
+        .drop("_rn")
+    )
     # vals is consumed by FOUR branches (bands, both value-pair join
     # sides, intra) — without a lineage cut each branch re-runs the
     # corpus scan + fingerprint fold. The frame itself is bounded by
     # the 2^16 fingerprint space, so checkpointing is cheap at any
     # corpus size and turns four corpus scans into one.
-    vals = fp.groupBy("simhash").agg(
+    vals = bounded.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
     ).localCheckpoint()
     bands = vals.select(
@@ -602,6 +634,26 @@ def simhash_hamming_pairs(
         .select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"), F.lit(0).cast("int").alias("hamming"))
     )
     return cross.unionByName(intra)
+
+
+def simhash_value_stats(
+    fp: DataFrame, id_col: str, max_ids_per_value: int = DEFAULT_MAX_IDS_PER_VALUE
+) -> DataFrame:
+    """One-row observability frame for the per-fingerprint id cap
+    (the :func:`lsh_bucket_stats` pattern): distinct fingerprint
+    values, values over the cap, and the ids a cap of
+    ``max_ids_per_value`` would drop from pair expansion. Run as a
+    side job before committing to a cap."""
+    sizes = fp.groupBy("simhash").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.when(F.col("sz") > max_ids_per_value, 1).otherwise(0)).alias("n_over_cap"),
+        F.sum(
+            F.when(F.col("sz") > max_ids_per_value, F.col("sz") - max_ids_per_value).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ids_dropped"),
+    )
 
 
 def _simhash_pairs_oracle(max_hamming: int = 3) -> str:

@@ -202,3 +202,36 @@ def test_mixture_allocation_invariants(spark):
     assert abs(kept - 5000) <= 10
     for r in out.values():
         assert 0 <= r.sample_rate_ppm <= 1000000
+
+
+def test_simhash_hot_value_cap_bounds_id_arrays(spark):
+    """Round-5 guard: one degenerate fingerprint (every boilerplate
+    doc hashing identically) must not build an unbounded collect_list
+    row or size^2 intra pairs; ids past the cap drop BEFORE the array
+    exists, and the stats frame accounts for them."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_value_stats,
+    )
+
+    hot = [(i, 0x00FF) for i in range(30)]          # 30 ids, one value
+    ok = [(100, 0x0F0F), (101, 0x0F0F)]             # normal 2-id value
+    fp = spark.createDataFrame(hot + ok, "doc_id long, simhash int")
+
+    capped = simhash_hamming_pairs(fp, "doc_id", max_ids_per_value=5)
+    intra0 = capped.filter("hamming = 0").collect()
+    # hot value contributes C(5,2)=10 pairs (ids 0..4 kept,
+    # deterministic by id order), normal value contributes 1
+    hot_pairs = [r for r in intra0 if r.id1 < 100]
+    assert len(hot_pairs) == 10
+    assert max(max(r.id1, r.id2) for r in hot_pairs) == 4
+    assert len([r for r in intra0 if r.id1 >= 100]) == 1
+
+    stats = simhash_value_stats(fp, "doc_id", max_ids_per_value=5).collect()[0]
+    assert stats.n_values == 2
+    assert stats.n_over_cap == 1
+    assert stats.ids_dropped == 25
+
+    # default cap is a no-op at sane group sizes
+    full = simhash_hamming_pairs(fp, "doc_id")
+    assert full.filter("hamming = 0 AND id1 < 100").count() == 30 * 29 // 2
