@@ -110,6 +110,25 @@ def cosine_pairs(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
     )
 
 
+DEFAULT_MAX_QUERY_ROWS = 10_000
+
+
+def _assert_bounded_query_side(q: DataFrame, id_col: str, max_query_rows: int) -> None:
+    """Fail loudly BEFORE the broadcast cross join launches: the query
+    set is broadcast, so an unbounded ``query_filter`` would broadcast
+    a corpus (driver OOM at scale, silent slowness below it). The
+    probe is ``limit(N+1).count()`` over ONLY the id column — column
+    pruning + the pushed predicate + the limit make it a bounded
+    short-circuit scan even when the predicate itself is unbounded."""
+    n = q.select(id_col).limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"query side has > {max_query_rows} rows but is broadcast; "
+            "an unbounded query_filter would broadcast the corpus — "
+            "tighten the predicate or raise max_query_rows explicitly"
+        )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int] | None = None,
@@ -117,11 +136,17 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: Column | None = None,
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query rows, selected either
     by an id list or by a predicate Column (`query_filter`) — the
     predicate form keeps the whole plan declarative (no driver-side
-    collect of ids that the filter itself already expresses)."""
+    collect of ids that the filter itself already expresses).
+
+    ``max_query_rows`` guards the broadcast: the query side must be
+    small by CONSTRUCTION (that's what makes brute-force linear, not
+    quadratic); a predicate matching more rows than the cap fails
+    loudly up front instead of broadcasting a corpus."""
     from pyspark.sql import Window
 
     if (query_ids is None) == (query_filter is None):
@@ -130,6 +155,7 @@ def brute_force_topk(
     base = spread(emb, id_col).select(
         F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm")
     )
+    _assert_bounded_query_side(emb.filter(pred), id_col, max_query_rows)
     q = base.filter(pred).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

@@ -129,3 +129,24 @@ def test_kmeans_lloyd_matches_numpy_replay(spark):
         for c in sorted(set(assign.tolist()))
     }
     assert got == want
+
+
+def test_broadcast_query_side_guard_fails_loudly(spark):
+    """Round-5 guard: the brute-force query set is broadcast, so an
+    unbounded query_filter must raise before the cross join launches
+    instead of broadcasting the corpus."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="broadcast"):
+        brute_force_topk(emb, query_filter=F.lit(True), max_query_rows=10)
+    # bounded predicate under the cap: unchanged behavior
+    out = brute_force_topk(emb, query_filter=F.col("vec_id") < 3, k=2, max_query_rows=10)
+    assert out.filter("rank = 1").count() == 3
