@@ -476,9 +476,13 @@ FROM dev, mad ORDER BY dev.day
 )
 def q99_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # daily feeds FOUR lineage branches (med, dev, dev-inside-mad,
+    # final) — without a cut each branch re-scans events. The frame is
+    # days-sized, so the checkpoint is ~free and the corpus scan runs
+    # once (the r4 q54/q95 recipe; q99's only real cost is that scan).
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
-    )
+    ).localCheckpoint()
     med = daily.agg(
         F.floor(F.expr("percentile(n_events, 0.5)") * 1000 + F.lit(0.5))
         .cast("bigint")

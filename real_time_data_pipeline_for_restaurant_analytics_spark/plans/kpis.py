@@ -302,12 +302,16 @@ def churn_and_retention(cv: ConsumptionViews, months: int = 3) -> DataFrame:
     """KPIs 12/13: customers with no completed order in the trailing
     `months` window relative to the latest order date = churned."""
     orders = cv.current("orders").filter(F.col("status") != "Cancelled")
-    max_ts = orders.agg(F.max("order_date")).collect()[0][0]
-    cutoff = F.lit(max_ts) - F.expr(f"INTERVAL {months} MONTHS")
+    # 1-row broadcast-cross for the cutoff scalar (house pattern, see
+    # dq.mad_anomalies): keeps the whole KPI one job instead of an
+    # extra driver-sync collect for the max
+    cutoff_row = orders.agg(
+        (F.max("order_date") - F.expr(f"INTERVAL {months} MONTHS")).alias("_cutoff")
+    )
     per_cust = orders.groupBy("customer_id_fk").agg(F.max("order_date").alias("last_order"))
-    flags = per_cust.select(
+    flags = per_cust.crossJoin(F.broadcast(cutoff_row)).select(
         F.count(F.lit(1)).alias("n_customers"),
-        F.count(F.when(F.col("last_order") < cutoff, 1)).alias("n_churned"),
+        F.count(F.when(F.col("last_order") < F.col("_cutoff"), 1)).alias("n_churned"),
     )
     return flags.select(
         "n_customers",
