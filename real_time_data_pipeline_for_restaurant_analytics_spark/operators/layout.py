@@ -65,12 +65,37 @@ def zorder_key(x_col: str, y_col: str, bits: int = _BITS) -> Column:
     ).cast("bigint")
 
 
+#: Fixed interleave width for the stats-derived audit: terms above a
+#: key's actual bit length are zero, so a 31-bit interleave yields the
+#: IDENTICAL z-value for any narrower key (and 2x31+1 < 63 keeps the
+#: z-word BIGINT-safe). Only the bucket SHIFT depends on the data.
+_MAX_BITS = 31
+
+
+def zorder_bits_stats(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """1-row frame with the per-dimension bit width the table actually
+    needs: ``bits = max(bit_length(max(x)), bit_length(max(y)), 3)``
+    (integer-exact via base-2 string length — no float log2 edge
+    cases; floor 3 keeps the bucket shift non-negative). In production
+    this comes from catalog column stats for free; computed here it is
+    one column-pruned 2-column aggregate, riding back into the plan
+    via the 1-row broadcast-cross house pattern — no driver collect."""
+    return df.agg(
+        F.expr(
+            f"greatest(length(conv(max({x_col}), 10, 2)),"
+            f" length(conv(max({y_col}), 10, 2)), 3)"
+        )
+        .cast("int")
+        .alias("_bits")
+    )
+
+
 def zorder_bucket_audit(
     df: DataFrame,
     x_col: str,
     y_col: str,
     n_bucket_bits: int = 6,
-    bits: int = _BITS,
+    bits: int | None = _BITS,
 ) -> DataFrame:
     """Bucket rows by the TOP ``n_bucket_bits`` of their z-value (the
     range-partitioning a z-ordered write would produce) and report
@@ -78,7 +103,35 @@ def zorder_bucket_audit(
 
     Tight per-bucket spans in both x and y are the audit evidence the
     layout skips files for predicates on either key. One scan + one
-    aggregation keyed by bucket (≤ 2^n_bucket_bits groups)."""
+    aggregation keyed by bucket (≤ 2^n_bucket_bits groups).
+
+    ``bits=None`` derives the width from the table's own stats
+    (:func:`zorder_bits_stats`): the interleave runs at the fixed
+    ``_MAX_BITS`` width (identical z-value for any actual key width)
+    and only the bucket shift adapts — so a key outgrowing a
+    hard-coded width (l_partkey > 2^16 at sf >= ~0.5) can neither be
+    silently truncated nor collapse every row into bucket 0."""
+    if bits is None:
+        z = zorder_key(x_col, y_col, _MAX_BITS)
+        return (
+            df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"), z.alias("_z"))
+            .crossJoin(F.broadcast(zorder_bits_stats(df, x_col, y_col)))
+            .select(
+                "x",
+                "y",
+                F.expr(f"CAST(shiftright(_z, 2 * _bits - {n_bucket_bits}) AS BIGINT)")
+                .alias("zbucket"),
+            )
+            .groupBy("zbucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("x").cast("bigint").alias("x_min"),
+                F.max("x").cast("bigint").alias("x_max"),
+                F.min("y").cast("bigint").alias("y_min"),
+                F.max("y").cast("bigint").alias("y_max"),
+            )
+            .orderBy("zbucket")
+        )
     z = zorder_key(x_col, y_col, bits)
     return (
         df.select(
@@ -103,18 +156,25 @@ def _interleave_sql_duck(col: str, bits: int, offset: int) -> str:
     return " + ".join(terms)
 
 
+# bits derived from the data on BOTH engines (base-2 string length =
+# integer-exact bit_length); interleave at the fixed _MAX_BITS width,
+# identical z-value for any actual key width — see zorder_bucket_audit
 _ZORDER_ORACLE = f"""
-WITH z AS (
+WITH st AS (
+  SELECT GREATEST(length(format('{{:b}}', MAX(l_partkey))),
+                  length(format('{{:b}}', MAX(l_suppkey))), 3) AS bits
+  FROM lineitem
+), z AS (
   SELECT l_partkey AS x, l_suppkey AS y,
-         ({_interleave_sql_duck("l_partkey", _BITS, 0)}
-          + {_interleave_sql_duck("l_suppkey", _BITS, 1)}) AS zvalue
+         ({_interleave_sql_duck("l_partkey", _MAX_BITS, 0)}
+          + {_interleave_sql_duck("l_suppkey", _MAX_BITS, 1)}) AS zvalue
   FROM lineitem
 )
-SELECT CAST(zvalue >> {2 * _BITS - 6} AS BIGINT) AS zbucket,
+SELECT CAST(zvalue >> (2 * st.bits - 6) AS BIGINT) AS zbucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
        CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
-FROM z GROUP BY 1 ORDER BY zbucket
+FROM z, st GROUP BY 1 ORDER BY zbucket
 """
 
 
@@ -125,8 +185,9 @@ FROM z GROUP BY 1 ORDER BY zbucket
     "bits into a z-value, bucket by its top 6 bits, report per-bucket "
     "min/max spans of both keys — the multi-dimensional file-skipping "
     "contract a ZORDER BY write provides. Map-side integer bit ops, "
-    "one small aggregation.",
+    "one small aggregation; bucket width derived from table stats on "
+    "both engines so key growth can't truncate the layout.",
 )
 def q88_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return zorder_bucket_audit(li, "l_partkey", "l_suppkey", n_bucket_bits=6)
+    return zorder_bucket_audit(li, "l_partkey", "l_suppkey", n_bucket_bits=6, bits=None)

@@ -87,3 +87,57 @@ def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark):
     assert heavy["exact_n"] == 500
     # other mass is 200 rows over 256 buckets: slack < a few collisions
     assert heavy["cms_estimate"] - heavy["exact_n"] <= 200
+
+
+def test_hll_from_scratch_error_bound_and_merge(spark):
+    """Round-5 deterministic HLL twins: estimate within the 1024-
+    register error envelope of exact, and the daily->monthly register
+    merge equals the direct pass exactly (max associativity)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
+
+    from .conftest import SF_CORRECT
+
+    qs = all_queries()
+    rows = qs["q106_hll_from_scratch"].build(spark, SF_CORRECT).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        # The registered outputs are the INTEGER-DETERMINISTIC sketch
+        # state (digest + raw estimator). The standard small-range
+        # correction (linear counting when registers are mostly empty)
+        # uses ln(), which is not bit-stable cross-engine, so it's
+        # applied HERE from the same state — exactly what a production
+        # reader of the sketch does.
+        m = 1024
+        v = m - r.n_registers
+        est = m * math.log(m / v) if (v > 0 and r.hll_users <= 2.5 * m) else r.hll_users
+        # sigma ~ 1.04/sqrt(1024) ~ 3.25% (raw) / ~sqrt(m)*... (lin);
+        # allow a generous 4-sigma-ish envelope
+        assert abs(est - r.exact_users) <= max(0.13 * r.exact_users, 10), (
+            r.event_type, est, r.hll_users, r.exact_users
+        )
+        assert 1 <= r.n_registers <= 1024
+
+    merged = qs["q107_hll_merge_rollup"].build(spark, SF_CORRECT).collect()
+    assert merged
+    for r in merged:
+        assert r.merge_exact, r
+        assert r.merged_users == r.direct_users
+
+
+def test_hll_registers_bounded_per_group(spark):
+    """Scale shape: register frame is <= 1024 rows per group whatever
+    the corpus size, and rho stays inside the 50-bit hash field."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.approx import (
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(20_000)], "grp int, user_id long"
+    )
+    regs = hll_registers(df, ["grp"], "user_id")
+    sizes = {r.grp: r.n for r in regs.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 1024 for n in sizes.values())
+    lo, hi = regs.agg(F.min("m_j"), F.max("m_j")).collect()[0]
+    assert 1 <= lo and hi <= 51

@@ -74,6 +74,9 @@ _SCALAR_CROSS_OK = (
     "q95_source_minhash_similarity",
     # q96: documented 1-row user-total broadcast cross (scalar combine).
     "q96_event_cooccurrence",
+    # q88: stats-derived bit width rides in as a 1-row broadcast cross
+    # (the declarative replacement for a driver .collect() of max keys).
+    "q88_zorder_layout",
     # q99: two scalar median crosses — each broadcast side is a single
     # aggregate row (the declarative replacement for driver .collect()).
     "q99_mad_anomalies",
