@@ -143,3 +143,77 @@ def test_kafka_stage_stream_connector_boundary(spark):
         pytest.skip("spark-sql-kafka connector not on classpath (expected here)")
     assert df.isStreaming
     assert df.columns[: len(ENTITIES["menu"].source_columns)] == ENTITIES["menu"].source_columns
+
+
+def test_multiday_delta_replay_at_volume_through_stream(spark, tmp_path):
+    """Round-5: datagen full day + delta day (20% keys updated, 10%
+    new) replayed through ingest_stream micro-batches for two SCD2
+    entities at a few-hundred-key volume — SCD2 chain invariants and
+    exactly-once resume hold across micro-batches, not just on the
+    2-row golden fixtures."""
+    import shutil
+    import sys
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    from datagen import generate_day
+
+    stage = str(tmp_path / "stage")
+    p1 = generate_day(stage, date(2024, 5, 1), n_orders=2000, seed=7)
+    p2 = generate_day(stage, date(2024, 5, 2), n_orders=2000, seed=7, delta_frac=0.2)
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    for ent in ("menu", "customer"):
+        spec = ENTITIES[ent]
+        landing = str(tmp_path / f"landing_{ent}")
+        ckpt = str(tmp_path / f"ckpt_{ent}")
+        import os
+
+        os.makedirs(landing)
+        fname = f"{spec.source_file_stem}.{spec.ext}"
+        shutil.copy(f"{p1}{fname}", f"{landing}/day1.{spec.ext}")
+        ingest_stream(spark, wh, spec, landing, ckpt).awaitTermination(180)
+        n_day1_keys = wh.dim(ent).read(spark).count()
+        assert n_day1_keys >= 190  # volume, not a toy fixture
+
+        shutil.copy(f"{p2}{fname}", f"{landing}/day2.{spec.ext}")
+        ingest_stream(spark, wh, spec, landing, ckpt).awaitTermination(180)
+
+        dim = wh.dim(ent).read(spark)
+        key = spec.key[0]
+        total = dim.count()
+        # exactly one current row per key
+        bad = (
+            dim.filter("is_current")
+            .groupBy(key)
+            .count()
+            .filter("count != 1")
+            .count()
+        )
+        assert bad == 0
+        n_keys = dim.select(key).distinct().count()
+        n_closed = dim.filter("NOT is_current").count()
+        assert total == n_keys + n_closed
+        # the delta day re-emitted 20% of keys with fresh random attrs
+        # plus 10% new keys: closed-out versions and key growth both
+        # must show up at roughly that order of magnitude
+        assert n_closed >= n_day1_keys // 20
+        assert n_keys > n_day1_keys
+        # closed-out rows chain into a successor version
+        succ = (
+            dim.filter("NOT is_current").alias("h")
+            .join(
+                dim.alias("n"),
+                (F.col(f"h.{key}") == F.col(f"n.{key}"))
+                & (F.col("h.eff_end_date") == F.col("n.eff_start_date")),
+                "left_anti",
+            )
+            .count()
+        )
+        assert succ == 0
+
+        # exactly-once at volume: re-run with the same checkpoint
+        ingest_stream(spark, wh, spec, landing, ckpt).awaitTermination(180)
+        assert wh.dim(ent).read(spark).count() == total
