@@ -61,6 +61,15 @@ def main() -> None:
             errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: WARMUP FAILED {type(exc).__name__}", file=sys.stderr)
 
+    # Best-of-2 timing (round-5): the host is bursty — identical
+    # back-to-back full-suite runs measured 30% apart (127 s vs 97 s),
+    # with the inflation landing as a uniform +0.3-0.5 s per query.
+    # min-of-2 reports the quiet-period number, which is the comparable
+    # one. The budget guard keeps total bench wall bounded: once the
+    # clock passes it, remaining queries fall back to single-run rather
+    # than risk the driver's timeout (a missing BENCH beats a late one).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -70,16 +79,21 @@ def main() -> None:
         try:
             if name in python_kernel:
                 q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            # settle the heap before timing: stray young-gen GCs from the
-            # previous query otherwise land inside this query's window
-            # (sub-second queries jump 3-4x run-to-run without this)
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            df = q.build(spark, sf_dir)
-            # noop sink: forces full evaluation of every output column
-            # (count() alone would let Catalyst prune the projections).
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
+            dt = None
+            for _rep in range(2):
+                # settle the heap before timing: stray young-gen GCs from
+                # the previous query otherwise land inside this query's
+                # window (sub-second queries jump 3-4x without this)
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                df = q.build(spark, sf_dir)
+                # noop sink: forces full evaluation of every output column
+                # (count() alone would let Catalyst prune the projections).
+                df.write.format("noop").mode("overwrite").save()
+                run = time.perf_counter() - t0
+                dt = run if dt is None else min(dt, run)
+                if time.perf_counter() - bench_t0 > budget:
+                    break
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"timed: {type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
