@@ -106,21 +106,31 @@ def zorder_bucket_audit(
     aggregation keyed by bucket (≤ 2^n_bucket_bits groups).
 
     ``bits=None`` derives the width from the table's own stats
-    (:func:`zorder_bits_stats`): the interleave runs at the fixed
-    ``_MAX_BITS`` width (identical z-value for any actual key width)
-    and only the bucket shift adapts — so a key outgrowing a
-    hard-coded width (l_partkey > 2^16 at sf >= ~0.5) can neither be
-    silently truncated nor collapse every row into bucket 0."""
+    (:func:`zorder_bits_stats`), so a key outgrowing a hard-coded
+    width (l_partkey > 2^16 at sf >= ~0.5) can neither be silently
+    truncated nor collapse every row into bucket 0. The bucket is
+    computed DIRECTLY as the interleave of each key's top
+    ``n_bucket_bits/2`` bits (mathematically identical to the top
+    ``n_bucket_bits`` of the full z-value, since interleaving
+    commutes with taking top bits at equal widths) — 6 shift terms
+    with a column shift amount instead of a full-width interleave
+    plus shift, so the stats-derived path costs no more map-side
+    work than the fixed-width one."""
     if bits is None:
-        z = zorder_key(x_col, y_col, _MAX_BITS)
+        half = n_bucket_bits // 2
+        assert n_bucket_bits == 2 * half, "n_bucket_bits must be even in stats mode"
+        top_terms = " + ".join(
+            f"shiftleft(shiftright({c}, _bits - {half - k}) & 1, {2 * k + off})"
+            for k in range(half)
+            for off, c in ((0, "x"), (1, "y"))
+        )
         return (
-            df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"), z.alias("_z"))
+            df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
             .crossJoin(F.broadcast(zorder_bits_stats(df, x_col, y_col)))
             .select(
                 "x",
                 "y",
-                F.expr(f"CAST(shiftright(_z, 2 * _bits - {n_bucket_bits}) AS BIGINT)")
-                .alias("zbucket"),
+                F.expr(f"CAST({top_terms} AS BIGINT)").alias("zbucket"),
             )
             .groupBy("zbucket")
             .agg(
