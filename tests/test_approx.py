@@ -141,3 +141,29 @@ def test_hll_registers_bounded_per_group(spark):
     assert all(n <= 1024 for n in sizes.values())
     lo, hi = regs.agg(F.min("m_j"), F.max("m_j")).collect()[0]
     assert 1 <= lo and hi <= 51
+
+
+def test_hll_register_merge_is_partition_invariant(spark):
+    """Property: for ANY split of the input, max-merging per-split
+    registers equals the single-pass registers exactly (the integer
+    determinization makes this bit-exact, not approximate) — the
+    invariant that lets daily partials roll up without rescans."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.approx import (
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % 4000) for i in range(30_000)],
+        "part int, user_id long",
+    ).withColumn("part", F.col("part") % 7)  # 7 arbitrary splits
+
+    whole = hll_registers(df.withColumn("g", F.lit(1)), ["g"], "user_id")
+    split = hll_registers(df.withColumnRenamed("part", "g"), ["g"], "user_id")
+    merged = split.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    diff = (
+        whole.select("bucket", "m_j")
+        .exceptAll(merged.select("bucket", "m_j"))
+        .count()
+    )
+    assert diff == 0
+    assert merged.count() == whole.count()
