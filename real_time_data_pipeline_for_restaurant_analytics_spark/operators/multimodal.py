@@ -382,3 +382,264 @@ def q109_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     thumbs = decode_and_thumbnail(synth_image_payloads(d))
     return thumbs.select("doc_id", "thumb_w", "thumb_h", "thumb_sum").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL audio (WAV/RIFF PCM16) and video (Y4M / YUV4MPEG2) codecs — the
+# same round-5 move as PPM/BMP: both are genuine standard uncompressed
+# formats whose containers are just headers + raw samples, so the
+# parsers are real (chunk walking, plane offsets) with numpy alone, and
+# deterministic synthetic payloads let DuckDB replay the decoded-sample
+# arithmetic exactly.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """RIFF/WAVE PCM16 from an (n, channels) int16 array — the real
+    container: RIFF size, fmt chunk (PCM, channels, rates, block
+    align), data chunk with interleaved little-endian samples."""
+    import struct
+
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL RIFF chunk walk → ((n, channels) int16 array, sample_rate).
+    Only PCM16 is supported; compressed WAV (ADPCM etc.) raises — the
+    codec-library boundary again."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, ch, rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV — compressed needs codec libs")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if ch is None or data is None:
+        raise NotImplementedError("missing fmt /data chunk")
+    return np.frombuffer(data, dtype="<i2").reshape(-1, ch), rate
+
+
+def synth_wav(doc_id: int) -> tuple["np.ndarray", int]:
+    """Deterministic PCM16 signal: n = 256 + 64*(id%7) samples,
+    1 + id%2 channels, sample[i,c] = ((31*id + 17*i + 7*c) % 65536)
+    - 32768 — integer-replayable in any engine."""
+    n = 256 + 64 * (doc_id % 7)
+    ch = 1 + doc_id % 2
+    i = np.arange(n)[:, None]
+    c = np.arange(ch)[None, :]
+    return ((31 * doc_id + 17 * i + 7 * c) % 65536 - 32768).astype(np.int16), \
+        8000 + 4000 * (doc_id % 3)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, n_channels int, "
+    "sum_abs bigint, peak int"
+)
+
+
+def audio_decode_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL WAV decode → integer signal statistics, Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "n_channels", "sum_abs", "peak")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(p))
+                a = np.abs(s.astype(np.int64))
+                out["doc_id"].append(int(d)); out["sample_rate"].append(rate)
+                out["n_samples"].append(s.shape[0]); out["n_channels"].append(s.shape[1])
+                out["sum_abs"].append(int(a.sum())); out["peak"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def synth_audio_payloads(ids_df: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(*synth_wav(int(d))) for d in pdf["doc_id"]],
+                }
+            )
+
+    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+@register(
+    "q110_audio_decode_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         256 + 64 * (doc_id % 7) AS n,
+         CAST(1 + doc_id % 2 AS INT) AS ch
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples, ch AS n_channels,
+       CAST(list_sum(flatten(list_transform(range(n), i ->
+            list_transform(range(ch), c ->
+              abs((31 * doc_id + 17 * i + 7 * c) % 65536 - 32768))))) AS BIGINT)
+         AS sum_abs,
+       CAST(list_max(flatten(list_transform(range(n), i ->
+            list_transform(range(ch), c ->
+              abs((31 * doc_id + 17 * i + 7 * c) % 65536 - 32768))))) AS INT)
+         AS peak
+FROM base ORDER BY doc_id
+""",
+    doc="REAL audio decode: synthesize deterministic RIFF/PCM16 WAV "
+    "bytes, walk the actual chunk structure (fmt /data, word "
+    "alignment), emit integer signal stats — oracle replays the sample "
+    "arithmetic, hash-checking the container parse end to end. "
+    "Compressed audio is the documented NotImplementedError seam.",
+)
+def q110_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return audio_decode_stats(synth_audio_payloads(d)).orderBy("doc_id")
+
+
+def encode_y4m(frames: "np.ndarray") -> bytes:
+    """YUV4MPEG2 (C420) from an (f, h, w) uint8 Y-plane stack; U/V
+    planes are derived deterministically (Y//2 subsampled) — a real
+    y4m stream any y4m reader accepts."""
+    f, h, w = frames.shape
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h)
+    out = [head]
+    for k in range(f):
+        y = frames[k]
+        u = (y[::2, ::2] // 2).astype(np.uint8)
+        v = (y[1::2, ::2] // 2).astype(np.uint8)
+        out.append(b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> "np.ndarray":
+    """REAL y4m parse → (frames, h, w) uint8 Y-plane stack: header
+    tokens (W/H/C), then FRAME markers with C420 plane offsets. Only
+    C420 layouts are supported (anything else raises)."""
+    nl = payload.index(b"\n")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise NotImplementedError("not a y4m stream")
+    w = h = None
+    for t in tokens[1:]:
+        if t[:1] == b"W":
+            w = int(t[1:])
+        elif t[:1] == b"H":
+            h = int(t[1:])
+        elif t[:1] == b"C" and not t.startswith(b"C420"):
+            raise NotImplementedError("only C420 y4m")
+    ysz = w * h
+    csz = (h // 2) * (w // 2)
+    frame_sz = len(b"FRAME\n") + ysz + 2 * csz
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise NotImplementedError("unsupported FRAME parameters")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=ysz, offset=pos + 6).reshape(h, w)
+        )
+        pos += frame_sz
+    return np.stack(frames)
+
+
+def synth_video_frames(doc_id: int) -> "np.ndarray":
+    """Deterministic Y-plane stack: w = 4 + 2*(id%5), h = 4 + 2*(id%3)
+    (even, as C420 requires), f = 3 + id%5 frames,
+    Y[f,y,x] = (id + 5f + 3x + 7y) % 256."""
+    w = 4 + 2 * (doc_id % 5)
+    h = 4 + 2 * (doc_id % 3)
+    f = 3 + doc_id % 5
+    fi = np.arange(f)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    return ((doc_id + 5 * fi + 3 * x + 7 * y) % 256).astype(np.uint8)
+
+
+def synth_video_payloads(ids_df: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_y4m(synth_video_frames(int(d))) for d in pdf["doc_id"]],
+                }
+            )
+
+    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+VIDEO_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, "
+    "n_sampled int, sampled_y_sum bigint"
+)
+
+
+def video_frame_sample_stats(binary_df: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL y4m decode → frame-sample every ``stride``-th frame →
+    integer Y-plane sums over the sampled frames. The frame-sample
+    kernel of a video curation pipeline, with the heavy bytes touched
+    exactly once per payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "n_frames", "n_sampled", "sampled_y_sum")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                fr = decode_y4m(bytes(p))
+                samp = fr[::stride]
+                out["doc_id"].append(int(d))
+                out["height"].append(fr.shape[1]); out["width"].append(fr.shape[2])
+                out["n_frames"].append(fr.shape[0]); out["n_sampled"].append(samp.shape[0])
+                out["sampled_y_sum"].append(int(samp.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
+@register(
+    "q111_video_frame_sample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 5) AS w,
+         4 + 2 * (doc_id % 3) AS h,
+         3 + doc_id % 5 AS f
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(f AS INT) AS n_frames,
+       CAST((f + 1) // 2 AS INT) AS n_sampled,
+       CAST(list_sum(list_transform(list_filter(range(f), fi -> fi % 2 = 0), fi ->
+            list_sum(list_transform(range(h), y ->
+              list_sum(list_transform(range(w), x ->
+                (doc_id + 5 * fi + 3 * x + 7 * y) % 256)))))) AS BIGINT)
+         AS sampled_y_sum
+FROM base ORDER BY doc_id
+""",
+    doc="REAL video frame-sampling: synthesize deterministic YUV4MPEG2 "
+    "(C420) streams, parse the actual y4m header + FRAME plane offsets, "
+    "sample every 2nd frame, emit integer Y-plane sums — oracle replays "
+    "the pixel arithmetic over the sampling grid. Compressed video "
+    "stays behind the NotImplementedError seam.",
+)
+def q111_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return video_frame_sample_stats(synth_video_payloads(d)).orderBy("doc_id")

@@ -55,3 +55,39 @@ def test_decode_thumbnail_bytes_round_trip_through_spark(spark):
         got = decode_image(bytes(r.thumb))
         assert (got == expected).all()
         assert r.thumb_sum == int(expected.sum(dtype=np.int64))
+
+
+def test_wav_round_trip_and_boundary():
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_wav,
+    )
+
+    rng = np.random.RandomState(5)
+    for n, ch, rate in [(256, 1, 8000), (301, 2, 44100), (1, 1, 16000)]:
+        s = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and (out == s).all(), (n, ch)
+    for d in (0, 3, 499):
+        s, rate = synth_wav(d)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and (out == s).all()
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS....")  # compressed container -> loud seam
+
+
+def test_y4m_round_trip_and_frame_sample():
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        synth_video_frames,
+    )
+
+    for d in (0, 7, 123):
+        fr = synth_video_frames(d)
+        got = decode_y4m(encode_y4m(fr))
+        assert (got == fr).all()
+        assert (got[::2] == fr[::2]).all()  # the sampling grid q111 uses
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42...\n")  # mp4 -> loud seam
