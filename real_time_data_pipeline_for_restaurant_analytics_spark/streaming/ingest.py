@@ -33,20 +33,33 @@ from ..pipeline.runner import Warehouse
 from ..sources.readers import AUDIT_COLS, text_schema, with_audit_columns
 
 
-def stage_file_stream(spark: SparkSession, spec: EntitySpec, landing_dir: str) -> DataFrame:
+def stage_file_stream(
+    spark: SparkSession,
+    spec: EntitySpec,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """C1: append-only stage stream from a landing directory.
-    Kafka-ready seam: return any streaming DF with spec.source_columns."""
+    Kafka-ready seam: return any streaming DF with spec.source_columns.
+
+    ``max_files_per_trigger`` bounds each micro-batch (production
+    back-pressure): a backlog of N files then drains as ceil(N/k)
+    ORDERED micro-batches within one availableNow run, each flowing
+    through the full SCD1/SCD2 merge body — the file-source twin of
+    Kafka's maxOffsetsPerTrigger."""
+    reader = spark.readStream.schema(text_schema(spec.source_columns))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if spec.ext == "json":
-        reader = spark.readStream.schema(text_schema(spec.source_columns)).json(landing_dir)
+        out = reader.json(landing_dir)
     else:
-        reader = (
-            spark.readStream.schema(text_schema(spec.source_columns))
-            .option("header", "true")
+        out = (
+            reader.option("header", "true")
             .option("quote", '"')
             .option("nullValue", "\\N")
             .csv(landing_dir)
         )
-    return with_audit_columns(reader)
+    return with_audit_columns(out)
 
 
 #: Schema of Spark's Kafka source output (one row per record) — also
@@ -188,6 +201,7 @@ def ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     source: DataFrame | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Launch the stream→merge loop for one entity.
 
@@ -201,7 +215,9 @@ def ingest_stream(
     ``with_stream_audit_columns``) and the merge loop below is
     unchanged; ``landing_dir`` is then ignored.
     """
-    stream = source if source is not None else stage_file_stream(spark, spec, landing_dir)
+    stream = source if source is not None else stage_file_stream(
+        spark, spec, landing_dir, max_files_per_trigger
+    )
 
     def _body(batch: DataFrame, _batch_id: int) -> None:
         merge_microbatch(spark, wh, spec, batch)

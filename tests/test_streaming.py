@@ -265,3 +265,40 @@ def test_stream_stream_join_within_time_bound(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT order_id FROM ss_join ORDER BY order_id").collect()
     assert [r.order_id for r in rows] == [1, 3]
+
+
+def test_single_run_multiple_microbatches_ordered(spark, tmp_path):
+    """Round-5: BOTH day files present before the stream starts;
+    maxFilesPerTrigger=1 forces ONE availableNow run to drain them as
+    two ORDERED micro-batches, each through the full SCD2 merge body.
+    The final state must equal the two-run replay: day2's price change
+    closes out day1's version, never the other way around."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import ENTITIES
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(str(tmp_path / "wh"))
+    spec = ENTITIES["menu"]
+
+    _write_menu(landing, "day1.csv", [
+        "1,101,Tikka,Good,250.00,App,True,Veg,4.2,2024-05-01 10:00:00,\\N",
+        "2,101,Dal,Nice,220.00,Main,False,Veg,4.4,2024-05-01 10:00:00,\\N",
+    ])
+    import time
+
+    time.sleep(1.1)  # distinct mtimes: file-source batches honor file age order
+    _write_menu(landing, "day2.csv", [
+        "1,101,Tikka,Good,275.00,App,True,Veg,4.2,2024-05-01 10:00:00,2024-05-02 11:00:00",
+        "3,102,Noodles,Street,180.00,Main,true,Veg,\\N,2024-05-02 11:00:00,\\N",
+    ])
+
+    q = ingest_stream(spark, wh, spec, landing, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    dim = wh.dim("menu").read(spark)
+    assert dim.count() == 4  # 2 day1 + 1 close-out replacement + 1 new
+    cur1 = dim.filter("menu_id = 1 AND is_current").collect()
+    assert len(cur1) == 1 and str(cur1[0].price) == "275.00"
+    old1 = dim.filter("menu_id = 1 AND NOT is_current").collect()
+    assert len(old1) == 1 and str(old1[0].price) == "250.00"
