@@ -230,3 +230,40 @@ def ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def to_kafka_frame(df: DataFrame, spec: EntitySpec) -> DataFrame:
+    """Entity rows → Kafka producer frame (``key BINARY, value BINARY``)
+    — the symmetric seam to :func:`parse_kafka_records`. ``value`` is
+    the row's source columns as a JSON object (the same contract the
+    json-ext source parser reads); ``key`` is the entity's business
+    key, so a compacted topic keeps latest-per-key and partition
+    assignment co-locates a key's history — ordering per key, which is
+    exactly what the SCD merges downstream rely on.
+
+    Publish with ``df.write.format("kafka")`` / ``writeStream`` plus
+    bootstrap/topic options (connector jar required, as for the
+    source); shape is connector-independent and round-trip-tested
+    broker-less against parse_kafka_records.
+    """
+    return df.select(
+        F.encode(F.concat_ws("|", *_source_key_columns(spec)), "utf-8").alias("key"),
+        F.encode(F.to_json(F.struct(*spec.source_columns)), "utf-8").alias("value"),
+    )
+
+
+def _source_key_columns(spec: EntitySpec) -> list[str]:
+    """The business key in SOURCE-column names: clean-layer key names
+    drop their underscores in the source contract (menu_id ↔ menuid),
+    so match on the underscore-stripped form and fail loudly if an
+    entity ever breaks the convention."""
+    out = []
+    for k in spec.key:
+        want = k.replace("_", "").lower()
+        match = next(
+            (c for c in spec.source_columns if c.replace("_", "").lower() == want), None
+        )
+        if match is None:
+            raise KeyError(f"no source column matches key {k!r} for entity {spec.name!r}")
+        out.append(match)
+    return out

@@ -217,3 +217,44 @@ def test_multiday_delta_replay_at_volume_through_stream(spark, tmp_path):
         # exactly-once at volume: re-run with the same checkpoint
         ingest_stream(spark, wh, spec, landing, ckpt).awaitTermination(180)
         assert wh.dim(ent).read(spark).count() == total
+
+
+def test_to_kafka_frame_round_trips_through_source_parser(spark):
+    """Producer seam: entity rows -> (key, value) Kafka frame; feeding
+    those values back through parse_kafka_records (json contract)
+    recovers the source columns exactly — the broker-less proof that
+    the sink and source speak the same wire contract. Key = business
+    key bytes (compacted-topic / per-key ordering semantics)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.ingest import (
+        to_kafka_frame,
+    )
+
+    spec = ENTITIES["menu"]
+    rows = spark.createDataFrame(
+        [("1", "101", "Tikka", "Good", "250.00", "App", "True", "Veg", "4.2",
+          "2024-05-01 10:00:00", None),
+         ("2", "101", "Dal", None, "220.00", "Main", "False", "Veg", "4.4",
+          "2024-05-01 10:00:00", None)],
+        ", ".join(f"{c} string" for c in spec.source_columns),
+    )
+    frame = to_kafka_frame(rows, spec)
+    assert frame.columns == ["key", "value"]
+    got = {bytes(r.key).decode(): bytes(r.value).decode() for r in frame.collect()}
+    assert set(got) == {"1", "2"}
+
+    # round-trip: wrap as wire records, parse with the json contract
+    json_spec = type(spec)(
+        name=spec.name, source_columns=spec.source_columns, clean=spec.clean,
+        key=spec.key, scd2_attrs=spec.scd2_attrs, ext="json",
+    )
+    wire = frame.select(
+        "key", "value", F.lit("menu_items").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
+    )
+    back = {r.menuid: r for r in parse_kafka_records(wire, json_spec).collect()}
+    assert back["1"].itemname == "Tikka" and back["1"].modifieddate is None
+    assert back["2"].description is None and back["2"].price == "220.00"
