@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         skew,
         text,
     )
+    from .sources import corpus  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,234 @@
+"""LLM-corpus ingestion sources: JSONL documents and WARC web-crawl
+archives (the Common Crawl shape) — the raw-input end of a
+training-data pipeline, upstream of the dedup/quality/curation
+operators.
+
+WARC/1.0 is a plain text-framed format (header block + Content-Length
+payload), so the parser here is REAL — record splitting, header
+parsing, HTTP response separation, and HTML body extraction, all
+byte-level with no external libraries — and runs inside the same
+Arrow-batched ``mapInPandas`` plumbing as the multimodal codecs: one
+WARC file = one binary payload, parsed exactly once into narrow typed
+rows.
+
+Scale shape: WARC files are the parallelism unit (Common Crawl ships
+~1 GB segments); ``binaryFile`` reads distribute files across
+executors, each parsed in one pass with memory bounded by the largest
+single record. At 100 TB you point the reader at the segment listing
+and everything downstream (lang-id, dedup, quality) is the existing
+operator surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# JSONL corpus reader
+# ---------------------------------------------------------------------------
+
+DOCUMENT_JSONL_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_corpus_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENT_JSONL_SCHEMA,
+    bad_records_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Line-delimited JSON corpus reader with an EXPLICIT schema (no
+    inference pass — at 100 TB schema-on-read inference would be a
+    full extra scan) and PERMISSIVE corrupt-record capture: malformed
+    lines land in ``_corrupt_record`` instead of killing the job or
+    silently vanishing — count them, alert, keep loading."""
+    return (
+        spark.read.schema(f"{schema}, {bad_records_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .json(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC: real writer + parser
+# ---------------------------------------------------------------------------
+
+_CRLF = b"\r\n"
+
+
+def build_warc_response(url: str, date: str, html: bytes) -> bytes:
+    """One WARC/1.0 ``response`` record wrapping an HTTP/1.1 response
+    around ``html`` — the real framing: WARC header block,
+    Content-Length over the full HTTP block, blank-line separators,
+    double-CRLF record terminator."""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + b"Content-Length: " + str(len(html)).encode() + _CRLF
+        + _CRLF
+        + html
+    )
+    warc_headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + date.encode() + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF
+    )
+    return warc_headers + _CRLF + http + _CRLF + _CRLF
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """REAL WARC/1.0 parse: walk records by Content-Length (the only
+    correct way — payloads may contain anything, including the string
+    ``WARC/1.0``), split each response's HTTP headers from its body,
+    return [{url, date, http_status, body_bytes}] for response
+    records. Non-response records (warcinfo, request, metadata) are
+    walked over correctly and skipped."""
+    out: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"WARC/":
+            break  # trailing padding
+        hdr_end = payload.index(_CRLF + _CRLF, pos)
+        headers: dict[str, str] = {}
+        for line in payload[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode().lower()] = v.strip().decode()
+        clen = int(headers["content-length"])
+        body = payload[hdr_end + 4 : hdr_end + 4 + clen]
+        if headers.get("warc-type") == "response":
+            http_end = body.index(_CRLF + _CRLF)
+            status_line = body[: body.index(_CRLF)].decode(errors="replace")
+            status = int(status_line.split(" ")[1]) if " " in status_line else 0
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "date": headers.get("warc-date", ""),
+                    "http_status": status,
+                    "body": body[http_end + 4 :],
+                }
+            )
+        pos = hdr_end + 4 + clen
+        while payload[pos : pos + 2] == _CRLF:
+            pos += 2
+    return out
+
+
+def extract_html_body(html: bytes) -> str:
+    """Minimal deterministic HTML text extraction: the content of the
+    FIRST ``<p>…</p>`` span (byte search, no regex, no parser libs) —
+    enough for the synthetic template; a production pipeline swaps in
+    trafilatura/jusText behind the same column contract."""
+    s = html.decode("utf-8", errors="replace")
+    a = s.find("<p>")
+    b = s.find("</p>", a)
+    return s[a + 3 : b] if a != -1 and b != -1 else ""
+
+
+def warc_records_frame(warc_df: DataFrame) -> DataFrame:
+    """(warc binary payload per row) → one row per response record:
+    url, date, http_status, n_body_bytes, body_md5, text (extracted).
+    Arrow-batched; each WARC payload parsed exactly once."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("url", "date", "http_status", "n_body_bytes", "body_md5", "text")}
+            for p in pdf["warc"]:
+                for r in parse_warc(bytes(p)):
+                    rows["url"].append(r["url"])
+                    rows["date"].append(r["date"])
+                    rows["http_status"].append(r["http_status"])
+                    rows["n_body_bytes"].append(len(r["body"]))
+                    rows["body_md5"].append(hashlib.md5(r["body"]).hexdigest())
+                    rows["text"].append(extract_html_body(r["body"]))
+            yield pd.DataFrame(rows)
+
+    return warc_df.mapInPandas(
+        run,
+        schema="url string, date string, http_status int, "
+        "n_body_bytes bigint, body_md5 string, text string",
+    )
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC ingestion: ``binaryFile`` distributes whole archives
+    across executors (files are the parallelism unit, as in Common
+    Crawl segments); each is parsed once into typed response rows."""
+    raw = spark.read.format("binaryFile").load(path_glob)
+    return warc_records_frame(raw.select(F.col("content").alias("warc")))
+
+
+# Synthetic-template constants shared by the registered query and its
+# oracle: html = PRE + text + POST, so every byte count is text-length
+# arithmetic both engines can do.
+_HTML_PRE = "<html><head><title>doc</title></head><body><p>"
+_HTML_POST = "</p></body></html>"
+_WARC_DATE = "2024-05-01T00:00:00Z"
+
+
+def _synth_warc_frame(docs: DataFrame) -> DataFrame:
+    """One single-record WARC archive per document, built with the
+    REAL writer (build_warc_response) so the parser is exercised
+    against genuine framing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "warc": [
+                        build_warc_response(
+                            f"http://corpus.example/{int(d)}",
+                            _WARC_DATE,
+                            (_HTML_PRE + t + _HTML_POST).encode(),
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ]
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema="warc binary")
+
+
+@register(
+    "q112_warc_ingest",
+    oracle=f"""
+SELECT 'http://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 AS INT) AS http_status,
+       CAST(length('{_HTML_PRE}') + n_chars + length('{_HTML_POST}') AS BIGINT)
+         AS n_body_bytes,
+       md5('{_HTML_PRE}' || text || '{_HTML_POST}') AS body_md5,
+       md5(text) AS text_md5
+FROM documents ORDER BY url
+""",
+    doc="REAL WARC/1.0 ingestion kernel (the Common Crawl shape): "
+    "documents wrapped as genuine WARC response records (HTTP framing, "
+    "Content-Length walking) by the real writer, re-parsed by the real "
+    "byte-level parser, HTML body extracted — the oracle replays URL, "
+    "status, byte counts, and digests from template arithmetic, "
+    "hash-checking the whole ingest path. binaryFile variant: "
+    "read_warc().",
+)
+def q112_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    recs = warc_records_frame(_synth_warc_frame(d))
+    return recs.select(
+        "url",
+        "http_status",
+        "n_body_bytes",
+        "body_md5",
+        F.md5("text").alias("text_md5"),
+    ).orderBy("url")

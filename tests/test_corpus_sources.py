@@ -1,0 +1,87 @@
+"""WARC/JSONL corpus ingestion sources (round 5): real byte-level
+WARC parsing (Content-Length walking, multi-record archives,
+non-response records, adversarial payloads), binaryFile distribution,
+and corrupt-record capture in the JSONL reader."""
+
+from __future__ import annotations
+
+import os
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.sources.corpus import (
+    build_warc_response,
+    extract_html_body,
+    parse_warc,
+    read_corpus_jsonl,
+    read_warc,
+)
+
+_CRLF = b"\r\n"
+
+
+def _warcinfo() -> bytes:
+    body = b"software: test\r\n"
+    return (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: warcinfo" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF
+        + _CRLF + body + _CRLF + _CRLF
+    )
+
+
+def test_parse_warc_multi_record_and_skips_non_response():
+    html1 = b"<html><body><p>hello world</p></body></html>"
+    html2 = b"<html><body><p>second doc</p></body></html>"
+    archive = (
+        _warcinfo()
+        + build_warc_response("http://a/1", "2024-05-01T00:00:00Z", html1)
+        + build_warc_response("http://a/2", "2024-05-01T00:00:01Z", html2)
+    )
+    recs = parse_warc(archive)
+    assert [r["url"] for r in recs] == ["http://a/1", "http://a/2"]
+    assert all(r["http_status"] == 200 for r in recs)
+    assert recs[0]["body"] == html1 and recs[1]["body"] == html2
+    assert extract_html_body(recs[0]["body"]) == "hello world"
+
+
+def test_parse_warc_payload_containing_warc_magic():
+    """Content-Length walking is the only correct framing: a body that
+    CONTAINS the record magic must not split the record."""
+    evil = b"<html><body><p>quoting WARC/1.0\r\n\r\nheaders inside</p></body></html>"
+    archive = build_warc_response("http://a/e", "2024-05-01T00:00:00Z", evil) \
+        + build_warc_response("http://a/f", "2024-05-01T00:00:00Z", b"<p>ok</p>")
+    recs = parse_warc(archive)
+    assert len(recs) == 2
+    assert recs[0]["body"] == evil
+    assert recs[1]["url"] == "http://a/f"
+
+
+def test_read_warc_binaryfile_distribution(spark, tmp_path):
+    d = tmp_path / "warcs"
+    os.makedirs(d)
+    for i in range(3):
+        with open(d / f"seg{i}.warc", "wb") as f:
+            f.write(_warcinfo())
+            for j in range(4):
+                f.write(build_warc_response(
+                    f"http://seg{i}/{j}", "2024-05-01T00:00:00Z",
+                    f"<html><body><p>doc {i}-{j}</p></body></html>".encode(),
+                ))
+    out = read_warc(spark, str(d)).collect()
+    assert len(out) == 12
+    texts = {r.text for r in out}
+    assert "doc 2-3" in texts and all(r.http_status == 200 for r in out)
+
+
+def test_read_corpus_jsonl_corrupt_capture(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "web", "n_chars": 5}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "beta", "lang": "en", "source": "web", "n_chars": 4}\n'
+    )
+    df = read_corpus_jsonl(spark, str(p))
+    rows = df.collect()
+    good = [r for r in rows if r.doc_id is not None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.doc_id for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
