@@ -733,3 +733,137 @@ FROM r ORDER BY doc_id
 def q101_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return quantile_normalize_by_group(d, "source", "n_chars", "doc_id").orderBy("doc_id")
+
+
+def canonical_url(url_col: str) -> Column:
+    """Canonical form of a URL column — the standard web-corpus dedup
+    key (Common Crawl-scale curation: the same page arrives under
+    case-varied hosts, default ports, shuffled/tracking query params,
+    fragments):
+
+    - strip ``#fragment``
+    - lowercase scheme and host (path stays case-sensitive, per RFC)
+    - drop default ports (http:80, https:443); keep explicit others
+    - drop ``utm_*`` tracking params, sort the rest (param order is
+      semantically irrelevant), rebuild the query string
+    - normalize a single trailing slash ('' and '/' both → '/')
+
+    Pure engine string algebra (split_part/filter/sort_array — every
+    step whole-stage-codegen, no UDF), written against the function
+    subset whose semantics DuckDB shares exactly, so q113's oracle
+    replays it verbatim."""
+    u = f"split_part({url_col}, '#', 1)"
+    scheme = f"lower(split_part({u}, '://', 1))"
+    rest = f"split_part({u}, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    pathquery = f"substring({rest}, length({hostport}) + 1)"
+    host = f"lower(split_part({hostport}, ':', 1))"
+    port = f"split_part({hostport}, ':', 2)"
+    keep_port = (
+        f"CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    path = f"split_part({pathquery}, '?', 1)"
+    path_n = (
+        f"CASE WHEN {path} IN ('', '/') THEN '/' "
+        f"WHEN substring({path}, length({path}), 1) = '/' "
+        f"THEN substring({path}, 1, length({path}) - 1) "
+        f"ELSE {path} END"
+    )
+    query = f"split_part({pathquery}, '?', 2)"
+    query_n = (
+        f"array_join(sort_array(filter(split({query}, '&'), "
+        f"p -> NOT startswith(p, 'utm_') AND p <> '')), '&')"
+    )
+    return F.expr(
+        f"{scheme} || '://' || {host} || {keep_port} || {path_n} || "
+        f"CASE WHEN {query_n} = '' THEN '' ELSE '?' || {query_n} END"
+    )
+
+
+def _duck_canonical_url(url_col: str) -> str:
+    """DuckDB replay of canonical_url — same algebra, dialect-local
+    names (str_split/list_filter/list_sort/array_to_string)."""
+    u = f"split_part({url_col}, '#', 1)"
+    scheme = f"lower(split_part({u}, '://', 1))"
+    rest = f"split_part({u}, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    pathquery = f"substring({rest}, length({hostport}) + 1)"
+    host = f"lower(split_part({hostport}, ':', 1))"
+    port = f"split_part({hostport}, ':', 2)"
+    keep_port = (
+        f"CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    path = f"split_part({pathquery}, '?', 1)"
+    path_n = (
+        f"CASE WHEN {path} IN ('', '/') THEN '/' "
+        f"WHEN substring({path}, length({path}), 1) = '/' "
+        f"THEN substring({path}, 1, length({path}) - 1) "
+        f"ELSE {path} END"
+    )
+    query = f"split_part({pathquery}, '?', 2)"
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — the one dialect divergence in this algebra
+    query_n = (
+        f"coalesce(array_to_string(list_sort(list_filter(str_split({query}, '&'), "
+        f"p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {keep_port} || {path_n} || "
+        f"CASE WHEN {query_n} = '' THEN '' ELSE '?' || {query_n} END"
+    )
+
+
+# messy-variant templates shared by q113 and its oracle: five surface
+# forms per page-group, two canonical targets (plain vs with-query)
+_URL_VARIANTS_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'http://example.com/r/' || CAST(doc_id {idiv} 5 AS {str}) || '/'
+  WHEN 1 THEN 'HTTP://Example.COM/r/' || CAST(doc_id {idiv} 5 AS {str})
+  WHEN 2 THEN 'http://example.com:80/r/' || CAST(doc_id {idiv} 5 AS {str})
+  WHEN 3 THEN 'http://example.com/r/' || CAST(doc_id {idiv} 5 AS {str})
+              || '?b=2&utm_source=x&a=1'
+  ELSE 'http://example.com:80/r/' || CAST(doc_id {idiv} 5 AS {str})
+              || '?a=1&b=2#frag'
+END
+"""
+
+
+@register(
+    "q113_url_canonical_dedup",
+    oracle=f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_VARIANTS_SQL.format(str="VARCHAR", idiv="//")} AS url FROM documents
+), canon AS (
+  SELECT doc_id, {_duck_canonical_url("url")} AS canonical_url FROM urls
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+FROM canon GROUP BY 1 ORDER BY canonical_url
+""",
+    doc="URL canonicalization + dedup (web-corpus curation): case/"
+    "default-port/fragment/tracking-param/param-order/trailing-slash "
+    "variants collapse to one canonical key; keep-lowest-id per page. "
+    "Pure codegen string algebra, one md5-free groupBy shuffle keyed "
+    "by the canonical URL; the oracle replays the identical algebra.",
+)
+def q113_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id", F.expr(_URL_VARIANTS_SQL.format(str="STRING", idiv="div")).alias("url")
+    )
+    return (
+        urls.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

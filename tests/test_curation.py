@@ -153,3 +153,30 @@ def test_source_cap_sample_enforces_cap_deterministically(spark):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in source_cap_sample(docs, cap=10).collect())
     assert a == b
+
+
+def test_canonical_url_edge_cases(spark):
+    """Round-5 URL canonicalization: case, default/explicit ports,
+    fragments, tracking params, param order, trailing slash, bare
+    host."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        canonical_url,
+    )
+
+    cases = [
+        ("http://example.com/r/1/", "http://example.com/r/1"),
+        ("HTTP://Example.COM/r/1", "http://example.com/r/1"),
+        ("http://example.com:80/r/1", "http://example.com/r/1"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/#top", "http://example.com/"),
+        ("http://example.com/p?utm_source=a&utm_medium=b", "http://example.com/p"),
+        ("http://example.com/p?z=1&a=2", "http://example.com/p?a=2&z=1"),
+        ("http://example.com/CaseSensitive/Path", "http://example.com/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
