@@ -85,3 +85,33 @@ def test_read_corpus_jsonl_corrupt_capture(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert {r.doc_id for r in good} == {1, 2}
     assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+
+def test_warc_round_trip_property():
+    """Property (hypothesis): ANY sequence of response records with
+    arbitrary binary bodies — including CRLFs, WARC magic, and HTTP
+    header look-alikes inside bodies — round-trips through
+    build_warc_response + parse_warc exactly and in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bodies = st.lists(
+        st.binary(min_size=0, max_size=200).map(
+            lambda b: b"<p>" + b + b"</p>"  # body shape the extractor expects
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(bodies)
+    def run(bs):
+        archive = _warcinfo() + b"".join(
+            build_warc_response(f"http://x/{i}", "2024-05-01T00:00:00Z", b)
+            for i, b in enumerate(bs)
+        )
+        recs = parse_warc(archive)
+        assert [r["body"] for r in recs] == bs
+        assert [r["url"] for r in recs] == [f"http://x/{i}" for i in range(len(bs))]
+
+    run()
