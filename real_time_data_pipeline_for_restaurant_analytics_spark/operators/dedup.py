@@ -1344,3 +1344,139 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 def q100_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return passage_dedup_stats(d).orderBy("doc_id")
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    taus: tuple[int, ...] = (300, 500, 700),
+) -> DataFrame:
+    """Measured recall/precision of the MinHash+LSH candidate pairs
+    against EXACT Jaccard — the evidence that decides the banding
+    knobs (rows/bands trade recall against candidate volume) instead
+    of trusting the S-curve formula.
+
+    Emits ('recall', τ, caught, true_pairs, permille) per threshold —
+    what fraction of truly-similar pairs (jaccard ≥ τ) the bucketing
+    surfaces — plus ('precision', 100, caught, n_candidates, permille):
+    how much of the candidate volume is genuinely ≥ 0.1-similar.
+
+    The exact side is the q20 inverted-index kernel — quadratic in
+    collisions BY DESIGN: this is a gate-scale/sample AUDIT you run on
+    a slice to tune knobs, never a production full-corpus pass. One
+    joined frame, all counts in a single conditional aggregation, the
+    candidate total rides in as a 1-row broadcast cross.
+    """
+    sh = shingles(docs, id_col, text_col)
+    exact = jaccard_pairs(sh, id_col, min_permille=100)
+    sig = minhash_signatures(docs, id_col, text_col)
+    cands = lsh_candidates(lsh_bands(sig, id_col), id_col).select(
+        "id1", "id2", F.lit(1).alias("is_cand")
+    )
+    j = exact.join(cands, ["id1", "id2"], "left").select(
+        "jaccard_permille", F.coalesce("is_cand", F.lit(0)).alias("is_cand")
+    )
+    aggs = []
+    for t in taus:
+        aggs.append(
+            F.sum(F.when(F.col("jaccard_permille") >= t, 1).otherwise(0)).alias(f"true{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("jaccard_permille") >= t, F.col("is_cand")).otherwise(0))
+            .alias(f"caught{t}")
+        )
+    aggs.append(F.sum("is_cand").alias("caught_all"))
+    per = j.agg(*aggs)
+    tot = cands.agg(F.count(F.lit(1)).alias("n_cands"))
+    one = per.crossJoin(F.broadcast(tot))
+    rows = ", ".join(
+        f"'recall', CAST({t} AS BIGINT), CAST(caught{t} AS BIGINT), CAST(true{t} AS BIGINT)"
+        for t in taus
+    )
+    stacked = one.select(
+        F.expr(
+            f"stack({len(taus) + 1}, {rows}, "
+            "'precision', CAST(100 AS BIGINT), CAST(caught_all AS BIGINT), "
+            "CAST(n_cands AS BIGINT)) AS (metric, tau, num, den)"
+        )
+    )
+    return stacked.select(
+        "metric", "tau", "num", "den",
+        F.expr("CASE WHEN den = 0 THEN NULL ELSE (num * 1000) div den END").alias("permille"),
+    ).orderBy("metric", "tau")
+
+
+def _recall_audit_oracle(taus: tuple[int, ...] = (300, 500, 700)) -> str:
+    mins = _sig_mins_duck()
+    band_exprs = _band_exprs_duck()
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS)
+    )
+    recall_rows = "\nUNION ALL\n".join(
+        f"SELECT 'recall' AS metric, CAST({t} AS BIGINT) AS tau, caught{t} AS num, "
+        f"true{t} AS den FROM agg" for t in taus
+    )
+    agg_items = ", ".join(
+        f"CAST(SUM(CASE WHEN jaccard_permille >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS true{t}, "
+        f"CAST(SUM(CASE WHEN jaccard_permille >= {t} THEN is_cand ELSE 0 END) AS BIGINT) AS caught{t}"
+        for t in taus
+    )
+    return f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_ct
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.id1, i.id2,
+         CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) AS jaccard_permille
+  FROM inter i
+  JOIN sizes s1 ON s1.doc_id = i.id1
+  JOIN sizes s2 ON s2.doc_id = i.id2
+  WHERE CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) >= 100
+),
+hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+bands AS (SELECT doc_id, {band_exprs} FROM sig),
+brows AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM brows a JOIN brows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT e.jaccard_permille,
+         CASE WHEN c.id1 IS NULL THEN 0 ELSE 1 END AS is_cand
+  FROM exact e LEFT JOIN cands c ON e.id1 = c.id1 AND e.id2 = c.id2
+),
+agg AS (
+  SELECT {agg_items},
+         CAST(SUM(is_cand) AS BIGINT) AS caught_all,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands
+  FROM j
+),
+rows_out AS (
+{recall_rows}
+UNION ALL
+SELECT 'precision', CAST(100 AS BIGINT), caught_all, n_cands FROM agg
+)
+SELECT metric, tau, num, den,
+       CASE WHEN den = 0 THEN NULL ELSE (num * 1000) // den END AS permille
+FROM rows_out ORDER BY metric, tau
+"""
+
+
+@register(
+    "q114_lsh_recall_audit",
+    oracle=_recall_audit_oracle(),
+    doc="MinHash+LSH tuning audit: measured recall of the candidate "
+    "pairs vs exact Jaccard at tau = 0.3/0.5/0.7, plus candidate-set "
+    "precision at 0.1 — the evidence for choosing rows/bands, run at "
+    "gate scale or on a corpus sample (exact side quadratic by design).",
+)
+def q114_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return lsh_recall_audit(d, "doc_id", "text")

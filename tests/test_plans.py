@@ -80,6 +80,8 @@ _SCALAR_CROSS_OK = (
     # q99: two scalar median crosses — each broadcast side is a single
     # aggregate row (the declarative replacement for driver .collect()).
     "q99_mad_anomalies",
+    # q114: candidate-count total rides in as a 1-row broadcast cross.
+    "q114_lsh_recall_audit",
 )
 
 
