@@ -43,21 +43,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
+    def _summary_line(partial: bool) -> str:
+        """ONE compact JSON line that fits the driver's 2000-char tail
+        buffer (round-5 postmortem: the full-name line overflowed it and
+        BENCH_r05 recorded parsed=null). Query keys are shortened to
+        their qNN prefix and values rounded to 2 dp; the full-name map
+        goes to stderr for humans."""
+        short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
+        payload = {
+            "metric": "headline_query_wall_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+        }
+        if partial:
+            payload["partial"] = True
+        if errors:
+            payload["errors"] = {
+                n.split("_", 1)[0]: msg[:60] for n, msg in errors.items()
+            }
+        return json.dumps(payload, separators=(",", ":"))
+
     def _dump_partial(signum, frame):  # noqa: ARG001
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_query_wall_time",
-                    "value": round(sum(timings.values()), 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "partial": True,
-                    **({"errors": errors} if errors else {}),
-                }
-            ),
-            flush=True,
-        )
+        print(_summary_line(partial=True), flush=True)
         sys.exit(0)
 
     signal.signal(signal.SIGTERM, _dump_partial)
@@ -127,6 +136,12 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
+    # Disarm the SIGTERM hedge before the normal summary prints — a
+    # late signal must not append a second, partial-flagged JSON line
+    # after a completed run (a last-line consumer would pick up the
+    # duplicate).
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    # Full-name per-query map for humans — stderr, never the parsed line.
     print(
         json.dumps(
             {
@@ -137,8 +152,10 @@ def main() -> None:
                 "sf": sf,
                 **({"errors": errors} if errors else {}),
             }
-        )
+        ),
+        file=sys.stderr,
     )
+    print(_summary_line(partial=False), flush=True)
 
 
 if __name__ == "__main__":

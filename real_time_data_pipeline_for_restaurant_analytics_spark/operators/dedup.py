@@ -279,8 +279,14 @@ def lsh_candidates(
     :func:`lsh_bucket_stats` on the same bands frame to observe how
     many buckets/docs the cap drops before committing to a value.
     """
+    # NULL band hashes (docs with no shingles) carry no signal: a
+    # groupBy would pool them into ONE degenerate bucket and pair every
+    # shingle-less doc with every other, where the equi-join formulation
+    # (and every SQL oracle) matches nothing on NULL. Drop them before
+    # bucketing so both formulations agree.
     buckets = (
-        bands.groupBy("band_idx", "band_hash")
+        bands.filter(F.col("band_hash").isNotNull())
+        .groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
@@ -537,6 +543,7 @@ def simhash_hamming_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_ids_per_value: int = DEFAULT_MAX_IDS_PER_VALUE,
+    fp_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, via bit-banding on
     DISTINCT fingerprint VALUES.
@@ -569,10 +576,21 @@ def simhash_hamming_pairs(
     whole corpus (plan-verified: one Exchange, WindowGroupLimit both
     sides of it). Use :func:`simhash_value_stats` to observe what a
     cap would drop.
+
+    ``fp_bits`` selects the fingerprint width: 16 (gate/audit shape,
+    :func:`simhash16`) or 64 (the production shape, :func:`simhash64`
+    — a 16-bit space saturates around 2^16 docs, collapsing unrelated
+    documents onto shared values; 64 bits keeps distinct content
+    distinct at corpus scale). The banding algebra is IDENTICAL — only
+    the band width (``fp_bits // n_bands``) and the value-frame layout
+    change: a 16-bit value frame is bounded by 2^16 rows at any corpus
+    size (so it coalesces to a handful of partitions), while a 64-bit
+    value frame grows with distinct content and keeps full shuffle
+    parallelism.
     """
     from pyspark.sql import Window
 
-    width = 16 // n_bands
+    width = fp_bits // n_bands
     w = Window.partitionBy("simhash").orderBy(id_col)
     bounded = (
         fp.select("simhash", id_col)
@@ -593,7 +611,14 @@ def simhash_hamming_pairs(
     # corpus-side window/agg keep full parallelism.
     vals = bounded.groupBy("simhash").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
-    ).coalesce(4).localCheckpoint()
+    )
+    if fp_bits <= 16:
+        vals = vals.coalesce(4)
+    vals = vals.localCheckpoint()
+    # shiftrightunsigned, not shiftright: a 64-bit fingerprint uses the
+    # sign bit as an ordinary bit, and an arithmetic shift would smear
+    # it across the top band (for the 16-bit nonneg ints the two shifts
+    # are identical).
     bands = vals.select(
         F.col("simhash"),
         F.explode(
@@ -601,7 +626,7 @@ def simhash_hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright("simhash", b * width)
+                        F.shiftrightunsigned("simhash", b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .cast("string")
                         .alias("band_hash"),
@@ -701,6 +726,106 @@ def q54_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     fp = simhash16(d, "doc_id", "text")
     return simhash_hamming_pairs(fp, "doc_id").orderBy("id1", "id2")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens — the PRODUCTION fingerprint
+    width (q54's 16-bit shape is the gate/audit twin; its value space
+    saturates around 2^16 documents, measured 7.48x cost at 10x data).
+
+    Token hash = first 16 hex chars of md5, carried as two 32-bit
+    halves (``lo`` = chars 1-8, ``hi`` = chars 9-16) so every
+    intermediate stays comfortably inside signed 64-bit arithmetic on
+    both engines — no unsigned types, no overflow, ANSI-safe. Bit j of
+    the fingerprint comes from bit ``j % 32`` of the ``j < 32 ? lo :
+    hi`` half. The fingerprint itself is a signed BIGINT using two's
+    complement: bit 63 contributes ``-2^63``, so the full 64-bit
+    pattern round-trips through both engines' BIGINT exactly.
+
+    Same shape as :func:`simhash16`: fully map-side, the token-hash
+    array stays inside the row, each bit's sign-sum is an ``aggregate``
+    fold — no explode, no shuffle at any corpus size.
+    """
+    base = spread(df, id_col).select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split({text_col}, ' '),"
+            " t -> named_struct("
+            "'lo', CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
+            "'hi', CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)))"
+        ).alias("harr"),
+    )
+    bit_sums = []
+    for j in range(64):
+        half = "h.lo" if j < 32 else "h.hi"
+        bit_sums.append(
+            F.expr(
+                "aggregate(harr, 0,"
+                f" (acc, h) -> acc + CASE WHEN (shiftright({half}, {j % 32}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
+            ).alias(f"s{j}")
+        )
+    agg = base.select(F.col(id_col), *bit_sums)
+    fingerprint = (
+        F.when(F.col("s63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("bigint")
+    )
+    for j in range(63):
+        fingerprint = fingerprint + F.when(
+            F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def _simhash64_pairs_oracle(max_hamming: int = 3) -> str:
+    # same two-halves construction as simhash64; the oracle verifies
+    # ALL pairs by exact hamming — 4x16 banding has perfect recall for
+    # d <= 3 by pigeonhole, so the formulations are equivalent. BIGINT
+    # min is written (-max - 1) so DuckDB never routes the literal
+    # through HUGEINT.
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(63)
+    )
+    fp = f"CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END + {fp}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS lo,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hi
+  FROM toks
+), sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+@register(
+    "q115_simhash64_pairs",
+    oracle=_simhash64_pairs_oracle(),
+    doc="PRODUCTION-width SimHash near-dup pairs: 64-bit fingerprints, "
+    "4x16-bit banding, hamming <= 3 — identical banding algebra to q54 "
+    "but the value space no longer saturates with corpus size, so the "
+    "value-level kernel stays output-proportional at 100 TB.",
+)
+def q115_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = simhash64(d, "doc_id", "text")
+    return simhash_hamming_pairs(fp, "doc_id", fp_bits=64).orderBy("id1", "id2")
 
 
 def _clusters_cte() -> str:
@@ -1442,10 +1567,21 @@ hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
 bands AS (SELECT doc_id, {band_exprs} FROM sig),
 brows AS ({band_rows}),
+-- mirror lsh_candidates' bucket-size cap: buckets hotter than
+-- max_bucket_size={DEFAULT_MAX_BUCKET} are dropped, not expanded, and NULL band
+-- hashes (shingle-less docs) never bucket — this audit measures the
+-- EXACT production candidate set, so the cap must exist on both sides
+okbuckets AS (
+  SELECT band_idx, band_hash FROM brows
+  WHERE band_hash IS NOT NULL
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {DEFAULT_MAX_BUCKET}
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM brows a JOIN brows b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN okbuckets k
+    ON k.band_idx = a.band_idx AND k.band_hash = a.band_hash
 ),
 j AS (
   SELECT e.jaccard_permille,

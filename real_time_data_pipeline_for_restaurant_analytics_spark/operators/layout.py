@@ -79,11 +79,19 @@ def zorder_bits_stats(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     cases; floor 3 keeps the bucket shift non-negative). In production
     this comes from catalog column stats for free; computed here it is
     one column-pruned 2-column aggregate, riding back into the plan
-    via the 1-row broadcast-cross house pattern — no driver collect."""
+    via the 1-row broadcast-cross house pattern — no driver collect.
+
+    Clamped to ``_MAX_BITS`` = 31: the DuckDB twin interleaves at a
+    fixed 31-bit width (terms above 31 dropped), so a key wider than
+    31 bits must truncate IDENTICALLY on both engines — and 2x31+1
+    bits is also the BIGINT-safety ceiling for the z-word itself."""
     return df.agg(
-        F.expr(
-            f"greatest(length(conv(max({x_col}), 10, 2)),"
-            f" length(conv(max({y_col}), 10, 2)), 3)"
+        F.least(
+            F.expr(
+                f"greatest(length(conv(max({x_col}), 10, 2)),"
+                f" length(conv(max({y_col}), 10, 2)), 3)"
+            ),
+            F.lit(_MAX_BITS),
         )
         .cast("int")
         .alias("_bits")

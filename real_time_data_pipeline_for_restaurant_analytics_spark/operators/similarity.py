@@ -1376,9 +1376,25 @@ def q86_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.4
 
 
+_SEMDEDUP_TARGET_CLUSTER = 300
+
+
+def semdedup_auto_k(n: int, target_cluster_size: int = _SEMDEDUP_TARGET_CLUSTER) -> int:
+    """Corpus-size-derived cluster count for :func:`semantic_dedup`.
+
+    The pair stage is O(sum cluster_size^2) ≈ O(n^2 / k) with balanced
+    clusters, so a FIXED k makes the operator quadratic as the corpus
+    grows (measured: fixed k=8 scaled 8.2x at 10x data). Holding the
+    expected cluster size constant (k ≈ n / target) keeps the pair
+    stage linear-ish: O(n * target). target=300 sits where the k-sweep
+    measured the knee — clusters big enough for recall, small enough
+    that the per-cluster quadratic term stays trivial."""
+    return max(2, min(n, n // target_cluster_size))
+
+
 def semantic_dedup(
     emb: DataFrame, tau: float = _SEMDEDUP_TAU,
-    k: int = _KM_K, n_iter: int = _KM_ITERS,
+    k: int | None = None, n_iter: int = _KM_ITERS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the corpus with k-means, then look for near-duplicate
@@ -1399,7 +1415,17 @@ def semantic_dedup(
     integer sums over micro-quantized components; cosine divides those
     exact ints in IEEE doubles (both engines: identical inputs ->
     identical result). Emits one row per vector: cluster, is_kept, and
-    the id of the kept duplicate it lost to (or NULL)."""
+    the id of the kept duplicate it lost to (or NULL).
+
+    ``k=None`` (the default) derives k from the corpus size via
+    :func:`semdedup_auto_k` — the production behavior: cluster SIZE,
+    not cluster count, is the invariant, so the pair stage stays
+    linear-ish as data grows. The count() behind it is one bounded
+    driver sync, same class as the Lloyd loop's own init/centroid
+    syncs. Pass k explicitly (the gate/oracle twin q87 pins k=8) when
+    the cluster count must be plan-static for a replayable oracle."""
+    if k is None:
+        k = semdedup_auto_k(emb.count())
     assigned = kmeans_assignments(emb, k, n_iter)
     nsq = F.expr("aggregate(em, 0L, (acc, x) -> acc + x * x)")
     # Materialize the final assignment once: it feeds three plan
@@ -1488,7 +1514,9 @@ ORDER BY nv.vec_id
     "dup_of witness, exact integer dots over micro-quantized vectors.",
 )
 def q87_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semantic_dedup(load(spark, sf_dir, "embeddings"))
+    # k pinned to the oracle's unrolled cluster count; production runs
+    # leave k=None and get corpus-sized clustering (semdedup_auto_k)
+    return semantic_dedup(load(spark, sf_dir, "embeddings"), k=_KM_K)
 
 
 _PQ_M = 4  # subspaces per vector

@@ -127,14 +127,18 @@ def parse_warc(payload: bytes) -> list[dict]:
 
 
 def extract_html_body(html: bytes) -> str:
-    """Minimal deterministic HTML text extraction: the content of the
-    FIRST ``<p>…</p>`` span (byte search, no regex, no parser libs) —
-    enough for the synthetic template; a production pipeline swaps in
+    """Minimal deterministic HTML text extraction: everything between
+    the FIRST ``<p>`` and the LAST ``</p>`` (byte search, no regex, no
+    parser libs). Searching ``</p>`` from the END means document text
+    that itself contains the literal ``</p>`` survives intact instead
+    of being truncated at its first occurrence — the closing tag of
+    the wrapping template is always the last one. Enough for the
+    synthetic template; a production pipeline swaps in
     trafilatura/jusText behind the same column contract."""
     s = html.decode("utf-8", errors="replace")
     a = s.find("<p>")
-    b = s.find("</p>", a)
-    return s[a + 3 : b] if a != -1 and b != -1 else ""
+    b = s.rfind("</p>")
+    return s[a + 3 : b] if a != -1 and b >= a + 3 else ""
 
 
 def warc_records_frame(warc_df: DataFrame) -> DataFrame:
@@ -206,10 +210,13 @@ def _synth_warc_frame(docs: DataFrame) -> DataFrame:
 @register(
     "q112_warc_ingest",
     oracle=f"""
+-- n_body_bytes is a BYTE count (the parser measures the HTTP body in
+-- octets), so the text term is octet_length over UTF-8, not the
+-- character-count n_chars; PRE/POST are ASCII so length() == bytes.
 SELECT 'http://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(200 AS INT) AS http_status,
-       CAST(length('{_HTML_PRE}') + n_chars + length('{_HTML_POST}') AS BIGINT)
-         AS n_body_bytes,
+       CAST(length('{_HTML_PRE}') + octet_length(encode(text))
+            + length('{_HTML_POST}') AS BIGINT) AS n_body_bytes,
        md5('{_HTML_PRE}' || text || '{_HTML_POST}') AS body_md5,
        md5(text) AS text_md5
 FROM documents ORDER BY url

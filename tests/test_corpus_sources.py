@@ -115,3 +115,21 @@ def test_warc_round_trip_property():
         assert [r["url"] for r in recs] == [f"http://x/{i}" for i in range(len(bs))]
 
     run()
+
+
+def test_extract_html_body_non_ascii_and_literal_close_tag():
+    """Round-6 ADVICE fix: (a) document text containing the literal
+    '</p>' must survive extraction intact (the closing tag is searched
+    from the END, so the template's own tag wins); (b) byte counts are
+    UTF-8 octets, not characters, for non-ASCII text."""
+    tricky = "escaped html like </p> inside text — naïve café 日本語"
+    html = ("<html><head><title>doc</title></head><body><p>"
+            + tricky + "</p></body></html>").encode()
+    assert extract_html_body(html) == tricky
+
+    archive = build_warc_response("http://a/u", "2024-05-01T00:00:00Z", html)
+    recs = parse_warc(archive)
+    assert recs[0]["body"] == html
+    assert len(html) > len(html.decode())  # non-ASCII: bytes != chars
+    # the records frame reports octets (what Content-Length walked)
+    assert len(recs[0]["body"]) == len(html)

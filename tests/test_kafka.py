@@ -258,3 +258,54 @@ def test_to_kafka_frame_round_trips_through_source_parser(spark):
     back = {r.menuid: r for r in parse_kafka_records(wire, json_spec).collect()}
     assert back["1"].itemname == "Tikka" and back["1"].modifieddate is None
     assert back["2"].description is None and back["2"].price == "220.00"
+
+
+def test_kafka_stage_stream_live_broker(spark, tmp_path):
+    """Round-6: the non-skipped sibling of the connector-boundary test
+    — a REAL end-to-end `format("kafka")` run, opt-in via environment
+    because this sandbox ships neither the spark-sql-kafka jar nor a
+    broker. See KAFKA_RUNBOOK.md for the two-command setup (KRaft
+    broker in docker + jar coordinates); with those in place this test
+    publishes an entity batch with the producer frame contract
+    (key/value BINARY — the to_kafka_frame shape), reads it back with
+    kafka_stage_stream, and drives the UNCHANGED SCD merge loop —
+    certifying the full topic→dim path, not just the seam."""
+    import os
+    import uuid
+
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip(
+            "set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port (and put the "
+            "spark-sql-kafka jar on the classpath — KAFKA_RUNBOOK.md) "
+            "to run the live-broker integration test"
+        )
+
+    spec = ENTITIES["delivery_agent"]
+    topic = f"spark_graft_it_{uuid.uuid4().hex[:8]}"
+    payloads = [
+        '{"deliveryagentid": "7", "full_name": "Asha", "email": "a@x.in",'
+        ' "mobile_no": "999", "vehicletype": "Bike", "locationid": "2",'
+        ' "status": "active", "gender": "F", "rating": "4.5",'
+        ' "createddate": "2024-05-01 10:00:00", "modifieddate": "\\\\N"}',
+    ]
+    wire = spark.createDataFrame(
+        _wire_rows(topic, payloads), schema=KAFKA_WIRE_SCHEMA
+    ).select("key", "value")
+    # publish through the REAL producer path (round-trips the
+    # to_kafka_frame contract: this frame shape IS what it emits)
+    (
+        wire.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    src = kafka_stage_stream(spark, spec, bootstrap, topic)
+    assert src.isStreaming
+    q = ingest_stream(spark, wh, spec, None, str(tmp_path / "ckpt"), source=src)
+    q.awaitTermination(180)
+    dim = wh.dim("delivery_agent").read(spark)
+    rows = dim.collect()
+    assert len(rows) == 1 and rows[0].is_current
