@@ -517,6 +517,81 @@ def q74_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_split_leakage(d, splits).orderBy("id1", "id2")
 
 
+DEFAULT_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Cluster-atomic train/val/test split — the CONSTRUCTIVE fix for
+    the leakage q74 audits: a per-document hash split puts two
+    near-duplicates in different splits with probability ~2·p·(1−p),
+    silently inflating eval numbers; here the split is a pure function
+    of the document's NEAR-DUP COMPONENT (q36's exact-dup ∪ LSH-edge
+    connected components), so an entire duplicate cluster lands in one
+    split by construction. Singletons (no dup edges) hash on their own
+    id — for them this degrades to exactly the q42 split.
+
+    Determinism survives reruns, repartitioning, and engine changes
+    for the same reason q42's does (md5 draw on the component id), PLUS
+    cluster growth is monotone-safe: adding a new member to a cluster
+    never moves the cluster (component = min id is stable unless the
+    new doc has a smaller id than every existing member).
+
+    Scale shape: component labels come from the iterative min-label
+    flood (edge-sized frames, O(diameter) rounds); the corpus then
+    LEFT-joins the membership relation — membership is bounded by docs
+    that have at least one dup edge, typically a small fraction of the
+    corpus, and the join is one shuffle on the id. Emits one row per
+    doc: (id, component, split).
+    """
+    from .dedup import cluster_components
+    from .sampling import split_assign
+
+    comps = cluster_components(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+    base = docs.select(F.col(id_col))
+    with_comp = (
+        base.join(comps, base[id_col] == comps.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    return split_assign(with_comp, "component", weights or DEFAULT_SPLIT_WEIGHTS)
+
+
+def _leakage_free_split_oracle() -> str:
+    from .dedup import _clusters_cte
+
+    return (
+        _clusters_cte()
+        + f""",
+allc AS (
+  SELECT d.doc_id, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, component, {_split_case_sql("component")} AS split
+FROM allc ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "q119_leakage_free_split",
+    oracle=_leakage_free_split_oracle(),
+    doc="Cluster-atomic train/val/test split: hash draw on the "
+    "near-dup COMPONENT id (q36 components; singletons on their own "
+    "id), so whole duplicate clusters land in one split and the q74 "
+    "leakage audit returns zero rows by construction (test-pinned).",
+)
+def q119_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return leakage_free_split(d).orderBy("doc_id")
+
+
 def source_cap_sample(
     docs: DataFrame,
     cap: int,

@@ -964,3 +964,139 @@ ORDER BY cohort_week, week_offset
 def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return cohort_retention(e).orderBy("cohort_week", "week_offset")
+
+
+# ---------------------------------------------------------------------------
+# q116 — headline KPI card (A5). The kpi_summary consumption builder
+# (plans/kpis.py:83, KPIs 1-4/6-9, README.md:108-135) as a driver-
+# oracled twin: one single-row multi-aggregate scalar card. One scan,
+# one partial-aggregated reduce to a single row — the cheapest KPI
+# shape at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q116_headline_kpis",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS VARCHAR)
+         AS total_revenue,
+       CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,6))
+            * 100 / COUNT(*)) AS BIGINT) AS aov_cents,
+       CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS VARCHAR)
+         AS max_order,
+       CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,6))
+            * 100 / COUNT(DISTINCT o_custkey)) AS BIGINT) AS revenue_per_customer_cents
+FROM orders
+""",
+    doc="Headline KPI scalar card: order count, distinct customers, "
+    "decimal-exact total revenue, average order value and "
+    "revenue-per-customer in integer cents, max order — the "
+    "kpi_summary single-row shape (KPIs 1-4/6-9) over driver tables.",
+)
+def q116_headline_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    total = F.sum("o_totalprice")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        total.cast("decimal(22,2)").cast("string").alias("total_revenue"),
+        F.floor(total.cast("decimal(22,6)") * 100 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("aov_cents"),
+        F.max("o_totalprice").cast("decimal(14,2)").cast("string").alias("max_order"),
+        F.floor(total.cast("decimal(22,6)") * 100 / F.countDistinct("o_custkey"))
+        .cast("bigint")
+        .alias("revenue_per_customer_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — fulfillment lag per priority (A5). The avg_delivery_time
+# consumption builder (plans/kpis.py:262, README KPI "average delivery
+# time") as a driver-oracled twin: order→line time difference
+# aggregated per priority class. Exact integer day-diffs (no float
+# averaging): avg emitted as ppm of days. lineitem⋈orders is the
+# fact⋈fact join both engines hash on l_orderkey; the per-priority
+# reduce is partial-aggregated.
+# ---------------------------------------------------------------------------
+@register(
+    "q117_fulfillment_lag",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(FLOOR(CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE))) AS DECIMAL(20,6))
+            * 1000000 / COUNT(*)) AS BIGINT) AS avg_lag_days_ppm,
+       CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_lag_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY priority
+""",
+    doc="Average and max order→ship lag in days per order priority "
+    "(integer day-diffs, ppm average) — the avg_delivery_time KPI "
+    "shape over driver tables.",
+)
+def q117_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.floor(F.sum(lag).cast("decimal(20,6)") * 1000000 / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_lag_days_ppm"),
+            F.max(lag).cast("bigint").alias("max_lag_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — order-item statistics (A5, agg-of-agg). The
+# revenue_per_order_item consumption builder (plans/kpis.py:217) as a
+# driver-oracled twin: per-order line counts/revenue rolled up to
+# global per-basket averages. Two-level aggregate: the inner groupBy
+# is the only corpus-sized shuffle; the outer reduce is one row.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_order_item_stats",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS order_rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(FLOOR(CAST(SUM(n_items) AS DECIMAL(20,6)) * 1000000 / COUNT(*)) AS BIGINT)
+         AS avg_items_ppm,
+       CAST(FLOOR(CAST(SUM(order_rev) AS DECIMAL(24,6)) * 100 / SUM(n_items)) AS BIGINT)
+         AS avg_item_rev_cents,
+       CAST(MAX(n_items) AS BIGINT) AS max_items
+FROM per_order
+""",
+    doc="Global basket statistics from a per-order rollup: average "
+    "items per order (ppm), average revenue per line item (cents), "
+    "largest basket — the revenue_per_order_item KPI shape as an "
+    "agg-of-agg.",
+)
+def q118_order_item_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_extendedprice").cast("decimal(22,2)").alias("order_rev"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(F.sum("n_items").cast("decimal(20,6)") * 1000000 / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_items_ppm"),
+        F.floor(F.sum("order_rev").cast("decimal(24,6)") * 100 / F.sum("n_items"))
+        .cast("bigint")
+        .alias("avg_item_rev_cents"),
+        F.max("n_items").cast("bigint").alias("max_items"),
+    )

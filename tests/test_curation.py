@@ -180,3 +180,34 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_leakage_free_split_is_cluster_atomic_and_kills_leakage(spark):
+    """Round-6 q119: split is a pure function of the near-dup
+    component, so (a) every cluster member shares one split, and (b)
+    the q74 leakage audit over this split finds ZERO straddling pairs
+    — by construction, since verified near-dup pairs (>=2 shared
+    bands) are a subset of the component edge set."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        cross_split_leakage,
+        leakage_free_split,
+    )
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    splits = leakage_free_split(d)
+    n_docs = d.count()
+    assert splits.count() == n_docs  # one assignment per doc
+    # cluster-atomicity: one split per component
+    multi = (
+        splits.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+    )
+    assert multi.count() == 0
+    # the audit the operator exists to satisfy
+    leaks = cross_split_leakage(d, splits.select("doc_id", "split"))
+    assert leaks.count() == 0
+    # and the corpus does HAVE near-dup clusters (the test is not vacuous):
+    clustered = splits.filter(F.col("component") != F.col("doc_id"))
+    assert clustered.count() > 0
