@@ -1632,3 +1632,106 @@ ORDER BY vec_id, m
 def q92_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return pq_assign_codes(emb).orderBy("vec_id", "m")
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    query_filter: Column | None = None,
+    k: int = 5,
+    lo: float = 0.25,
+    hi: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query, the top-k HARDEST negatives — candidates whose cosine lies
+    in the band [lo, hi). Above ``hi`` a candidate is probably a
+    positive/near-duplicate (using it as a negative poisons the loss
+    with false negatives — the reason the band exists); below ``lo``
+    it is an easy negative the model learns nothing from. This is the
+    curation step that turns an embedding corpus into training pairs
+    (sentence-transformers / DPR-style mining).
+
+    Same engine-exact kernel as q24 (broadcast query side with a loud
+    size guard, sequential-fold double cosine, (cos DESC, id)
+    tie-break). Scale path: hard negatives live near the query by
+    construction, so at corpus scale the same band+rank runs over
+    LSH/IVF candidate buckets (q25/q63/q34's candidate generation)
+    instead of a full scan — the bucketed candidates ARE the [lo, hi)
+    band's natural superset.
+    """
+    from pyspark.sql import Window
+
+    if (query_ids is None) == (query_filter is None):
+        raise ValueError("pass exactly one of query_ids / query_filter")
+    pred = query_filter if query_filter is not None else F.col(id_col).isin(query_ids)
+    base = spread(emb, id_col).select(
+        F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm")
+    )
+    _assert_bounded_query_side(emb.filter(pred), id_col, max_query_rows)
+    q = base.filter(pred).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_d("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_r"))
+    )
+
+
+@register(
+    "q121_hard_negative_mining",
+    oracle=f"""
+WITH {_DUCK_COS_BASE},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+  FROM base q JOIN base c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), banded AS (
+  SELECT * FROM scored WHERE cos_sim >= 0.25 AND cos_sim < 0.85
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+         CAST(FLOOR(round(cos_sim, 6) * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM banded
+)
+SELECT query_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="Hard-negative mining for contrastive training: per query, "
+    "top-5 candidates with cosine in [0.25, 0.85) — hard enough to "
+    "teach, below the near-dup band that would poison the loss with "
+    "false negatives; q24's engine-exact kernel with the banded "
+    "filter, scale path = the same rank over LSH/IVF buckets.",
+)
+def q121_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        hard_negative_mining(emb, query_filter=F.col("vec_id") < 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("cos_r") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )

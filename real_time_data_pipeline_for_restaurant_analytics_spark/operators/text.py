@@ -732,3 +732,106 @@ FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 10
 )
 def q93_bpe_pair_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score, integer-exact: the
+    average conditional bigram probability of each document under a
+    bigram model counted from ``train`` (default: the corpus itself —
+    self-scoring, the shape used to rank documents by "how typical is
+    this text"). Wikipedia-trained KenLM perplexity filtering is the
+    production instance (CCNet, RefinedWeb); the kernel is identical —
+    only the count source changes.
+
+    Per bigram: P_milli = (c2(w1,w2) * 1000) // c1(w1), where c1 is
+    the count of w1 AS A BIGRAM PREFIX (so Σ_w2 c2 = c1 exactly and
+    the conditionals sum to 1000 per prefix). Per doc: the integer
+    mean of its bigrams' P_milli (higher = more typical text; exact
+    integer arithmetic end to end, so both engines agree bit-for-bit —
+    no log/float perplexity, which is NOT cross-engine stable).
+    Bigrams unseen in ``train`` score 0 (the smoothing floor).
+
+    Scale shape: bigram expansion is one map-side zip_with/explode
+    (corpus-token-count rows, no shuffle); the count tables shuffle
+    only the bigram VOCABULARY (Zipf-bounded, not corpus-sized); the
+    scoring joins key on vocabulary terms; the per-doc reduce is one
+    shuffle on the id. Docs with <2 tokens emit n_bigrams=0 and a NULL
+    score (no bigram evidence).
+    """
+    train = docs if train is None else train
+
+    def bigrams(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        pair = F.expr(
+            f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
+            f" slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
+            " (x, y) -> struct(x AS w1, y AS w2))"
+        )
+        return df.select(*cols, F.explode(pair).alias("p")).select(
+            *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    tb = bigrams(train, with_id=False)
+    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    scored = (
+        bigrams(docs, with_id=True)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.expr("(c2 * 1000) div c1"), F.lit(0)).alias("p_milli"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr("CAST(sum(p_milli) div count(1) AS BIGINT)").alias("lm_score_milli"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.col("lm_score_milli").cast("bigint").alias("lm_score_milli"),
+        )
+    )
+
+
+@register(
+    "q120_lm_bigram_score",
+    oracle="""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2 FROM base
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((c2.c2 * 1000) // c1.c1) // COUNT(*) AS BIGINT) AS lm_score_milli
+  FROM bg b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+            JOIN c1 ON b.w1 = c1.w1
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.lm_score_milli
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+""",
+    doc="Language-model quality score (CCNet/RefinedWeb LM-filter "
+    "shape): per-doc mean conditional bigram probability in exact "
+    "integer milli-units under the corpus's own bigram counts — the "
+    "perplexity-ranking kernel without cross-engine-unstable floats; "
+    "shuffles bounded by bigram vocabulary, never corpus rows.",
+)
+def q120_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_bigram_score(load(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -64,6 +64,10 @@ _QUADRATIC_BY_DESIGN = (
     # q102 composes the q24 kernel twice (full + truncated vectors);
     # both crosses broadcast the bounded query set, O(corpus × queries)
     "q102_truncation_recall",
+    # q121 is the q24 kernel with a similarity band: broadcast side is
+    # the guarded bounded query set, O(corpus × queries); scale path
+    # documented as the same rank over LSH/IVF buckets
+    "q121_hard_negative_mining",
 )
 _SCALAR_CROSS_OK = (
     "q48_tfidf_top_terms",

@@ -167,3 +167,34 @@ def test_source_minhash_identical_sources_full_match(spark):
     }
     assert out[("sA", "sB")] == 1000  # identical shingle sets: every component matches
     assert out[("sA", "sC")] == 0 and out[("sB", "sC")] == 0
+
+
+def test_lm_bigram_score_edges(spark):
+    """Round-6 q120 edges: conditional probabilities sum to 1000 per
+    prefix (exact prefix-count denominator), unseen bigrams floor to 0
+    under a foreign train corpus, and <2-token docs emit (0, NULL)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import (
+        lm_bigram_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),   # bigrams: (a,b) (b,a) (a,c)
+            (2, "a b"),       # bigram (a,b)
+            (3, "solo"),      # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    # corpus counts: c1(a)=3, c1(b)=1; c2(a,b)=2, c2(b,a)=1, c2(a,c)=1
+    # P_milli: (a,b)=666, (b,a)=1000, (a,c)=333
+    assert (out[1].n_bigrams, out[1].lm_score_milli) == (3, (666 + 1000 + 333) // 3)
+    assert (out[2].n_bigrams, out[2].lm_score_milli) == (1, 666)
+    assert out[3].n_bigrams == 0 and out[3].lm_score_milli is None
+    # conditionals per prefix sum to 1000 (exact prefix denominator):
+    assert 666 + 333 == 999  # floor loss only, never overshoot
+
+    # foreign train corpus: unseen bigrams floor to 0
+    train = spark.createDataFrame([(10, "x y")], "doc_id long, text string")
+    foreign = {r.doc_id: r for r in lm_bigram_score(docs, train=train).collect()}
+    assert foreign[1].lm_score_milli == 0  # every bigram unseen

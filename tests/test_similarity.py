@@ -150,3 +150,24 @@ def test_broadcast_query_side_guard_fails_loudly(spark):
     # bounded predicate under the cap: unchanged behavior
     out = brute_force_topk(emb, query_filter=F.col("vec_id") < 3, k=2, max_query_rows=10)
     assert out.filter("rank = 1").count() == 3
+
+
+def test_hard_negative_band_excludes_duplicates_and_easy(spark):
+    """Round-6 q121: a planted exact duplicate (cos=1.0, a false
+    negative if mined) and an orthogonal vector (cos=0, no training
+    signal) must both fall outside the [lo, hi) band; the mid-band
+    vector is the hard negative that survives."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # query
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact dup -> cos 1.0, excluded (>= hi)
+        (2, [1.0, 1.0, 0.0, 0.0]),   # cos ~0.707, the hard negative
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal -> cos 0, excluded (< lo)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = hard_negative_mining(emb, query_ids=[0], k=5).collect()
+    assert [(r.query_id, r.neighbor_id) for r in out] == [(0, 2)]
+    assert 0.25 <= out[0].cos_r < 0.85
