@@ -643,3 +643,130 @@ FROM base ORDER BY doc_id
 def q111_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return video_frame_sample_stats(synth_video_payloads(d)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (round 6): decode → 64-bit aHash →
+# the dedup banding kernel. Composition of two proven pieces.
+# ---------------------------------------------------------------------------
+
+def ahash64(pix: "np.ndarray") -> int:
+    """64-bit average-hash of an (h, w, 3) uint8 image: nearest-
+    neighbor-sample the RED channel on an 8x8 grid (source index =
+    (grid_i * dim) // 8, the nn_thumbnail mapping), then bit b
+    (b = gy*8 + gx) is set iff sample*64 > sum(samples) — the
+    integer-exact form of "above the mean" (no float division, so any
+    engine replays it bit-for-bit). Returned as a signed two's-
+    complement BIGINT (bit 63 contributes -2^63), the q115 fingerprint
+    convention, so the SAME 4x16-band hamming kernel finds near-dup
+    images."""
+    h, w, _ = pix.shape
+    r = pix[:, :, 0].astype(np.int64)
+    samp = np.empty((8, 8), dtype=np.int64)
+    for gy in range(8):
+        for gx in range(8):
+            samp[gy, gx] = r[(gy * h) // 8, (gx * w) // 8]
+    total = int(samp.sum())
+    u = 0
+    for b, v in enumerate(samp.reshape(-1)):
+        if int(v) * 64 > total:
+            u |= 1 << b
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def synth_near_dup_image_payloads(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): groups of 4 consecutive ids share
+    a base image (synth_pixels(doc_id // 4)); each member perturbs the
+    (0,0) red value by doc_id % 4 (mod 256). Within a group the aHash
+    differs by at most a few threshold flips (near-dups the banding
+    kernel must catch); across groups the patterns diverge. Real PPM
+    bytes, so the REAL decoder runs in the pipeline under test."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pix = synth_pixels(d // 4).copy()
+                pix[0, 0, 0] = (int(pix[0, 0, 0]) + d % 4) % 256
+                payloads.append(encode_ppm(pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+def image_phash_frame(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → (doc_id, phash BIGINT): real decode + aHash
+    in one Arrow-batched pass — payload bytes never leave the stage,
+    only 8 bytes of fingerprint per image travel to the dedup
+    shuffle (the multimodal 100 TB contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [
+                        ahash64(decode_image(bytes(p))) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema="doc_id bigint, phash bigint")
+
+
+def _phash_oracle(max_hamming: int = 3) -> str:
+    # replay: base/dims → 8x8 NN grid samples of the red channel
+    # (with the (0,0) perturbation) → integer mean-threshold bits →
+    # two's-complement BIGINT → exact all-pairs hamming (banding has
+    # perfect recall for d <= 3, so the formulations are equal)
+    return f"""
+WITH dims AS (
+  SELECT doc_id, doc_id // 4 AS base,
+         CAST(4 + (doc_id // 4) % 13 AS INT) AS w,
+         CAST(4 + (doc_id // 4) % 11 AS INT) AS h
+  FROM documents
+),
+samples AS (
+  SELECT d.doc_id, gy.gy * 8 + gx.gx AS bit,
+         (((31 * ((gx.gx * d.w) // 8) + 17 * ((gy.gy * d.h) // 8) + d.base) % 256)
+          + CASE WHEN (gx.gx * d.w) // 8 = 0 AND (gy.gy * d.h) // 8 = 0
+                 THEN d.doc_id % 4 ELSE 0 END) % 256 AS v
+  FROM dims d,
+       (SELECT unnest(range(8)) AS gx) gx,
+       (SELECT unnest(range(8)) AS gy) gy
+),
+tot AS (SELECT doc_id, SUM(v) AS s FROM samples GROUP BY doc_id),
+fp AS (
+  SELECT s.doc_id,
+         CAST(SUM(CASE WHEN s.v * 64 > t.s THEN
+                    CASE WHEN s.bit = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (CAST(1 AS BIGINT) << s.bit) END
+                  ELSE 0 END) AS BIGINT) AS phash
+  FROM samples s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+ORDER BY id1, id2
+"""
+
+
+@register(
+    "q122_image_phash_dedup",
+    oracle=_phash_oracle(),
+    doc="Perceptual-hash image dedup: REAL PPM decode → 64-bit aHash "
+    "(integer mean-threshold, engine-replayable) → the q115 4x16-band "
+    "hamming kernel finds near-duplicate images at hamming <= 3; "
+    "payload bytes stay in the decode stage, only 8-byte fingerprints "
+    "shuffle — the image-dedup shape for a 100 TB multimodal corpus.",
+)
+def q122_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import simhash_hamming_pairs
+
+    d = load(spark, sf_dir, "documents")
+    fp = image_phash_frame(synth_near_dup_image_payloads(d)).withColumnRenamed(
+        "phash", "simhash"
+    )
+    return simhash_hamming_pairs(fp, "doc_id", fp_bits=64).orderBy("id1", "id2")

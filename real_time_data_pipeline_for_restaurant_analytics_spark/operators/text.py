@@ -766,19 +766,35 @@ def lm_bigram_score(
     train = docs if train is None else train
 
     def bigrams(df: DataFrame, with_id: bool) -> DataFrame:
+        from .dedup import let_array
+
         cols = [F.col(id_col)] if with_id else []
+        # let_array pins the tokenization to ONE evaluation per row —
+        # inlined, CollapseProject would re-split the text at every one
+        # of the four array references (measured 12 split( sites in the
+        # optimized plan before this; 3 after)
         pair = F.expr(
-            f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
-            f" slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
-            " (x, y) -> struct(x AS w1, y AS w2))"
+            let_array(
+                f"split({text_col}, ' ')",
+                "a",
+                "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),"
+                " (x, y) -> struct(x AS w1, y AS w2))",
+            )
         )
         return df.select(*cols, F.explode(pair).alias("p")).select(
             *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
 
-    tb = bigrams(train, with_id=False)
-    c2 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
-    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    c2 = (
+        bigrams(train, with_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    # c1 (the prefix count) is the w2-marginal of c2 — deriving it from
+    # the vocabulary-sized c2 frame instead of a second corpus
+    # scan+explode halves the expensive side of the plan, and keeps
+    # sum_w2 c2 = c1 true BY CONSTRUCTION.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
     scored = (
         bigrams(docs, with_id=True)
         .join(c2, ["w1", "w2"], "left")

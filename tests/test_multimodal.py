@@ -91,3 +91,57 @@ def test_y4m_round_trip_and_frame_sample():
         assert (got[::2] == fr[::2]).all()  # the sampling grid q111 uses
     with pytest.raises(NotImplementedError):
         decode_y4m(b"\x00\x00\x00\x18ftypmp42...\n")  # mp4 -> loud seam
+
+
+def test_ahash64_and_phash_dedup_pairs(spark):
+    """Round-6 q122: aHash matches an index-arithmetic replay, planted
+    identical images pair at hamming 0, perturbed group members pair
+    within the band, and unrelated images do not pair."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        ahash64,
+        decode_image,
+        encode_ppm,
+        image_phash_frame,
+        synth_pixels,
+    )
+
+    # replay check: bit b = gy*8+gx set iff red[(gy*h)//8, (gx*w)//8]*64 > sum
+    pix = synth_pixels(7)
+    h, w, _ = pix.shape
+    samples = [
+        int(pix[(gy * h) // 8, (gx * w) // 8, 0])
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    total = sum(samples)
+    u = sum(1 << b for b, v in enumerate(samples) if v * 64 > total)
+    expected = u - (1 << 64) if u >= 1 << 63 else u
+    assert ahash64(pix) == expected
+
+    # planted corpus: two identical, one tiny perturbation, one unrelated
+    base = synth_pixels(3)
+    pert = base.copy()
+    pert[0, 0, 0] = (int(pert[0, 0, 0]) + 1) % 256
+    other = synth_pixels(9)
+    rows = [
+        (0, bytearray(encode_ppm(base))),
+        (1, bytearray(encode_ppm(base))),
+        (2, bytearray(encode_ppm(pert))),
+        (3, bytearray(encode_ppm(other))),
+    ]
+    bdf = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = image_phash_frame(bdf).withColumnRenamed("phash", "simhash")
+    got = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_hamming_pairs(fp, "doc_id", fp_bits=64).collect()
+    }
+    assert got.get((0, 1)) == 0  # identical -> hamming 0
+    assert (0, 2) in got and got[(0, 2)] <= 3  # perturbed stays in band
+    assert not any(3 in p for p in got)  # unrelated image never pairs
+    # and the codec really ran: round-trip sanity
+    assert np.array_equal(decode_image(encode_ppm(base)), base)
