@@ -140,3 +140,47 @@ def test_semantic_dedup_defaults_to_auto_k(spark):
     assert clusters <= set(range(semdedup_auto_k(900)))
     assert len(clusters) <= 3
     assert out.count() == 900
+
+
+def test_banding_recall_property_random_fingerprints(spark):
+    """Property: for ANY set of 64-bit fingerprints (hypothesis-drawn,
+    including sign-bit extremes and near-collisions), the banded
+    kernel emits EXACTLY the hamming<=3 pairs a brute-force check
+    finds — pigeonhole recall + exact verification leave no
+    approximation at either width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = 0x5A5A5A5A5A5A5A5A
+    # mix free 64-bit values with deliberate near-collisions of base
+    fps = st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+            st.builds(
+                lambda flips: base ^ sum(1 << b for b in flips),
+                st.sets(st.integers(min_value=0, max_value=63), max_size=4),
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(fps)
+    def run(us):
+        rows = [(i, _signed64(u)) for i, u in enumerate(us)]
+        fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r.id1, r.id2): r.hamming
+            for r in simhash_hamming_pairs(fp, "doc_id", fp_bits=64).collect()
+        }
+        expected = {
+            (i, j): bin(us[i] ^ us[j]).count("1")
+            for i in range(len(us))
+            for j in range(i + 1, len(us))
+            if bin(us[i] ^ us[j]).count("1") <= 3
+        }
+        assert got == expected
+
+    run()
