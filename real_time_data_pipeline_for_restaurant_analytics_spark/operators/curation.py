@@ -942,3 +942,124 @@ def q113_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+def dataset_card(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The dataset-card statistics a released training corpus ships:
+    per (split, lang) — document and token counts, exact-duplicate
+    coverage, and the mean LM quality score. Composes the round's
+    curation primitives end to end: cluster-atomic splits
+    (:func:`leakage_free_split`), the bigram LM score
+    (text.lm_bigram_score), and md5 exact-dup detection — one
+    deliverable frame a data consumer reads before training.
+
+    All integer arithmetic (counts, ppm, milli-units), so the card is
+    engine-replayable. Scale shape: every input is an existing
+    bounded-shuffle operator; the final reduce groups by
+    (split, lang) — a handful of rows."""
+    from .dedup import exact_dedup
+    from .text import lm_bigram_score
+
+    splits = leakage_free_split(docs, id_col, text_col).select(id_col, "split")
+    lm = lm_bigram_score(docs, id_col, text_col).select(id_col, "lm_score_milli")
+    dup = (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .join(
+            exact_dedup(docs, id_col, text_col).select("content_md5", "n_copies"),
+            "content_md5",
+        )
+        .select(
+            F.col(id_col),
+            F.when(F.col("n_copies") > 1, F.lit(1)).otherwise(F.lit(0)).alias("is_dup"),
+        )
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.expr(f"CAST(size(split({text_col}, ' ')) AS BIGINT)").alias("n_tokens"),
+    )
+    joined = tok.join(splits, id_col).join(lm, id_col).join(dup, id_col)
+    return (
+        joined.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("is_dup").cast("bigint").alias("dup_docs"),
+            F.expr("CAST((sum(is_dup) * 1000000) div count(1) AS BIGINT)").alias(
+                "dup_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN count(lm_score_milli) > 0"
+                " THEN sum(lm_score_milli) div count(lm_score_milli)"
+                " ELSE NULL END AS BIGINT)"
+            ).alias("mean_lm_milli"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _dataset_card_oracle() -> str:
+    from .dedup import _clusters_cte
+
+    return (
+        _clusters_cte()
+        + f""",
+allc AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+sp AS (SELECT doc_id, {_split_case_sql("component")} AS split FROM allc),
+lmbase AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+bg AS (
+  SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2 FROM lmbase
+),
+bc2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+bc1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc2 GROUP BY 1),
+lmdoc AS (
+  SELECT b.doc_id,
+         CAST(SUM((bc2.c2 * 1000) // bc1.c1) // COUNT(*) AS BIGINT) AS lm_score_milli
+  FROM bg b JOIN bc2 ON b.w1 = bc2.w1 AND b.w2 = bc2.w2
+            JOIN bc1 ON b.w1 = bc1.w1
+  GROUP BY b.doc_id
+),
+dupd AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+card AS (
+  SELECT sp.split, t.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(dd.is_dup) AS BIGINT) AS dup_docs,
+         CAST((SUM(dd.is_dup) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm,
+         CAST(CASE WHEN COUNT(lm.lm_score_milli) > 0
+                   THEN SUM(lm.lm_score_milli) // COUNT(lm.lm_score_milli)
+                   ELSE NULL END AS BIGINT) AS mean_lm_milli
+  FROM tok t
+  JOIN sp ON sp.doc_id = t.doc_id
+  LEFT JOIN lmdoc lm ON lm.doc_id = t.doc_id
+  JOIN dupd dd ON dd.doc_id = t.doc_id
+  GROUP BY sp.split, t.lang
+)
+SELECT * FROM card ORDER BY split, lang
+"""
+    )
+
+
+@register(
+    "q125_dataset_card",
+    oracle=_dataset_card_oracle(),
+    doc="Dataset-card statistics per (split, lang): doc/token counts, "
+    "exact-dup coverage ppm, mean bigram-LM quality — the release "
+    "artifact of a curation run, composing the leakage-free split, the "
+    "LM score, and md5 dedup in one integer-exact frame.",
+)
+def q125_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(load(spark, sf_dir, "documents"))

@@ -1616,3 +1616,142 @@ FROM rows_out ORDER BY metric, tau
 def q114_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return lsh_recall_audit(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication statistics (round 6): the Lee et al.
+# 2021 "Deduplicating Training Data Makes Language Models Better"
+# signal — memorization risk comes from long VERBATIM repeats, which
+# passage hashing (q100) sees only at fixed windows.
+# ---------------------------------------------------------------------------
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, pos, shingle-md5) for EVERY starting position (1-based) —
+    the positional twin of :func:`shingles` (which array_distincts).
+    Map-side: one let-bound split, one transform, one explode; the md5
+    keeps the downstream count shuffle at 32 bytes per shingle
+    regardless of token lengths."""
+    body = (
+        f"IF(size(_w) >= {n},"
+        f" transform(sequence(1, size(_w) - {n} + 1),"
+        f" i -> named_struct('pos', i, 'h', md5(concat_ws(' ', slice(_w, i, {n}))))),"
+        " array())"
+    )
+    return (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(let_array(f"split({text_col}, ' ')", "_w", body))).alias("s"),
+        )
+        .select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Per-document exact-substring duplication statistics: how much
+    of each doc is covered by n-gram shingles that occur MORE THAN
+    ONCE in the corpus (including self-repeats), and the longest
+    maximal duplicated span in tokens (consecutive duplicated shingle
+    positions = a verbatim repeat of run+n-1 tokens, the
+    gaps-and-islands lower bound of the suffix-array answer).
+
+    Lee et al. dedup at 50-token spans; n here is the shingle
+    granularity knob (5 at gate scale — testdata docs are short).
+
+    Scale shape: positions are map-side; the occurrence count is one
+    md5-keyed shuffle (the q100 passage shape); the island detection
+    is one window per doc (pos - row_number() constant within a
+    consecutive run — no self-join, no explode-squared). Suffix arrays
+    give the exact maximal repeats but don't distribute; this is the
+    shuffle-bounded approximation a 100 TB pipeline actually runs.
+    """
+    from pyspark.sql import Window
+
+    sh = positional_shingles(docs, id_col, text_col, n)
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = (
+        sh.join(cnt.filter(F.col("c") > 1), "h")
+        .select(F.col(id_col), F.col("pos"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_dup_shingles"),
+            F.max("run_len").cast("bigint").alias("longest_run"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.expr(f"CAST(greatest(size(split({text_col}, ' ')) - {n} + 1, 0) AS BIGINT)")
+        .alias("n_shingles"),
+    )
+    return totals.join(runs, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_dup_shingles", F.lit(0).cast("bigint")).alias("n_dup_shingles"),
+        F.expr(
+            "CAST(CASE WHEN n_shingles > 0"
+            " THEN (coalesce(n_dup_shingles, 0) * 1000000) div n_shingles"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.coalesce(F.col("longest_run") + F.lit(n - 1), F.lit(0).cast("bigint"))
+        .cast("bigint")
+        .alias("longest_dup_span_tokens"),
+    )
+
+
+@register(
+    "q123_duplicated_span_stats",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS pos,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                i -> md5(array_to_string(ws[i:i+4], ' ')))) AS h
+  FROM words
+),
+cnt AS (SELECT h, COUNT(*) AS c FROM sh GROUP BY h),
+dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN cnt ON s.h = cnt.h WHERE cnt.c > 1),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+runs AS (
+  SELECT doc_id,
+         CAST(SUM(run_len) AS BIGINT) AS n_dup_shingles,
+         CAST(MAX(run_len) AS BIGINT) AS longest_run
+  FROM (SELECT doc_id, grp, COUNT(*) AS run_len FROM isl GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_shingles FROM words
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(r.n_dup_shingles, 0) AS n_dup_shingles,
+       CAST(CASE WHEN t.n_shingles > 0
+                 THEN (COALESCE(r.n_dup_shingles, 0) * 1000000) // t.n_shingles
+                 ELSE NULL END AS BIGINT) AS dup_ppm,
+       CAST(COALESCE(r.longest_run + 4, 0) AS BIGINT) AS longest_dup_span_tokens
+FROM totals t LEFT JOIN runs r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+""",
+    doc="Exact-substring duplication statistics (Lee et al. 2021 "
+    "signal): per doc, corpus-duplicated 5-gram coverage in ppm and "
+    "the longest verbatim duplicated span in tokens via "
+    "gaps-and-islands over duplicated shingle positions — one "
+    "md5-keyed count shuffle + one per-doc window, the distributed "
+    "lower bound of the suffix-array answer.",
+)
+def q123_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return duplicated_span_stats(d).orderBy("doc_id")

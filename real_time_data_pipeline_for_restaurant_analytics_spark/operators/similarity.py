@@ -1735,3 +1735,134 @@ def q121_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_recall_audit(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    probe_levels: tuple[int, ...] = (1, 2, 4, 8),
+    query_max_id: int = 50,
+) -> DataFrame:
+    """Measured recall@k of IVF ANN per ``n_probe`` against EXACT
+    brute-force top-k — the q114 pattern (measure, don't trust the
+    formula) applied to the embedding index: the evidence that decides
+    the n_probe/n_cells trade instead of the IVF rule of thumb.
+
+    One exact pass (the q24 kernel over a bounded query set,
+    checkpointed so the sweep reuses it) + one IVF pass per probe
+    level; per level, recall_permille = |IVF∩exact| * 1000 // |exact|.
+    Run at gate scale or on a query sample — the exact side is the
+    audit's cost, exactly as in the LSH audit (q114)."""
+    exact = (
+        brute_force_topk(emb, k=k, query_filter=F.col("vec_id") < query_max_id)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    possible = exact.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
+    out = None
+    for p in probe_levels:
+        ivf = ivf_topk(
+            emb, k=k, n_cells=n_cells, n_probe=p, query_max_id=query_max_id
+        ).select("query_id", "neighbor_id")
+        hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits")
+        )
+        row = (
+            hits.crossJoin(F.broadcast(possible))
+            .select(
+                F.lit(p).cast("bigint").alias("n_probe"),
+                "hits",
+                "possible",
+                F.expr("CAST((hits * 1000) div possible AS BIGINT)").alias(
+                    "recall_permille"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
+
+
+def _ivf_recall_oracle(
+    k: int = 5, n_cells: int = 16,
+    probe_levels: tuple[int, ...] = (1, 2, 4, 8), query_max_id: int = 50,
+) -> str:
+    levels = ", ".join(str(p) for p in probe_levels)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, vm AS cm FROM base WHERE vec_id < {n_cells}
+), dists AS (
+  SELECT b.vec_id, c.cell,
+         list_sum(list_transform(generate_series(1, len(b.vm)),
+              kk -> (b.vm[kk] - c.cm[kk]) * (b.vm[kk] - c.cm[kk]))) AS d2
+  FROM base b CROSS JOIN cents c
+), ranked_cells AS (
+  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+  FROM dists
+), assigned AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE rnk = 1
+), exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+  FROM base q JOIN base c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {query_max_id}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {k}
+), levels AS (SELECT unnest([{levels}]) AS n_probe),
+probes AS (
+  SELECT l.n_probe, rc.vec_id AS query_id, rc.cell
+  FROM ranked_cells rc JOIN levels l ON rc.rnk <= l.n_probe
+  WHERE rc.vec_id < {query_max_id}
+), ivf_scored AS (
+  SELECT p.n_probe, p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN base q ON q.vec_id = p.query_id
+  JOIN base c ON c.vec_id = a.vec_id
+), ivf_topk AS (
+  SELECT n_probe, query_id, neighbor_id FROM (
+    SELECT n_probe, query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY n_probe, query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= {k}
+), hits AS (
+  SELECT i.n_probe, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM ivf_topk i JOIN exact e
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY i.n_probe
+), possible AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact)
+SELECT CAST(l.n_probe AS BIGINT) AS n_probe,
+       COALESCE(h.hits, 0) AS hits, p.possible,
+       CAST((COALESCE(h.hits, 0) * 1000) // p.possible AS BIGINT) AS recall_permille
+FROM levels l LEFT JOIN hits h ON l.n_probe = h.n_probe CROSS JOIN possible p
+ORDER BY n_probe
+"""
+
+
+@register(
+    "q124_ivf_recall_audit",
+    oracle=_ivf_recall_oracle(),
+    doc="IVF tuning audit: measured recall@5 of the probed-cell search "
+    "vs exact brute force at n_probe = 1/2/4/8 (n_cells=16, 50-query "
+    "set) — the q114 measure-don't-trust-the-formula pattern for the "
+    "embedding index; the exact side is the audit's cost, run at gate "
+    "scale or on a query sample.",
+)
+def q124_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_recall_audit(load(spark, sf_dir, "embeddings"))

@@ -84,3 +84,33 @@ def test_incremental_dedup_only_reports_cross_corpus_pairs(spark):
     assert {r.base_id for r in got} == {1, 2}
     for r in got:
         assert r.jaccard_permille >= 300
+
+
+def test_duplicated_span_stats_planted_repeat(spark):
+    """Round-6 q123: a verbatim 8-token span shared by two docs must
+    surface as longest_dup_span_tokens=8 in both (4 consecutive
+    duplicated 5-gram positions -> run 4 + n-1); a doc with no
+    repeated shingles reports 0; an intra-doc self-repeat counts."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {span} d e f"),
+            (2, f"x y {span} z q r"),
+            (3, "u1 u2 u3 u4 u5 u6 u7"),            # unique everywhere
+            (4, "s t p q r m s t p q r m n"),        # self-repeat of 6 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_span_stats(docs).collect()}
+    assert out[1].longest_dup_span_tokens == 8
+    assert out[2].longest_dup_span_tokens == 8
+    assert out[3].longest_dup_span_tokens == 0 and out[3].n_dup_shingles == 0
+    # doc 4: "s t p q r m" repeats (positions 1 and 7) -> two duplicated
+    # 5-gram starts per copy ("s t p q r", "t p q r m") -> span 6
+    assert out[4].longest_dup_span_tokens == 6
+    assert out[1].n_shingles == 10  # 14 tokens, 5-grams
+    assert out[1].dup_ppm == out[1].n_dup_shingles * 1000000 // 10

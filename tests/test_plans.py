@@ -68,6 +68,10 @@ _QUADRATIC_BY_DESIGN = (
     # the guarded bounded query set, O(corpus × queries); scale path
     # documented as the same rank over LSH/IVF buckets
     "q121_hard_negative_mining",
+    # q124 composes the q24 exact kernel (the audit's reference answer)
+    # plus per-level 1-row scalar crosses for hits/possible — the q114
+    # audit shape for the IVF index
+    "q124_ivf_recall_audit",
 )
 _SCALAR_CROSS_OK = (
     "q48_tfidf_top_terms",

@@ -171,3 +171,22 @@ def test_hard_negative_band_excludes_duplicates_and_easy(spark):
     out = hard_negative_mining(emb, query_ids=[0], k=5).collect()
     assert [(r.query_id, r.neighbor_id) for r in out] == [(0, 2)]
     assert 0.25 <= out[0].cos_r < 0.85
+
+
+def test_ivf_recall_audit_monotone_and_full_probe_perfect(spark):
+    """Round-6 q124: recall must be non-decreasing in n_probe, and
+    probing EVERY cell must reproduce brute force exactly
+    (recall_permille = 1000) — the audit's own sanity anchor."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        ivf_recall_audit,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_recall_audit(
+        emb, n_cells=8, probe_levels=(1, 4, 8), query_max_id=20
+    ).collect()
+    recalls = [r.recall_permille for r in sorted(rows, key=lambda r: r.n_probe)]
+    assert recalls == sorted(recalls)  # monotone in n_probe
+    assert recalls[-1] == 1000  # n_probe == n_cells ≡ brute force
+    assert all(r.possible == rows[0].possible for r in rows)
