@@ -28,6 +28,41 @@ from real_time_data_pipeline_for_restaurant_analytics_spark.session import get_s
 HEADLINE = sorted(all_queries())
 
 
+def summary_line(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    sf: float,
+    partial: bool,
+    max_error_samples: int = 5,
+) -> str:
+    """ONE compact JSON line that fits the driver's 2000-char tail
+    buffer (round-5 postmortem: the full-name line overflowed it and
+    BENCH_r05 recorded parsed=null). Query keys are shortened to their
+    qNN prefix and values rounded to 2 dp; the error section is bounded
+    to ``max_error_samples`` entries + a total count (a systemic
+    failure — bad sf dir → most queries raise — would otherwise blow
+    the same buffer via ~70-char error entries). The full-name maps go
+    to stderr for humans. Contract pinned by tests/test_bench_contract.
+    """
+    short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+    }
+    if partial:
+        payload["partial"] = True
+    if errors:
+        payload["errors"] = dict(
+            (n.split("_", 1)[0], msg[:60])
+            for n, msg in list(errors.items())[:max_error_samples]
+        )
+        payload["n_errors"] = len(errors)
+    return json.dumps(payload, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -44,26 +79,7 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def _summary_line(partial: bool) -> str:
-        """ONE compact JSON line that fits the driver's 2000-char tail
-        buffer (round-5 postmortem: the full-name line overflowed it and
-        BENCH_r05 recorded parsed=null). Query keys are shortened to
-        their qNN prefix and values rounded to 2 dp; the full-name map
-        goes to stderr for humans."""
-        short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
-        payload = {
-            "metric": "headline_query_wall_time",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": short,
-            "sf": sf,
-        }
-        if partial:
-            payload["partial"] = True
-        if errors:
-            payload["errors"] = {
-                n.split("_", 1)[0]: msg[:60] for n, msg in errors.items()
-            }
-        return json.dumps(payload, separators=(",", ":"))
+        return summary_line(timings, errors, sf, partial)
 
     def _dump_partial(signum, frame):  # noqa: ARG001
         print(_summary_line(partial=True), flush=True)
@@ -142,6 +158,17 @@ def main() -> None:
                     q.build(spark, warm_dir).write.format("noop").mode("overwrite").save()
                 run = timed_run(q)
             except Exception as exc:  # noqa: BLE001
+                # a rep-2 transient after a clean rep-1 measurement is a
+                # stderr note, NOT an error entry: timings/errors stay
+                # mutually exclusive in the summary (a consumer reads
+                # errors-presence as query failure)
+                if name in timings:
+                    print(
+                        f"# {name}: rep{rep + 1} failed after a clean rep1 "
+                        f"({type(exc).__name__}) — keeping the rep1 number",
+                        file=sys.stderr,
+                    )
+                    continue
                 errors[name] = f"timed: {type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: FAILED {type(exc).__name__}", file=sys.stderr)
                 continue

@@ -308,10 +308,16 @@ def lsh_bucket_stats(
     colliding buckets, buckets over the cap, and ids living in
     over-cap buckets (the pairs the cap silently drops). Run it as a
     side job when tuning ``max_bucket_size`` — it shares the bands
-    frame, so with the bands cached it costs one small aggregation."""
-    sizes = bands.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("sz")
-    ).filter(F.col("sz") >= 2)
+    frame, so with the bands cached it costs one small aggregation.
+    NULL band hashes are excluded exactly as :func:`lsh_candidates`
+    excludes them — otherwise a corpus of shingle-less docs would
+    report a giant over-cap bucket the candidate stage never builds."""
+    sizes = (
+        bands.filter(F.col("band_hash").isNotNull())
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") >= 2)
+    )
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("sz") > max_bucket_size, 1).otherwise(0)).alias("n_over_cap"),
@@ -544,6 +550,7 @@ def simhash_hamming_pairs(
     n_bands: int = 4,
     max_ids_per_value: int = DEFAULT_MAX_IDS_PER_VALUE,
     fp_bits: int = 16,
+    max_bucket_values: int = 1 << 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, via bit-banding on
     DISTINCT fingerprint VALUES.
@@ -587,6 +594,21 @@ def simhash_hamming_pairs(
     size (so it coalesces to a handful of partitions), while a 64-bit
     value frame grows with distinct content and keeps full shuffle
     parallelism.
+
+    ``max_bucket_values`` caps how many DISTINCT fingerprint values a
+    (band_idx, band_hash) bucket may expand. At fp_bits=16 a band
+    bucket holds at most 2^(16-width) = 2^12 values, so the default
+    cap is unreachable and recall is unconditionally exact. At
+    fp_bits=64 a bucket can in principle hold up to 2^48 values, so
+    the cap is a REAL production guard: a band value shared by more
+    than 2^16 distinct fingerprints carries no discriminating signal
+    (the q21 ``max_bucket_size`` story at the value level), and its
+    pairs are dropped rather than expanded. Recall is exact UP TO that
+    documented cap — audit a specific corpus with
+    :func:`lsh_bucket_stats` over the value-band frame before trusting
+    exactness, exactly as for MinHash buckets. (The same contract
+    applies to ``max_ids_per_value`` / :func:`simhash_value_stats` for
+    identical-fingerprint groups.)
     """
     from pyspark.sql import Window
 
@@ -637,7 +659,7 @@ def simhash_hamming_pairs(
         ).alias("band"),
     ).select("simhash", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
     vpairs = (
-        lsh_candidates(bands, "simhash", max_bucket_size=1 << 16)
+        lsh_candidates(bands, "simhash", max_bucket_size=max_bucket_values)
         .select(F.col("id1").alias("_s1"), F.col("id2").alias("_s2"))
         .withColumn("hamming", F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
@@ -820,7 +842,10 @@ ORDER BY id1, id2
     doc="PRODUCTION-width SimHash near-dup pairs: 64-bit fingerprints, "
     "4x16-bit banding, hamming <= 3 — identical banding algebra to q54 "
     "but the value space no longer saturates with corpus size, so the "
-    "value-level kernel stays output-proportional at 100 TB.",
+    "value-level kernel stays output-proportional at 100 TB. Recall is "
+    "exact up to the documented hot-bucket caps (max_bucket_values / "
+    "max_ids_per_value — unreachable at 16 bits, REAL degenerate-value "
+    "guards at 64; audit with lsh_bucket_stats/simhash_value_stats).",
 )
 def q115_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")

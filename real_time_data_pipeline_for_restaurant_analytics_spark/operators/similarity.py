@@ -137,6 +137,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_filter: Column | None = None,
     max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query rows, selected either
     by an id list or by a predicate Column (`query_filter`) — the
@@ -146,7 +147,12 @@ def brute_force_topk(
     ``max_query_rows`` guards the broadcast: the query side must be
     small by CONSTRUCTION (that's what makes brute-force linear, not
     quadratic); a predicate matching more rows than the cap fails
-    loudly up front instead of broadcasting a corpus."""
+    loudly up front instead of broadcasting a corpus.
+
+    ``band=(lo, hi)`` restricts candidates to ``lo <= cos < hi``
+    BEFORE ranking — the hard-negative-mining shape (q121); None is
+    plain nearest-neighbor top-k (q24). One kernel, two consumers: a
+    fix to the fold, tie-break, or guard lands in both."""
     from pyspark.sql import Window
 
     if (query_ids is None) == (query_filter is None):
@@ -170,6 +176,9 @@ def brute_force_topk(
             (_dot_d("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
+    if band is not None:
+        lo, hi = band
+        scored = scored.filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -382,18 +391,24 @@ def lsh_bucket_ann(
     )
 
 
-def ivf_topk(
+def ivf_scored_candidates(
     emb: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
     query_max_id: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize vectors into cells,
-    probe only the `n_probe` nearest cells per query, exact cosine
-    re-rank inside the probed cells.
+    """The shared IVF kernel: coarse-quantize vectors into cells,
+    probe the `n_probe` nearest cells per query, exact cosine over the
+    probed cells' members — returning the UNRANKED candidate frame
+    (query_id, neighbor_id, cell_rank, cos_sim). ``cell_rank`` is the
+    probe order of the cell the neighbor lives in (1 = the query's
+    nearest cell), so a consumer can slice any probe depth <= n_probe
+    from ONE scored frame — :func:`ivf_topk` ranks it at full depth;
+    :func:`ivf_recall_audit` slices per level without recomputing the
+    assignment (a neighbor appears under exactly one cell, so
+    cell_rank is unique per pair).
 
     The coarse centroids here are the first `n_cells` corpus vectors —
     deterministic and engine-reproducible; in production they come
@@ -460,18 +475,38 @@ def ivf_topk(
             F.col(id_col).alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
-            F.explode(best_cells("vm", n_probe)).alias("cell"),
+            F.posexplode(best_cells("vm", n_probe)).alias("_cell_pos", "cell"),
         )
     )
-    scored = (
+    return (
         probes.join(assigned, "cell")
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
+            (F.col("_cell_pos") + 1).cast("int").alias("cell_rank"),
             (_dot_d("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
         )
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_max_id: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: rank :func:`ivf_scored_candidates` by
+    (cos DESC, neighbor_id) per query and keep k — see the kernel's
+    docstring for the determinism and scale contract. With
+    ``n_probe == n_cells`` the result equals brute force exactly
+    (pinned by a test)."""
+    from pyspark.sql import Window
+
+    scored = ivf_scored_candidates(emb, n_cells, n_probe, query_max_id, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1654,45 +1689,24 @@ def hard_negative_mining(
     curation step that turns an embedding corpus into training pairs
     (sentence-transformers / DPR-style mining).
 
-    Same engine-exact kernel as q24 (broadcast query side with a loud
-    size guard, sequential-fold double cosine, (cos DESC, id)
-    tie-break). Scale path: hard negatives live near the query by
-    construction, so at corpus scale the same band+rank runs over
-    LSH/IVF candidate buckets (q25/q63/q34's candidate generation)
-    instead of a full scan — the bucketed candidates ARE the [lo, hi)
-    band's natural superset.
+    Expressed THROUGH the q24 kernel (:func:`brute_force_topk` with
+    ``band=(lo, hi)``) — one kernel, shared broadcast guard, fold, and
+    (cos DESC, id) tie-break, so a fix there lands in both consumers.
+    Scale path: hard negatives live near the query by construction, so
+    at corpus scale the same band+rank runs over LSH/IVF candidate
+    buckets (q25/q63/q34's candidate generation) instead of a full
+    scan — the bucketed candidates ARE the [lo, hi) band's natural
+    superset.
     """
-    from pyspark.sql import Window
-
-    if (query_ids is None) == (query_filter is None):
-        raise ValueError("pass exactly one of query_ids / query_filter")
-    pred = query_filter if query_filter is not None else F.col(id_col).isin(query_ids)
-    base = spread(emb, id_col).select(
-        F.col(id_col), _to_double(vec_col).alias("v"), _norm(vec_col).alias("nrm")
-    )
-    _assert_bounded_query_side(emb.filter(pred), id_col, max_query_rows)
-    q = base.filter(pred).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot_d("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
-        )
-        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_r"))
+    return brute_force_topk(
+        emb,
+        query_ids=query_ids,
+        query_filter=query_filter,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_query_rows=max_query_rows,
+        band=(lo, hi),
     )
 
 
@@ -1750,21 +1764,35 @@ def ivf_recall_audit(
     the n_probe/n_cells trade instead of the IVF rule of thumb.
 
     One exact pass (the q24 kernel over a bounded query set,
-    checkpointed so the sweep reuses it) + one IVF pass per probe
-    level; per level, recall_permille = |IVF∩exact| * 1000 // |exact|.
-    Run at gate scale or on a query sample — the exact side is the
-    audit's cost, exactly as in the LSH audit (q114)."""
+    checkpointed so the sweep reuses it) + ONE IVF kernel pass: cell
+    assignment, probe ranking, and candidate scoring run once at the
+    DEEPEST probe level (:func:`ivf_scored_candidates` keeps each
+    candidate's ``cell_rank``), and every level is a filter + window
+    re-rank over that checkpointed frame — not a recomputation (a
+    probe-p candidate set is exactly the cell_rank <= p slice). Per
+    level, recall_permille = |IVF∩exact| * 1000 // |exact|. Run at
+    gate scale or on a query sample — the exact side is the audit's
+    cost, exactly as in the LSH audit (q114)."""
+    from pyspark.sql import Window
+
     exact = (
         brute_force_topk(emb, k=k, query_filter=F.col("vec_id") < query_max_id)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
     possible = exact.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
+    scored = ivf_scored_candidates(
+        emb, n_cells=n_cells, n_probe=max(probe_levels), query_max_id=query_max_id
+    ).localCheckpoint()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     out = None
     for p in probe_levels:
-        ivf = ivf_topk(
-            emb, k=k, n_cells=n_cells, n_probe=p, query_max_id=query_max_id
-        ).select("query_id", "neighbor_id")
+        ivf = (
+            scored.filter(F.col("cell_rank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
         hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
             F.count(F.lit(1)).cast("bigint").alias("hits")
         )

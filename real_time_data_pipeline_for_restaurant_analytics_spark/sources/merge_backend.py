@@ -105,9 +105,10 @@ class DeltaMergeBackend:
     keys rewrite. One deliberate constraint: business keys must be
     non-NULL — the SCD2 staged-union uses a NULL merge key as the
     never-matches sentinel (the canonical Delta SCD2 shape), so the
-    merge condition uses ``=``, not ``<=>``. The snapshot backend
-    tolerates NULL keys; a >TB dim keyed on a nullable column is a
-    modeling bug anyway.
+    merge condition uses ``=``, not ``<=>``. ENFORCED, not assumed:
+    every merge asserts the batch carries no NULL keys and fails
+    loudly if it does (the snapshot backend's eqNullSafe tolerates
+    them; silently diverging here would duplicate current rows).
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -120,6 +121,28 @@ class DeltaMergeBackend:
         self.path = path
 
     # -- storage primitives -------------------------------------------------
+    @staticmethod
+    def _assert_non_null_keys(df: DataFrame, key: list[str], op: str) -> None:
+        """The boundary contract is LOUD failure, never silent
+        degradation: a NULL business key would mis-merge under the
+        ``=`` conditions this backend uses (the snapshot backend's
+        eqNullSafe tolerates them; the Delta SCD2 staged-union cannot —
+        NULL is its never-matches sentinel). One limit(1) probe on the
+        batch, which is small by construction."""
+        cond = None
+        for k in key:
+            c = F.col(k).isNull()
+            cond = c if cond is None else cond | c
+        if df.filter(cond).limit(1).count() > 0:
+            raise ValueError(
+                f"DeltaMergeBackend.{op}: NULL business key in "
+                f"{key} — the Delta merge conditions use '=' (NULL merge "
+                "keys are the SCD2 insert sentinel), so NULL keys would "
+                "silently duplicate current rows. Clean the batch (the "
+                "pipeline's pre-merge null filter, P11) or use "
+                "SnapshotMergeBackend."
+            )
+
     def _exists(self) -> bool:
         return self._dt.isDeltaTable(self.spark, self.path)
 
@@ -140,6 +163,7 @@ class DeltaMergeBackend:
         modified_col: str | None = None,
         batch_ts: Column | None = None,
     ) -> DataFrame:
+        self._assert_non_null_keys(source, key, "merge_upsert")
         if not self._exists():
             self._write_initial(source)
             return self.snapshot()
@@ -159,6 +183,7 @@ class DeltaMergeBackend:
         return self.snapshot()
 
     def apply_scd2(self, batch: DataFrame, cfg: Scd2Config, batch_ts: Column) -> DataFrame:
+        self._assert_non_null_keys(batch, cfg.key, "apply_scd2")
         batch = latest_per_key(
             batch,
             cfg.key,

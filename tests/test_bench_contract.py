@@ -38,3 +38,29 @@ def test_compact_bench_line_fits_tail_buffer():
         f"compact bench line {len(line)} chars — shrink keys or values "
         "before the driver's tail buffer truncates it again"
     )
+
+
+def test_compact_line_bounded_under_systemic_errors():
+    """A systemic failure (every query erroring) must still produce a
+    parseable line inside the tail buffer: the error section is a
+    bounded sample + count, never the full map."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import summary_line
+
+    names = sorted(all_queries())
+    errors = {n: "timed: AnalysisException: " + "x" * 400 for n in names}
+    line = summary_line({}, errors, 0.1, partial=False)
+    assert len(line) < TAIL_BUFFER - 100
+    parsed = json.loads(line)
+    assert parsed["n_errors"] == len(names)
+    assert len(parsed["errors"]) == 5
+    # mixed case: some timed, some failed — still bounded, still disjoint
+    half = len(names) // 2
+    timings = {n: 1.23 for n in names[:half]}
+    errs = {n: "boom" for n in names[half:]}
+    line = summary_line(timings, errs, 0.1, partial=True)
+    assert len(line) < TAIL_BUFFER - 100
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) & set(parsed["errors"]) == set()

@@ -139,3 +139,15 @@ def test_delta_backend_fails_loudly_without_delta(spark, tmp_path):
         DeltaMergeBackend(spark, str(tmp_path / "d"))
     assert "delta-spark" in str(exc.value)
     assert "delta-spark" in DELTA_RUNBOOK
+
+
+def test_delta_null_key_guard_is_loud(spark):
+    """The NULL-business-key constraint is enforced, not assumed: the
+    staticmethod guard (testable without delta-spark) raises on any
+    NULL key and passes clean batches."""
+    bad = spark.createDataFrame([(None, "a"), (2, "b")], "id long, v string")
+    with pytest.raises(ValueError) as exc:
+        DeltaMergeBackend._assert_non_null_keys(bad, ["id"], "apply_scd2")
+    assert "NULL business key" in str(exc.value)
+    ok = spark.createDataFrame([(1, "a")], "id long, v string")
+    DeltaMergeBackend._assert_non_null_keys(ok, ["id"], "apply_scd2")

@@ -184,3 +184,19 @@ def test_banding_recall_property_random_fingerprints(spark):
         assert got == expected
 
     run()
+
+
+def test_lsh_bucket_stats_ignores_null_bands(spark):
+    """The observability frame must report what lsh_candidates
+    actually buckets: NULL band hashes are excluded on BOTH sides, so
+    a shingle-less corpus shows zero over-cap buckets instead of a
+    phantom giant one."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        lsh_bucket_stats,
+    )
+
+    rows = [(i, 0, None) for i in range(50)] + [(100, 0, "abc"), (101, 0, "abc")]
+    bands = spark.createDataFrame(rows, "doc_id long, band_idx int, band_hash string")
+    stats = lsh_bucket_stats(bands, "doc_id", max_bucket_size=10).collect()[0]
+    assert stats.n_buckets == 1        # only the real 'abc' bucket
+    assert stats.n_over_cap == 0       # the NULL group is not a bucket
