@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.keys import hash_key
 from ..registry import register
 
 
@@ -226,7 +227,7 @@ def q73_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# From-scratch deterministic HLL (q104/q105): the q25/q34 determinization
+# From-scratch deterministic HLL (q106/q107): the q25/q34 determinization
 # trick applied to sketches. q35/q73 keep the ENGINE-NATIVE kernels
 # (HLL++ / DataSketches — the production path, rows-only by nature);
 # these twins rebuild the same algorithm from md5 + integer arithmetic
@@ -258,8 +259,11 @@ _HLL_C = _HLL_ALPHA * float(1 << (2 * _HLL_B + _HLL_W + 1))  # alpha*m^2*2^51
 
 
 def _hll_bucket_rho(key: "F.Column") -> "F.Column":
-    """(bucket, rho) struct of a key under the deterministic HLL hash."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("bigint")
+    """(bucket, rho) struct of a key under the deterministic HLL hash
+    — the hash IS functions.keys.hash_key (the 60-bit md5 fold used
+    for surrogate keys), so sketch and key hashing share one engine-
+    exact primitive."""
+    h = hash_key(key)
     w = F.shiftright(h, _HLL_B)
     rho = F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
         F.lit(_HLL_W + 1) - F.length(F.conv(w, 10, 2)).cast("bigint")

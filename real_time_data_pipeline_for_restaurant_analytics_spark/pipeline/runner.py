@@ -64,6 +64,59 @@ def _read_source(spark: SparkSession, spec: EntitySpec, path: str) -> DataFrame:
     return read_stage_csv(spark, path, spec.source_columns)
 
 
+def merge_entity_batch(
+    spark: SparkSession,
+    wh: Warehouse,
+    spec: EntitySpec,
+    raw: DataFrame,
+    batch_ts,
+    checkpoint: bool = False,
+) -> None:
+    """The shared clean→dedup→latest-per-key→SCD1→SCD2 merge body —
+    ONE implementation behind both drivers (batch :func:`run_entity`
+    and streaming ``merge_microbatch``), so a semantics change lands
+    in exactly one place (the "one library, two drivers" invariant
+    SURVEY §7/M5 calls for).
+
+    ``checkpoint`` breaks lineage after the latest-per-key guard —
+    required in foreachBatch, where the micro-batch source cannot be
+    re-read by the multiple merge scans below.
+    """
+    # --- clean: typed transform + guarded SCD1 merge (C3)
+    typed = spec.clean(raw)
+    if spec.dedup_source:
+        typed = typed.dropDuplicates()  # C6 (`delivery_agent_proc.sql:140-154`)
+    order_cols = (
+        [F.col(spec.modified_col).desc_nulls_last(), F.col(spec.created_col).desc_nulls_last()]
+        if spec.modified_col and spec.created_col
+        else [F.lit(1)]
+    )
+    typed = latest_per_key(typed, spec.key, order_cols)  # C7 guard
+    if checkpoint:
+        typed = typed.localCheckpoint()
+    clean_tbl = wh.clean(spec.name)
+    prev_clean = clean_tbl.read(spark)
+    attrs = [c for c in typed.columns if c not in spec.key]
+    clean_tbl.write(merge_upsert(prev_clean, typed, spec.key, attrs))
+
+    # --- consumption: SCD2 dim (C4) or SCD1 fact (C5)
+    dim_tbl = wh.dim(spec.name)
+    hk_name = f"{spec.name}_hk"
+    with_hk = typed.withColumn(hk_name, hash_key(*spec.key, *spec.scd2_attrs))
+    if spec.scd1_only:
+        prev_fact = dim_tbl.read(spark)
+        dim_tbl.write(merge_upsert(prev_fact, with_hk, spec.key, spec.scd2_attrs))
+    else:
+        prev_dim = dim_tbl.read(spark)
+        cfg = Scd2Config(
+            key=spec.key,
+            attrs=spec.scd2_attrs,
+            created_col=spec.created_col,
+            first_start_from_created=True,
+        )
+        dim_tbl.write(apply_scd2(prev_dim, with_hk, cfg, batch_ts))
+
+
 def run_entity(
     spark: SparkSession,
     wh: Warehouse,
@@ -82,47 +135,14 @@ def run_entity(
     raw = _read_source(spark, spec, file_path)
     raw.write.mode("append").parquet(os.path.join(wh.stage_dir(spec.name), "data"))
 
-    # --- clean: typed transform + guarded SCD1 merge (C3)
-    typed = spec.clean(raw)
-    if spec.dedup_source:
-        typed = typed.dropDuplicates()  # C6 (`delivery_agent_proc.sql:140-154`)
-    order_cols = (
-        [F.col(spec.modified_col).desc_nulls_last(), F.col(spec.created_col).desc_nulls_last()]
-        if spec.modified_col and spec.created_col
-        else [F.lit(1)]
-    )
-    typed = latest_per_key(typed, spec.key, order_cols)  # C7 guard
-    clean_tbl = wh.clean(spec.name)
-    prev_clean = clean_tbl.read(spark)
-    attrs = [c for c in typed.columns if c not in spec.key]
-    merged = merge_upsert(prev_clean, typed, spec.key, attrs)
-    clean_tbl.write(merged)
-
-    # --- consumption: SCD2 dim (C4) or SCD1 fact (C5)
-    dim_tbl = wh.dim(spec.name)
-    hk_name = f"{spec.name}_hk"
-    with_hk = typed.withColumn(hk_name, hash_key(*spec.key, *spec.scd2_attrs))
-    if spec.scd1_only:
-        prev_fact = dim_tbl.read(spark)
-        fact = merge_upsert(prev_fact, with_hk, spec.key, spec.scd2_attrs)
-        dim_tbl.write(fact)
-    else:
-        prev_dim = dim_tbl.read(spark)
-        cfg = Scd2Config(
-            key=spec.key,
-            attrs=spec.scd2_attrs,
-            created_col=spec.created_col,
-            first_start_from_created=True,
-        )
-        new_dim = apply_scd2(prev_dim, with_hk, cfg, batch_ts)
-        dim_tbl.write(new_dim)
+    merge_entity_batch(spark, wh, spec, raw, batch_ts)
 
     ledger.mark(todo)
     return {
         "entity": spec.name,
         "staged_files": len(todo),
-        "clean_rows": clean_tbl.read(spark).count(),
-        "dim_rows": dim_tbl.read(spark).count(),
+        "clean_rows": wh.clean(spec.name).read(spark).count(),
+        "dim_rows": wh.dim(spec.name).read(spark).count(),
         "skipped": False,
     }
 

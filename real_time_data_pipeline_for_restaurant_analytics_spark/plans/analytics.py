@@ -665,9 +665,13 @@ WITH w1 AS (
 )
 SELECT '1_view' AS stage, n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_from_prev_ppm FROM agg
 UNION ALL
-SELECT '2_click', n2, CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT) FROM agg
+SELECT '2_click', n2,
+       CASE WHEN n1 = 0 THEN NULL
+            ELSE CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT) END FROM agg
 UNION ALL
-SELECT '3_purchase', n3, CAST(FLOOR(1000000.0 * n3 / n2) AS BIGINT) FROM agg
+SELECT '3_purchase', n3,
+       CASE WHEN n2 = 0 THEN NULL
+            ELSE CAST(FLOOR(1000000.0 * n3 / n2) AS BIGINT) END FROM agg
 ORDER BY stage
 """,
     doc="Ordered conversion funnel view→click→purchase: each stage's "
@@ -717,10 +721,15 @@ def q62_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.select(
             F.expr(
+                # explicit zero-stage guards: NULL conversion from an
+                # empty stage in BOTH engines (and no divide-by-zero
+                # error under Spark ANSI mode or DuckDB)
                 "stack(3,"
                 " '1_view', n1, CAST(1000000 AS BIGINT),"
-                " '2_click', n2, CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT),"
-                " '3_purchase', n3, CAST(FLOOR(1000000.0 * n3 / n2) AS BIGINT))"
+                " '2_click', n2, CASE WHEN n1 = 0 THEN NULL"
+                "   ELSE CAST(FLOOR(1000000.0 * n2 / n1) AS BIGINT) END,"
+                " '3_purchase', n3, CASE WHEN n2 = 0 THEN NULL"
+                "   ELSE CAST(FLOOR(1000000.0 * n3 / n2) AS BIGINT) END)"
                 " AS (stage, n_users, conv_from_prev_ppm)"
             )
         )

@@ -26,10 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions.keys import hash_key
-from ..operators.merge import Scd2Config, apply_scd2, latest_per_key, merge_upsert
 from ..pipeline.entities import EntitySpec
-from ..pipeline.runner import Warehouse
+from ..pipeline.runner import Warehouse, merge_entity_batch
 from ..sources.readers import AUDIT_COLS, text_schema, with_audit_columns
 
 
@@ -53,10 +51,14 @@ def stage_file_stream(
     if spec.ext == "json":
         out = reader.json(landing_dir)
     else:
+        # mode=FAILFAST mirrors the batch reader's on_error='abort'
+        # (COPY on_error=abort_statement): a malformed row fails the
+        # load in BOTH drivers instead of silently null-padding here.
         out = (
             reader.option("header", "true")
             .option("quote", '"')
             .option("nullValue", "\\N")
+            .option("mode", "FAILFAST")
             .csv(landing_dir)
         )
     return with_audit_columns(out)
@@ -159,38 +161,15 @@ def with_stream_audit_columns(df: DataFrame, source_label: str) -> DataFrame:
 
 
 def merge_microbatch(spark: SparkSession, wh: Warehouse, spec: EntitySpec, batch: DataFrame) -> None:
-    """The foreachBatch body: same SCD1/SCD2 merges as the batch
-    runner — one merge library, two drivers."""
+    """The foreachBatch body: delegates to the batch runner's
+    :func:`~..pipeline.runner.merge_entity_batch` — literally one merge
+    library behind two drivers (checkpoint=True because the micro-batch
+    source can't be re-read by the merge's multiple scans)."""
     if not batch.head(1):
         return
-    typed = spec.clean(batch)
-    if spec.dedup_source:
-        typed = typed.dropDuplicates()
-    order_cols = (
-        [F.col(spec.modified_col).desc_nulls_last(), F.col(spec.created_col).desc_nulls_last()]
-        if spec.modified_col and spec.created_col
-        else [F.lit(1)]
+    merge_entity_batch(
+        spark, wh, spec, batch, F.current_timestamp(), checkpoint=True
     )
-    typed = latest_per_key(typed, spec.key, order_cols).localCheckpoint()
-
-    clean_tbl = wh.clean(spec.name)
-    prev = clean_tbl.read(spark)
-    attrs = [c for c in typed.columns if c not in spec.key]
-    clean_tbl.write(merge_upsert(prev, typed, spec.key, attrs))
-
-    dim_tbl = wh.dim(spec.name)
-    hk = f"{spec.name}_hk"
-    with_hk = typed.withColumn(hk, hash_key(*spec.key, *spec.scd2_attrs))
-    if spec.scd1_only:
-        dim_tbl.write(merge_upsert(dim_tbl.read(spark), with_hk, spec.key, spec.scd2_attrs))
-    else:
-        cfg = Scd2Config(
-            key=spec.key,
-            attrs=spec.scd2_attrs,
-            created_col=spec.created_col,
-            first_start_from_created=True,
-        )
-        dim_tbl.write(apply_scd2(dim_tbl.read(spark), with_hk, cfg, F.current_timestamp()))
 
 
 def ingest_stream(
@@ -235,31 +214,41 @@ def ingest_stream(
 def to_kafka_frame(df: DataFrame, spec: EntitySpec) -> DataFrame:
     """Entity rows → Kafka producer frame (``key BINARY, value BINARY``)
     — the symmetric seam to :func:`parse_kafka_records`. ``value`` is
-    the row's source columns as a JSON object (the same contract the
-    json-ext source parser reads); ``key`` is the entity's business
-    key, so a compacted topic keeps latest-per-key and partition
-    assignment co-locates a key's history — ordering per key, which is
-    exactly what the SCD merges downstream rely on.
+    the row's source columns encoded in the SAME wire format the
+    entity's source parser reads (``to_csv`` with the stage quote/null
+    options for csv entities, ``to_json`` for json entities) — so
+    publish(entity) → consume(entity) round-trips for every registered
+    spec, not just json ones. ``key`` is the entity's business key, so
+    a compacted topic keeps latest-per-key and partition assignment
+    co-locates a key's history — ordering per key, which is exactly
+    what the SCD merges downstream rely on.
 
     Publish with ``df.write.format("kafka")`` / ``writeStream`` plus
     bootstrap/topic options (connector jar required, as for the
     source); shape is connector-independent and round-trip-tested
     broker-less against parse_kafka_records.
     """
+    row = F.struct(*spec.source_columns)
+    if spec.ext == "json":
+        value = F.to_json(row)
+    else:
+        value = F.to_csv(row, {"quote": '"', "nullValue": "\\N"})
     return df.select(
         F.encode(F.concat_ws("|", *_source_key_columns(spec)), "utf-8").alias("key"),
-        F.encode(F.to_json(F.struct(*spec.source_columns)), "utf-8").alias("value"),
+        F.encode(value, "utf-8").alias("value"),
     )
 
 
 def _source_key_columns(spec: EntitySpec) -> list[str]:
     """The business key in SOURCE-column names: clean-layer key names
-    drop their underscores in the source contract (menu_id ↔ menuid),
-    so match on the underscore-stripped form and fail loudly if an
+    drop their underscores in the source contract (menu_id ↔ menuid)
+    and composite-key components carry a ``_fk`` suffix the source
+    never has (order_id_fk ↔ orderid), so match on the
+    underscore-stripped, suffix-stripped form and fail loudly if an
     entity ever breaks the convention."""
     out = []
     for k in spec.key:
-        want = k.replace("_", "").lower()
+        want = k.removesuffix("_fk").replace("_", "").lower()
         match = next(
             (c for c in spec.source_columns if c.replace("_", "").lower() == want), None
         )

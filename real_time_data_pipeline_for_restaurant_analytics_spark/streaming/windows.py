@@ -70,38 +70,62 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _make_session_fn(gap_ms: int):
+def _make_session_fn(gap_ms: int, ts_col: str):
+    gap_us = gap_ms * 1000
+
+    def _emit(key: tuple, sessions: list) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(sessions)),
+                "session_start": pd.Series(
+                    [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                    dtype="datetime64[us]",
+                ),
+                "session_end": pd.Series(
+                    [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                    dtype="datetime64[us]",
+                ),
+                "n_events": pd.Series([n for _, _, n in sessions], dtype="int64"),
+            }
+        )
+
     def _session_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        """Gap-based sessionizer: close a session when no event
-        arrives within the gap (state timeout) and emit it."""
+        """Gap-based sessionizer. Sessions that are CLOSED BY EVENT
+        TIME (the next event is > gap after the previous) are emitted
+        in the same micro-batch — arrival batching can't merge distinct
+        event-time sessions. Only the trailing open session sits in
+        state, closed by the processing-time timeout when the stream
+        goes quiet for the gap."""
         if state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            yield _emit(key, [(start_us, last_us, n)])
             return
         rows = pd.concat(list(pdfs))
-        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
-        lo, hi = int(ts_us.min()), int(ts_us.max())
+        ts_us = (
+            rows[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        ).sort_values()
+        start_us = last_us = n = None
         if state.exists:
             start_us, last_us, n = state.get
-            state.update((min(start_us, lo), max(last_us, hi), n + len(rows)))
-        else:
-            state.update((lo, hi, len(rows)))
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                # late events (t < last) fold into the open session
+                start_us, last_us, n = min(start_us, t), max(last_us, t), n + 1
+            else:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+        state.update((start_us, last_us, n))
         state.setTimeoutDuration(gap_ms)
-        yield pd.DataFrame(
-            {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
-        ).astype({"user_id": "int64", "n_events": "int64"})
+        yield _emit(key, closed)
 
     return _session_fn
 
@@ -114,13 +138,31 @@ def sessionize(
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessions via
     applyInPandasWithState (Arrow-batched, per-key state — the
-    Spark-native form of a custom stateful operator)."""
+    Spark-native form of a custom stateful operator).
+
+    Semantics match :func:`sessionize_batch` (the backfill twin) for
+    every session closed by event-time evidence; the final open session
+    per user is emitted via the processing-time timeout once the stream
+    idles for the gap (an ``availableNow`` drain therefore emits all
+    event-time-closed sessions and leaves the trailing open one in
+    state — by design: it may still grow). Output column is named
+    ``user_id`` with the source column's type.
+    """
+    user_type = events.schema[user_col].dataType
+    out_schema = StructType(
+        [
+            StructField("user_id", user_type),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
     return (
         events.withWatermark(ts_col, "2 hours")
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
-            _make_session_fn(gap_ms),
-            outputStructType=SESSION_SCHEMA,
+            _make_session_fn(gap_ms, ts_col),
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

@@ -221,9 +221,11 @@ def test_multiday_delta_replay_at_volume_through_stream(spark, tmp_path):
 
 def test_to_kafka_frame_round_trips_through_source_parser(spark):
     """Producer seam: entity rows -> (key, value) Kafka frame; feeding
-    those values back through parse_kafka_records (json contract)
+    those values back through parse_kafka_records WITH THE SAME SPEC
     recovers the source columns exactly — the broker-less proof that
-    the sink and source speak the same wire contract. Key = business
+    the sink and source speak the same wire contract for every ext
+    (to_csv for csv entities, to_json for json ones; a json-encoded
+    value fed to a csv parser would shred on commas). Key = business
     key bytes (compacted-topic / per-key ordering semantics)."""
     from pyspark.sql import functions as F
 
@@ -231,10 +233,10 @@ def test_to_kafka_frame_round_trips_through_source_parser(spark):
         to_kafka_frame,
     )
 
-    spec = ENTITIES["menu"]
+    spec = ENTITIES["menu"]  # csv ext — the case the seam must encode as CSV
     rows = spark.createDataFrame(
-        [("1", "101", "Tikka", "Good", "250.00", "App", "True", "Veg", "4.2",
-          "2024-05-01 10:00:00", None),
+        [("1", "101", "Tikka, extra spicy", "Good", "250.00", "App", "True", "Veg",
+          "4.2", "2024-05-01 10:00:00", None),
          ("2", "101", "Dal", None, "220.00", "Main", "False", "Veg", "4.4",
           "2024-05-01 10:00:00", None)],
         ", ".join(f"{c} string" for c in spec.source_columns),
@@ -244,20 +246,38 @@ def test_to_kafka_frame_round_trips_through_source_parser(spark):
     got = {bytes(r.key).decode(): bytes(r.value).decode() for r in frame.collect()}
     assert set(got) == {"1", "2"}
 
-    # round-trip: wrap as wire records, parse with the json contract
-    json_spec = type(spec)(
-        name=spec.name, source_columns=spec.source_columns, clean=spec.clean,
-        key=spec.key, scd2_attrs=spec.scd2_attrs, ext="json",
-    )
+    # round-trip: wrap as wire records, parse with the SAME entity spec
     wire = frame.select(
         "key", "value", F.lit("menu_items").alias("topic"),
         F.lit(0).alias("partition"),
         F.monotonically_increasing_id().alias("offset"),
         F.current_timestamp().alias("timestamp"), F.lit(0).alias("timestampType"),
     )
-    back = {r.menuid: r for r in parse_kafka_records(wire, json_spec).collect()}
-    assert back["1"].itemname == "Tikka" and back["1"].modifieddate is None
+    back = {r.menuid: r for r in parse_kafka_records(wire, spec).collect()}
+    assert back["1"].itemname == "Tikka, extra spicy"  # comma survives quoting
+    assert back["1"].modifieddate is None
     assert back["2"].description is None and back["2"].price == "220.00"
+
+
+def test_to_kafka_frame_resolves_keys_for_every_entity(spark):
+    """_source_key_columns must resolve the business key for ALL ten
+    registered entities — including the composite `_fk`-suffixed keys
+    (delivery, order_item) whose clean-layer names have no literal
+    source twin."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.ingest import (
+        _source_key_columns,
+    )
+
+    for name, spec in ENTITIES.items():
+        cols = _source_key_columns(spec)
+        assert len(cols) == len(spec.key), name
+        assert all(c in spec.source_columns for c in cols), (name, cols)
+    assert _source_key_columns(ENTITIES["delivery"]) == [
+        "deliveryid", "orderid", "deliveryagentid"
+    ]
+    assert _source_key_columns(ENTITIES["order_item"]) == [
+        "orderitemid", "orderid", "menuitemid"
+    ]
 
 
 def test_kafka_stage_stream_live_broker(spark, tmp_path):

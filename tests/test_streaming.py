@@ -110,14 +110,18 @@ def test_sessionize_batch_gap_split(spark):
 
 
 def test_sessionize_streaming_stateful(spark, tmp_path):
-    """applyInPandasWithState smoke: feed one batch, let the timeout
-    close sessions on the next trigger, collect emitted sessions."""
+    """applyInPandasWithState: sessions separated by an EVENT-TIME gap
+    inside one micro-batch split immediately (batch-twin semantics —
+    arrival batching must not merge them); the trailing open session
+    closes via the processing-time timeout. Final session set ==
+    sessionize_batch on the same events."""
     src = str(tmp_path / "sess_events")
     os.makedirs(src)
     with open(os.path.join(src, "e1.csv"), "w") as f:
         f.write("user_id,ts\n")
         f.write("1,2024-05-01 10:00:00\n")
-        f.write("1,2024-05-01 10:10:00\n")
+        f.write("1,2024-05-01 10:00:01\n")  # within 3 s gap → same session
+        f.write("1,2024-05-01 10:10:00\n")  # event-time gap → NEW session
         f.write("2,2024-05-01 09:00:00\n")
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
@@ -141,14 +145,111 @@ def test_sessionize_streaming_stateful(spark, tmp_path):
             rows = spark.sql(
                 "SELECT * FROM sessions_test WHERE user_id IS NOT NULL"
             ).collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events) for r in rows
+    )
+    assert got == [
+        (1, "2024-05-01 10:00:00", "2024-05-01 10:00:01", 2),
+        (1, "2024-05-01 10:10:00", "2024-05-01 10:10:00", 1),
+        (2, "2024-05-01 09:00:00", "2024-05-01 09:00:00", 1),
+    ]
+    # exactly the batch twin's answer (the documented oracle)
+    batch = spark.createDataFrame(
+        [(1, "2024-05-01 10:00:00"), (1, "2024-05-01 10:00:01"),
+         (1, "2024-05-01 10:10:00"), (2, "2024-05-01 09:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize_batch(batch, gap_minutes=1).collect()
+        # gap_minutes=1 > 3 s streaming gap is fine here: every event pair is
+        # either <=3 s or >=10 min apart, so both gaps split identically
+    )
+    assert got == want
+
+
+def test_stage_file_stream_failfast_on_malformed_row(spark, tmp_path):
+    """Streaming twin of test_csv_on_error_abort: the file-stream
+    driver must honor the batch reader's on_error='abort' contract —
+    a malformed row FAILS the drain instead of silently null-padding
+    into the merges (divergent warehouse content between drivers)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.ingest import (
+        stage_file_stream,
+    )
+
+    spec = ENTITIES["menu"]
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    header = ",".join(spec.source_columns)
+    with open(os.path.join(landing, "bad.csv"), "w") as f:
+        f.write(header + "\n")
+        f.write("1,101,Tikka,Good,250.00,App,True,Veg,4.2,2024-05-01,\\N\n")
+        f.write("2,b,EXTRA,COLS," + "x," * len(spec.source_columns) + "y\n")
+    stream = stage_file_stream(spark, spec, landing)
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        raised = not q.exception() is None
+    except StreamingQueryException:
+        raised = True
+    finally:
+        q.stop()
+    assert raised, "malformed row should abort the streaming load (FAILFAST)"
+
+
+def test_sessionize_custom_columns(spark, tmp_path):
+    """ts_col/user_col parameters are honored (no hardcoded 'ts'), and
+    a string user column flows through to the output schema."""
+    src = str(tmp_path / "sess_events2")
+    os.makedirs(src)
+    with open(os.path.join(src, "e1.csv"), "w") as f:
+        f.write("account,event_ts\n")
+        f.write("alice,2024-05-01 10:00:00\n")
+        f.write("alice,2024-05-01 11:00:00\n")  # > gap → split in-batch
+    stream = (
+        spark.readStream.schema("account string, event_ts timestamp")
+        .option("header", "true")
+        .csv(src)
+    )
+    out = sessionize(stream, user_col="account", ts_col="event_ts", gap_ms=3000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_custom_test")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM sessions_custom_test WHERE user_id IS NOT NULL"
+            ).collect()
             if len(rows) >= 2:
                 break
             time.sleep(2)
     finally:
         q.stop()
-    got = {r.user_id: (str(r.session_start), r.n_events) for r in rows}
-    assert got[1] == ("2024-05-01 10:00:00", 2)
-    assert got[2] == ("2024-05-01 09:00:00", 1)
+    got = sorted((r.user_id, str(r.session_start), r.n_events) for r in rows)
+    assert got == [
+        ("alice", "2024-05-01 10:00:00", 1),
+        ("alice", "2024-05-01 11:00:00", 1),
+    ]
 
 
 def test_kafka_shaped_source_ingest(spark, tmp_path):
