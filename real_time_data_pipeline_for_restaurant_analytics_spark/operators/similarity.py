@@ -1669,6 +1669,186 @@ def q92_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_assign_codes(emb).orderBy("vec_id", "m")
 
 
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) top-k search (q126): the QUERY path over
+# the q92 memory layer — FAISS's ADC scan re-expressed declaratively.
+# The query stays un-quantized-to-codes (asymmetric): per subspace it
+# precomputes a k_codes-entry lookup table of exact squared distances
+# to every centroid, and a database vector's approximate distance is
+# just n_sub table lookups summed — the reason PQ search reads BYTES
+# per vector instead of floats. Everything runs on the q57 int8 grid,
+# so distances are BIGINT folds (engine-exact, hash-checkable).
+#
+# Scale shape: codebook = ONE broadcast row; corpus codes = one scan,
+# ZERO shuffles (argmin inside whole-stage codegen); the LUT frame is
+# queries × n_sub × k_codes rows, broadcast (bounded by the same
+# loud guard as q24); the ADC scan is O(corpus × queries) lookups with
+# NO per-pair vector math, then one top-k window partitioned by query.
+# At 100 TB you put the q34 IVF coarse quantizer in front (probe
+# cells → ADC only candidates) — that composition is IVF-PQ; the ADC
+# kernel is identical.
+# ---------------------------------------------------------------------------
+
+
+def _pq_subdist(sub_len: int) -> str:
+    """Exact squared L2 between a query subvector (sliced from qv by
+    the codebook entry's subspace index mc.m) and a centroid c.csub —
+    the shared integer fold of the code assignment, LUT build, and
+    oracle replay."""
+    return (
+        f"aggregate(zip_with(slice(qv, CAST(mc.m AS INT) * {sub_len} + 1, {sub_len}),"
+        " c.csub, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = _PQ_M,
+    n_codes: int = _PQ_K,
+    query_filter: Column | None = None,
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Approximate top-k neighbors by PQ asymmetric distance: rank
+    database vectors by Σ_m LUT[m][code_m] where LUT holds the query's
+    exact subspace distances to each centroid and code_m is the
+    database vector's q92 code. Deterministic tie-break (adc_dist,
+    neighbor_id); codebook = the same first-``n_codes`` training rows
+    as q92 so the two queries share one quantizer."""
+    from pyspark.sql import Window
+
+    if query_filter is None:
+        raise ValueError("pass query_filter (the bounded query predicate)")
+    dim = _vec_dim(emb, vec_col) or 64
+    sub = dim // n_sub
+    base = (
+        spread(emb, id_col)
+        .select(F.col(id_col), F.col(vec_col).alias("v"), _max_abs(vec_col).alias("_ma"))
+        .select(F.col(id_col), _quantized("v", "_ma").alias("qv"))
+    )
+    # codebook: ONE row; cb[m].cents = that subspace's centroids,
+    # cent_id-sorted (array index == code, the LUT addressing contract)
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("bigint").alias("m"),
+                F.slice("qv", mi * sub + 1, sub).alias("sub"),
+            )
+            for mi in range(n_sub)
+        ]
+    )
+    cb = (
+        base.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cent_id"), F.explode(pieces).alias("p"))
+        .groupBy(F.col("p.m").alias("m"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cent_id"), F.col("p.sub").alias("csub")))
+            ).alias("cents")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("m", "cents"))).alias("cb"))
+    )
+    # corpus codes, WIDE (codes[m+1] = argmin code) — map-side only
+    codes_expr = F.expr(
+        "transform(cb, mc -> array_min(transform(mc.cents, c -> named_struct("
+        f"'d', {_pq_subdist(sub)}, 'cid', CAST(c.cent_id AS BIGINT)))).cid)"
+    )
+    coded = base.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("neighbor_id"), codes_expr.alias("codes")
+    )
+    # query LUT, flat: lut[m * n_codes + code + 1] = subspace distance
+    _assert_bounded_query_side(emb.filter(query_filter), id_col, max_query_rows)
+    lut_expr = F.expr(
+        f"flatten(transform(cb, mc -> transform(mc.cents, c -> {_pq_subdist(sub)})))"
+    )
+    queries = (
+        base.filter(query_filter)
+        .crossJoin(F.broadcast(cb))
+        .select(F.col(id_col).alias("query_id"), lut_expr.alias("lut"))
+    )
+    adc = F.expr(
+        f"aggregate(zip_with(codes, sequence(CAST(0 AS BIGINT), CAST({n_sub - 1} AS BIGINT)),"
+        f" (code, m) -> element_at(lut, CAST(m * {n_codes} + code + 1 AS INT))),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(coded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "adc_dist")
+    )
+
+
+_PQ_ADC_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+         embedding AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+         END AS qv
+  FROM base
+), subs AS (
+  SELECT vec_id, m, qv[(16 * m + 1):(16 * m + 16)] AS sub
+  FROM q, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m)
+), cents AS (
+  SELECT vec_id AS cent_id, m, sub AS csub FROM subs WHERE vec_id < {_PQ_K}
+), d AS (
+  SELECT s.vec_id, s.m, c.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, 16),
+              i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i]))) AS BIGINT) AS dist
+  FROM subs s JOIN cents c ON s.m = c.m
+), codes AS (
+  SELECT vec_id, m, cent_id AS code FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_id) = 1
+), lut AS (
+  SELECT vec_id AS query_id, m, cent_id AS code, dist AS pdist
+  FROM d WHERE vec_id < 10
+), adc AS (
+  SELECT l.query_id, co.vec_id AS neighbor_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+            AS BIGINT) AS rank,
+       adc_dist
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "q126_pq_adc_topk",
+    oracle=_PQ_ADC_ORACLE,
+    doc="PQ asymmetric-distance (ADC) top-k search over the q92 codes: "
+    "per-query LUT of exact subspace distances to each centroid "
+    "(broadcast), database vectors ranked by n_sub table lookups "
+    "summed — bytes per vector, no per-pair float math. The query "
+    "path of IVF-PQ (put the q34 coarse quantizer in front at scale).",
+)
+def q126_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_filter=F.col("vec_id") < 10).orderBy(
+        "query_id", "rank"
+    )
+
+
 def hard_negative_mining(
     emb: DataFrame,
     query_ids: list[int] | None = None,

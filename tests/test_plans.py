@@ -72,6 +72,11 @@ _QUADRATIC_BY_DESIGN = (
     # plus per-level 1-row scalar crosses for hits/possible — the q114
     # audit shape for the IVF index
     "q124_ivf_recall_audit",
+    # q126's ADC scan is O(corpus × bounded queries) LUT lookups (q24's
+    # guarded broadcast shape, minus the per-pair vector math) plus two
+    # 1-row codebook crosses; the IVF coarse quantizer bounds the scan
+    # at scale (IVF-PQ composition, documented on the operator)
+    "q126_pq_adc_topk",
 )
 _SCALAR_CROSS_OK = (
     "q48_tfidf_top_terms",

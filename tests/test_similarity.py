@@ -190,3 +190,38 @@ def test_ivf_recall_audit_monotone_and_full_probe_perfect(spark):
     assert recalls == sorted(recalls)  # monotone in n_probe
     assert recalls[-1] == 1000  # n_probe == n_cells ≡ brute force
     assert all(r.possible == rows[0].possible for r in rows)
+
+
+def test_pq_adc_exact_when_every_vector_is_a_centroid(spark):
+    """Round-6 q126: with n_codes >= corpus size every vector's code is
+    itself (assignment distance 0), so the ADC distance degenerates to
+    the EXACT int8-grid squared L2 between query and neighbor — the
+    ADC lookup algebra is pinned against a direct computation, not a
+    replay of itself."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    # 4 vectors, dim 4, n_sub 2 — distinct in every subspace, and
+    # max_abs = 127 so the int8 grid is the identity (qv == v)
+    vecs = [
+        (0, [1.0, 2.0, 3.0, 127.0]),
+        (1, [5.0, 1.0, 8.0, 127.0]),
+        (2, [2.0, 2.0, 4.0, 127.0]),
+        (3, [9.0, 9.0, 9.0, 127.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = pq_adc_topk(
+        emb, k=3, n_sub=2, n_codes=4, query_filter=F.col("vec_id") == 0
+    ).collect()
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    want = sorted(
+        (sq(vecs[0][1], v), i) for i, v in vecs if i != 0
+    )
+    got = [(r.adc_dist, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(int(d), i) for d, i in want]
