@@ -1109,3 +1109,159 @@ def q118_order_item_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_item_rev_cents"),
         F.max("n_items").cast("bigint").alias("max_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — priority mix with share-of-total (A5). The
+# payment_method_distribution consumption builder (plans/kpis.py:131,
+# README KPI "payment method distribution") as a driver-oracled twin:
+# category counts plus each category's share of the whole in ppm. The
+# corpus-sized shuffle is the 5-group count; the share divides by an
+# unpartitioned window over the ALREADY-AGGREGATED 5-row frame, so the
+# single-partition exchange moves 5 rows, not the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q127_priority_mix",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(FLOOR(CAST(COUNT(*) AS DECIMAL(20,6)) * 1000000
+            / SUM(COUNT(*)) OVER ()) AS BIGINT) AS share_ppm,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(22,2)) AS VARCHAR)
+         AS revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    doc="Order-priority mix: count, integer share-of-total in ppm, and "
+    "decimal-exact revenue per priority class — the "
+    "payment_method_distribution KPI shape (category + percentage) "
+    "over driver tables; the share window runs on the 5-row aggregate, "
+    "not the corpus.",
+)
+def q127_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    counts = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").cast("decimal(22,2)").cast("string").alias("revenue"),
+    )
+    total = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "share_ppm",
+            F.floor(
+                F.col("n_orders").cast("decimal(20,6)")
+                * 1000000
+                / F.sum("n_orders").over(total)
+            ).cast("bigint"),
+        )
+        .select("priority", "n_orders", "share_ppm", "revenue")
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — revenue per supplier, top-10 (J1 + A5 + A6). The
+# revenue_per_restaurant consumption builder (plans/kpis.py:188, README
+# KPI "revenue per restaurant") as a driver-oracled twin: the fact
+# aggregates to one row per supplier key BEFORE the dim join, so the
+# broadcast join touches |suppliers| rows, not |lineitem|; the top-k is
+# a TakeOrderedAndProject over the supplier-sized frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q128_supplier_revenue",
+    oracle="""
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(26,6)) AS VARCHAR)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DECIMAL(26,6)) DESC,
+         s.s_suppkey
+LIMIT 10
+""",
+    doc="Top-10 suppliers by discounted revenue with line counts — the "
+    "revenue_per_restaurant KPI shape: fact pre-aggregated to supplier "
+    "grain before the broadcast dim join, top-k over the supplier-sized "
+    "frame.",
+)
+def q128_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _lineitem(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(26,6)")
+        .alias("_rev"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_supp.join(broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("string").alias("revenue"),
+            "n_lines",
+            "_rev",
+        )
+        .orderBy(F.desc("_rev"), "s_suppkey")
+        .limit(10)
+        .drop("_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — order-status rate per year (A5 conditional aggregate). The
+# order_cancellation_rate / delivery_status_rate consumption builders
+# (plans/kpis.py:175,234, README KPIs "order cancellation rate",
+# "delivery status rate") as a driver-oracled twin: per order-year, the
+# share of each terminal status as a conditional-count rate in ppm —
+# one corpus-sized shuffle on year, rates computed inside the same
+# partial-aggregated reduce (no second pass, no window).
+# ---------------------------------------------------------------------------
+@register(
+    "q129_status_rate_by_year",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS DECIMAL(20,6)) * 1000000 / COUNT(*)) AS BIGINT) AS finished_ppm,
+       CAST(FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS DECIMAL(20,6)) * 1000000 / COUNT(*)) AS BIGINT) AS open_ppm,
+       CAST(FLOOR(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS DECIMAL(20,6)) * 1000000 / COUNT(*)) AS BIGINT) AS partial_ppm
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+""",
+    doc="Per-year order-status mix as integer ppm rates (finished/open/"
+    "partial) — the order_cancellation_rate and delivery_status_rate "
+    "KPI shapes: conditional counts folded into one partial-aggregated "
+    "reduce per year.",
+)
+def q129_status_rate_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderdate", "o_orderstatus")
+    n = F.count(F.lit(1))
+    def rate(status: str, name: str):
+        return (
+            F.floor(
+                F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+                .cast("decimal(20,6)")
+                * 1000000
+                / n
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    return (
+        o.groupBy(F.year(F.col("o_orderdate").cast("date")).cast("int").alias("order_year"))
+        .agg(
+            n.alias("n_orders"),
+            rate("F", "finished_ppm"),
+            rate("O", "open_ppm"),
+            rate("P", "partial_ppm"),
+        )
+        .orderBy("order_year")
+    )
