@@ -851,3 +851,157 @@ ORDER BY d.doc_id
 )
 def q120_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bigram_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Byte-pair-encoding merge TRAINING (Sennrich et al. 2016): learn
+    the first ``n_merges`` merge rules from the corpus — the iterative
+    algorithm behind every BPE/WordPiece tokenizer, of which q93 is the
+    single-iteration candidate scan.
+
+    Algorithm per iteration: count adjacent symbol pairs across the
+    vocabulary weighted by word frequency, pick the most frequent pair
+    (ties: lexicographic), merge every non-overlapping occurrence
+    left-to-right, repeat on the merged vocabulary.
+
+    Scale shape — the corpus is touched ONCE: the first aggregation
+    folds it to a (word-repr, freq) vocabulary frame (Zipf-bounded,
+    not corpus-sized) which is localCheckpoint'd (the q50/q79 bounded
+    iterative-state pattern — the checkpoint cuts the exponential
+    lineage growth a naive N-deep self-referential plan would pay).
+    Every iteration then runs entirely on vocabulary-sized frames: one
+    explode + pair-count shuffle bounded by the pair vocabulary, a
+    1-row top-pair frame that rides into the merge as a broadcast
+    scalar cross (the q88/q99 declarative pattern — no driver
+    ``collect``), and a pure-codegen string rewrite.
+
+    The merge rewrite is exact BPE greedy left-to-right semantics in
+    ONE ``replace`` pass via the space-doubling trick: symbols are
+    space-delimited; doubling every delimiter makes pair occurrences
+    non-overlapping by construction (each match consumes one space of
+    each flanking pair, leaving the neighbor match its own), so
+    ``replace(replace(replace(r,' ','  '),' a  b ',' ab '),'  ',' ')``
+    merges "a a a" -> "aa a" exactly like the reference algorithm.
+
+    Returns one row per learned merge: (iteration, left_sym,
+    right_sym, pair_count), ordered by iteration.
+    """
+    from .dedup import let_array
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("r"),
+            "freq",
+        )
+    )
+    # Vocabulary-sized iterative state: checkpoint so the corpus scan
+    # happens once and iteration i does not replay iterations 1..i-1.
+    state = words.localCheckpoint()
+
+    def top_pair(wdf: DataFrame) -> DataFrame:
+        pairs = wdf.select(
+            F.explode(
+                F.expr(
+                    let_array(
+                        "split(trim(r), ' ')",
+                        "a",
+                        "zip_with(slice(a, 1, size(a) - 1),"
+                        " slice(a, 2, size(a) - 1),"
+                        " (x, y) -> struct(x AS l, y AS rr))",
+                    )
+                )
+            ).alias("p"),
+            "freq",
+        ).select(F.col("p.l").alias("left_sym"), F.col("p.rr").alias("right_sym"), "freq")
+        return (
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1)
+        )
+
+    merges = []
+    for i in range(1, n_merges + 1):
+        top = top_pair(state).localCheckpoint()
+        merges.append(top.select(F.lit(i).cast("int").alias("iteration"), "*"))
+        if i < n_merges:
+            state = (
+                state.crossJoin(F.broadcast(top))
+                .select(
+                    F.expr(
+                        "replace(replace(replace(r, ' ', '  '),"
+                        " ' '||left_sym||'  '||right_sym||' ',"
+                        " ' '||left_sym||right_sym||' '), '  ', ' ')"
+                    ).alias("r"),
+                    "freq",
+                )
+                .localCheckpoint()
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("iteration")
+
+
+_BPE_MERGE_DUCK = (
+    "replace(replace(replace(r, ' ', '  '),"
+    " ' ' || {t}.left_sym || '  ' || {t}.right_sym || ' ',"
+    " ' ' || {t}.left_sym || {t}.right_sym || ' '), '  ', ' ')"
+)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    pair_cte = """
+p{i} AS (
+  SELECT s[i] AS left_sym, s[i+1] AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM w{prev}) t,
+       UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT * FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"""
+    parts = [
+        """WITH w0 AS (
+  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS r,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(pair_cte.format(i=i, prev=i - 1))
+        if i < n_merges:
+            merged = _BPE_MERGE_DUCK.format(t=f"t{i}")
+            parts.append(f"\nw{i} AS (SELECT {merged} AS r, freq FROM w{i - 1}, t{i})")
+    selects = [
+        f"SELECT CAST({i} AS INT) AS iteration, left_sym, right_sym, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY iteration"
+
+
+@register(
+    "q130_bpe_train_merges",
+    oracle=_bpe_oracle(3),
+    doc="BPE tokenizer merge training, first 3 merge rules: iterative "
+    "pair-count -> argmax -> vocabulary rewrite on a checkpointed "
+    "word-frequency frame — corpus scanned once, every iteration "
+    "bounded by the (Zipf) vocabulary; the learned pair rides into the "
+    "merge as a 1-row broadcast cross, and the rewrite is exact greedy "
+    "BPE via the space-doubling replace trick. Oracle: the same three "
+    "iterations unrolled as DuckDB CTEs.",
+)
+def q130_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_merges(load(spark, sf_dir, "documents"))

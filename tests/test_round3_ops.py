@@ -198,3 +198,39 @@ def test_lm_bigram_score_edges(spark):
     train = spark.createDataFrame([(10, "x y")], "doc_id long, text string")
     foreign = {r.doc_id: r for r in lm_bigram_score(docs, train=train).collect()}
     assert foreign[1].lm_score_milli == 0  # every bigram unseen
+
+
+def test_bpe_train_merges_matches_reference_algorithm(spark):
+    """Hand-computed Sennrich-style BPE on a crafted corpus, including
+    the overlapping-pair case ('aaa' -> 'aa a', greedy left-to-right)
+    and frequency weighting across repeated words."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import bpe_train_merges
+
+    # corpus: 'lot lot lot lotto aaa'
+    #   vocab: lot x3, lotto x1, aaa x1
+    # iter1 pairs: (l,o)x4 (o,t)x4 (t,t)x1 (t,o)x1 (a,a)x2
+    #   -> tie at 4, lexicographic tiebreak picks (l,o)
+    #   merge: 'lo t', 'lo t t o', 'a a a'
+    # iter2 pairs: (lo,t)x4 (t,t)x1 (t,o)x1 (a,a)x2 -> top (lo,t) 4
+    #   merge: 'lot', 'lot t o', 'a a a'
+    # iter3 pairs: (lot,t)x1 (t,o)x1 (a,a)x2 -> top (a,a) 2
+    docs = spark.createDataFrame(
+        [("d1", "lot lot lot"), ("d2", "lotto aaa")], ["doc_id", "text"]
+    )
+    rows = bpe_train_merges(docs, n_merges=3).collect()
+    got = [(r.iteration, r.left_sym, r.right_sym, r.pair_count) for r in rows]
+    assert got == [(1, "l", "o", 4), (2, "lo", "t", 4), (3, "a", "a", 2)]
+
+
+def test_bpe_merge_rewrite_is_greedy_left_to_right(spark):
+    """The space-doubling replace trick must merge non-overlapping
+    occurrences left-to-right: pair (a,a) on 'a a a a a' -> 'aa aa a',
+    exactly the reference algorithm's greedy semantics."""
+    df = spark.createDataFrame([(" a a a a a ",)], ["r"])
+    out = df.select(
+        F.expr(
+            "replace(replace(replace(r, ' ', '  '),"
+            " ' a  a ', ' aa '), '  ', ' ')"
+        ).alias("m")
+    ).collect()[0]
+    assert out.m == " aa aa a "
