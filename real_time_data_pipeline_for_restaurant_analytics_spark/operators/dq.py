@@ -511,3 +511,99 @@ def q99_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def distribution_drift(
+    events: DataFrame,
+    metric_col: str = "value",
+    ts_col: str = "ts",
+    split_ts: str = "2024-01-16 00:00:00",
+    bin_width: float = 25.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Distribution-drift monitor between two time periods — the
+    PSI/KS-family check a training-data pipeline runs before admitting
+    a new crawl batch, in integer-exact form: fixed-width-bin the
+    metric, compare the reference period (before ``split_ts``) against
+    the current one as per-bin shares in ppm, and carry the total
+    variation distance (Σ|Δ|/2, the L1 drift score) on every row.
+
+    PSI's log-ratio term is IEEE-log dependent and NOT cross-engine
+    stable, so the registered score is TVD over the same bins — the
+    monitoring decision (alert when score > threshold) is equivalent;
+    swap in the log term downstream if PSI units are required.
+
+    Scale shape: one corpus scan folds to a ≤ ``n_bins``-row frame
+    (conditional counts ride one partial-aggregated shuffle keyed by
+    bin); the share/TVD windows run unpartitioned on that aggregated
+    frame, so the single-partition exchange moves ``n_bins`` rows, not
+    events. Period split is a row-local predicate — at 100 TB with
+    date-partitioned storage, partition pruning serves each side.
+    """
+    b = (
+        F.least(F.floor(F.col(metric_col) / F.lit(bin_width)), F.lit(n_bins - 1))
+        .cast("int")
+        .alias("bin_id")
+    )
+    is_ref = F.col(ts_col) < F.lit(split_ts).cast("timestamp")
+    binned = events.select(
+        b,
+        F.when(is_ref, F.lit(1)).otherwise(F.lit(0)).alias("ref1"),
+        F.when(is_ref, F.lit(0)).otherwise(F.lit(1)).alias("cur1"),
+    )
+    agg = binned.groupBy("bin_id").agg(
+        F.sum("ref1").cast("bigint").alias("ref_n"),
+        F.sum("cur1").cast("bigint").alias("cur_n"),
+    )
+    w = Window.partitionBy()
+    ppm = lambda n, tot: F.floor(n.cast("decimal(20,6)") * 1000000 / tot).cast("bigint")
+    shares = agg.select(
+        "bin_id",
+        "ref_n",
+        "cur_n",
+        ppm(F.col("ref_n"), F.sum("ref_n").over(w)).alias("ref_ppm"),
+        ppm(F.col("cur_n"), F.sum("cur_n").over(w)).alias("cur_ppm"),
+    ).withColumn("delta_ppm", F.col("cur_ppm") - F.col("ref_ppm"))
+    return (
+        shares.withColumn(
+            "tvd_ppm",
+            (F.sum(F.abs(F.col("delta_ppm"))).over(w) / 2).cast("bigint"),
+        )
+        .select("bin_id", "ref_n", "cur_n", "ref_ppm", "cur_ppm", "delta_ppm", "tvd_ppm")
+        .orderBy("bin_id")
+    )
+
+
+@register(
+    "q131_distribution_drift",
+    oracle="""
+WITH binned AS (
+  SELECT CAST(least(floor(value / 25.0), 19) AS INT) AS bin_id,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS ref1,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS cur1
+  FROM events
+), agg AS (
+  SELECT bin_id, CAST(SUM(ref1) AS BIGINT) AS ref_n, CAST(SUM(cur1) AS BIGINT) AS cur_n
+  FROM binned GROUP BY bin_id
+), shares AS (
+  SELECT bin_id, ref_n, cur_n,
+         CAST(FLOOR(CAST(ref_n AS DECIMAL(20,6)) * 1000000 / SUM(ref_n) OVER ()) AS BIGINT)
+           AS ref_ppm,
+         CAST(FLOOR(CAST(cur_n AS DECIMAL(20,6)) * 1000000 / SUM(cur_n) OVER ()) AS BIGINT)
+           AS cur_ppm
+  FROM agg
+)
+SELECT bin_id, ref_n, cur_n, ref_ppm, cur_ppm,
+       cur_ppm - ref_ppm AS delta_ppm,
+       CAST(SUM(ABS(cur_ppm - ref_ppm)) OVER () / 2 AS BIGINT) AS tvd_ppm
+FROM shares
+ORDER BY bin_id
+""",
+    doc="Distribution-drift monitor: fixed-bin shares of the event "
+    "value metric in a reference vs current period (split mid-month), "
+    "per-bin delta and the total-variation drift score in ppm — the "
+    "PSI-family admission check for a new data batch, integer-exact; "
+    "one corpus scan to a bins-sized frame, windows on that frame only.",
+)
+def q131_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distribution_drift(load(spark, sf_dir, "events"))
