@@ -890,6 +890,22 @@ def bpe_train_merges(
     Returns one row per learned merge: (iteration, left_sym,
     right_sym, pair_count), ordered by iteration.
     """
+    _, merges = _bpe_states(docs, text_col, n_merges, apply_last=False)
+    out = merges[0].select(F.lit(1).cast("int").alias("iteration"), "*")
+    for i, m in enumerate(merges[1:], start=2):
+        out = out.unionByName(m.select(F.lit(i).cast("int").alias("iteration"), "*"))
+    return out.orderBy("iteration")
+
+
+def _bpe_states(
+    docs: DataFrame, text_col: str, n_merges: int, apply_last: bool
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared BPE training loop (see :func:`bpe_train_merges` for the
+    algorithm and scale rationale). Returns the final vocabulary state
+    ``(w, r, freq)`` — ``r`` with all learned merges applied when
+    ``apply_last`` (the encode path), without the last rewrite
+    otherwise (training only needs the pairs) — plus the per-iteration
+    1-row learned-pair frames."""
     from .dedup import let_array
 
     words = (
@@ -898,6 +914,7 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
+            "w",
             F.concat(
                 F.lit(" "),
                 F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
@@ -935,11 +952,12 @@ def bpe_train_merges(
     merges = []
     for i in range(1, n_merges + 1):
         top = top_pair(state).localCheckpoint()
-        merges.append(top.select(F.lit(i).cast("int").alias("iteration"), "*"))
-        if i < n_merges:
+        merges.append(top)
+        if i < n_merges or apply_last:
             state = (
                 state.crossJoin(F.broadcast(top))
                 .select(
+                    "w",
                     F.expr(
                         "replace(replace(replace(r, ' ', '  '),"
                         " ' '||left_sym||'  '||right_sym||' ',"
@@ -949,10 +967,56 @@ def bpe_train_merges(
                 )
                 .localCheckpoint()
             )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("iteration")
+    return state, merges
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """BPE ENCODE: apply the merges learned by :func:`bpe_train_merges`
+    back to the corpus and report per-document tokenization statistics
+    — word count, symbol count before any merge (characters) and after
+    all ``n_merges`` rules, and the ppm reduction. The train→apply
+    loop every tokenizer build runs; the per-doc token count is what a
+    packing/budgeting stage (q44) consumes.
+
+    Scale shape: training is vocabulary-bounded (q130); the encode is
+    ONE corpus-sized explode joined to the final vocabulary frame on
+    the word key (vocabulary side is the small one — broadcastable at
+    real vocab sizes) and one per-doc reduce. No per-row Python: the
+    merged symbol count is ``size(split(...))`` over the rewritten
+    vocabulary entry, computed once per DISTINCT word, not per token.
+    """
+    state, _ = _bpe_states(docs, text_col, n_merges, apply_last=True)
+    vocab = state.select(
+        "w",
+        F.size(F.split(F.trim(F.col("r")), " ")).cast("bigint").alias("n_sym"),
+        F.length("w").cast("bigint").alias("n_chars"),
+    )
+    tokens = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        tokens.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars").cast("bigint").alias("n_sym_before"),
+            F.sum("n_sym").cast("bigint").alias("n_sym_after"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.floor(
+                (F.col("n_sym_before") - F.col("n_sym_after")).cast("decimal(20,6)")
+                * 1000000
+                / F.col("n_sym_before")
+            ).cast("bigint"),
+        )
+        .orderBy(id_col)
+    )
 
 
 _BPE_MERGE_DUCK = (
@@ -962,7 +1026,10 @@ _BPE_MERGE_DUCK = (
 )
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
+def _bpe_oracle_ctes(n_merges: int, apply_last: bool) -> str:
+    """The DuckDB CTE chain mirroring ``_bpe_states``: w0 (vocabulary)
+    then p{i}/t{i} (pair counts / learned pair) and w{i} (rewritten
+    vocabulary) per iteration, ``w`` key kept throughout."""
     pair_cte = """
 p{i} AS (
   SELECT s[i] AS left_sym, s[i+1] AS right_sym,
@@ -974,7 +1041,7 @@ p{i} AS (
 t{i} AS (SELECT * FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"""
     parts = [
         """WITH w0 AS (
-  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS r,
+  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS r,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
   WHERE w <> '' GROUP BY w
@@ -982,14 +1049,47 @@ t{i} AS (SELECT * FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 
     ]
     for i in range(1, n_merges + 1):
         parts.append(pair_cte.format(i=i, prev=i - 1))
-        if i < n_merges:
+        if i < n_merges or apply_last:
             merged = _BPE_MERGE_DUCK.format(t=f"t{i}")
-            parts.append(f"\nw{i} AS (SELECT {merged} AS r, freq FROM w{i - 1}, t{i})")
+            parts.append(
+                f"\nw{i} AS (SELECT w, {merged} AS r, freq FROM w{i - 1}, t{i})"
+            )
+    return ",".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
     selects = [
         f"SELECT CAST({i} AS INT) AS iteration, left_sym, right_sym, pair_count FROM t{i}"
         for i in range(1, n_merges + 1)
     ]
-    return ",".join(parts) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY iteration"
+    return (
+        _bpe_oracle_ctes(n_merges, apply_last=False)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY iteration"
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    return (
+        _bpe_oracle_ctes(n_merges, apply_last=True)
+        + f""",
+tok AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> ''
+)
+SELECT tok.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(tok.w)) AS BIGINT) AS n_sym_before,
+       CAST(SUM(len(string_split(trim(v.r), ' '))) AS BIGINT) AS n_sym_after,
+       CAST(FLOOR(CAST(SUM(length(tok.w)) - SUM(len(string_split(trim(v.r), ' ')))
+            AS DECIMAL(20,6)) * 1000000 / SUM(length(tok.w))) AS BIGINT) AS saved_ppm
+FROM tok JOIN w{n_merges} v ON tok.w = v.w
+GROUP BY tok.doc_id
+ORDER BY doc_id
+"""
+    )
 
 
 @register(
@@ -1005,3 +1105,19 @@ t{i} AS (SELECT * FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 
 )
 def q130_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q132_bpe_encode_stats",
+    oracle=_bpe_encode_oracle(3),
+    doc="BPE encode: apply the q130-learned merge rules back to the "
+    "corpus — per-document word count, symbol counts before/after the "
+    "3 merges, and the ppm reduction. Training is vocabulary-bounded; "
+    "the encode is one corpus explode joined to the rewritten "
+    "vocabulary on the word key (merged symbol counts computed once "
+    "per distinct word) and one per-doc reduce. Oracle: the unrolled "
+    "q130 CTE chain with the final rewrite applied, joined back to "
+    "the token stream.",
+)
+def q132_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_stats(load(spark, sf_dir, "documents"))

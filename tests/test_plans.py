@@ -95,10 +95,11 @@ _SCALAR_CROSS_OK = (
     "q99_mad_anomalies",
     # q114: candidate-count total rides in as a 1-row broadcast cross.
     "q114_lsh_recall_audit",
-    # q130: each BPE iteration's learned pair is a 1-row broadcast
+    # q130/q132: each BPE iteration's learned pair is a 1-row broadcast
     # cross into the vocabulary rewrite (the q88/q99 declarative
     # scalar pattern; state frames are checkpointed vocabulary-sized).
     "q130_bpe_train_merges",
+    "q132_bpe_encode_stats",
 )
 
 

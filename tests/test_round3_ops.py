@@ -234,3 +234,19 @@ def test_bpe_merge_rewrite_is_greedy_left_to_right(spark):
         ).alias("m")
     ).collect()[0]
     assert out.m == " aa aa a "
+
+
+def test_bpe_encode_stats_hand_computed(spark):
+    """Encode of the 3-merge corpus from the training test: after
+    (l,o), (lo,t), (a,a) the vocabulary is lot->'lot' (1 sym),
+    lotto->'lot t o' (3), aaa->'aa a' (2)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [("d1", "lot lot lot"), ("d2", "lotto aaa")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_sym_before, r.n_sym_after)
+        for r in bpe_encode_stats(docs, n_merges=3).collect()
+    }
+    assert got == {"d1": (3, 9, 3), "d2": (2, 8, 5)}
