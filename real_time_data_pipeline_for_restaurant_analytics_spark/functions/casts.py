@@ -76,3 +76,14 @@ def try_to_timestamp(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Col
     """TRY_TO_TIMESTAMP[_NTZ/_TZ](x, fmt) (`09:143-156`, `02:169-170`)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.try_to_timestamp(c, F.lit(fmt))
+
+
+def ppm_floor(num: Column, den: Column) -> Column:
+    """Integer parts-per-million ratio, cross-engine exact: FLOOR over
+    a DECIMAL(20,6) numerator so Spark (truncating bigint cast) and
+    DuckDB (rounding bigint cast) cannot disagree on the last digit.
+    The one blessed ppm formula — every ratio-in-ppm output must go
+    through this (or replicate it verbatim in SQL oracles as
+    ``CAST(FLOOR(CAST(num AS DECIMAL(20,6)) * 1000000 / den) AS
+    BIGINT)``)."""
+    return F.floor(num.cast("decimal(20,6)") * 1000000 / den).cast("bigint")

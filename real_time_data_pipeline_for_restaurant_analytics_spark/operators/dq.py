@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.casts import ppm_floor
 from ..registry import register
 
 
@@ -556,18 +557,21 @@ def distribution_drift(
         F.sum("cur1").cast("bigint").alias("cur_n"),
     )
     w = Window.partitionBy()
-    ppm = lambda n, tot: F.floor(n.cast("decimal(20,6)") * 1000000 / tot).cast("bigint")
     shares = agg.select(
         "bin_id",
         "ref_n",
         "cur_n",
-        ppm(F.col("ref_n"), F.sum("ref_n").over(w)).alias("ref_ppm"),
-        ppm(F.col("cur_n"), F.sum("cur_n").over(w)).alias("cur_ppm"),
+        ppm_floor(F.col("ref_n"), F.sum("ref_n").over(w)).alias("ref_ppm"),
+        ppm_floor(F.col("cur_n"), F.sum("cur_n").over(w)).alias("cur_ppm"),
     ).withColumn("delta_ppm", F.col("cur_ppm") - F.col("ref_ppm"))
     return (
         shares.withColumn(
+            # FLOOR on both sides: Spark's bigint cast truncates while
+            # DuckDB's rounds, so a bare /2 diverges whenever the
+            # absolute-delta sum is odd (review finding; the verified
+            # scales all happened to land even).
             "tvd_ppm",
-            (F.sum(F.abs(F.col("delta_ppm"))).over(w) / 2).cast("bigint"),
+            F.floor(F.sum(F.abs(F.col("delta_ppm"))).over(w) / 2).cast("bigint"),
         )
         .select("bin_id", "ref_n", "cur_n", "ref_ppm", "cur_ppm", "delta_ppm", "tvd_ppm")
         .orderBy("bin_id")
@@ -595,7 +599,7 @@ WITH binned AS (
 )
 SELECT bin_id, ref_n, cur_n, ref_ppm, cur_ppm,
        cur_ppm - ref_ppm AS delta_ppm,
-       CAST(SUM(ABS(cur_ppm - ref_ppm)) OVER () / 2 AS BIGINT) AS tvd_ppm
+       CAST(FLOOR(SUM(ABS(cur_ppm - ref_ppm)) OVER () / 2) AS BIGINT) AS tvd_ppm
 FROM shares
 ORDER BY bin_id
 """,

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.casts import ppm_floor
 from ..registry import register
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -1000,7 +1001,7 @@ def bpe_encode_stats(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
     return (
-        tokens.join(vocab, "w")
+        tokens.join(F.broadcast(vocab), "w")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -1009,11 +1010,9 @@ def bpe_encode_stats(
         )
         .withColumn(
             "saved_ppm",
-            F.floor(
-                (F.col("n_sym_before") - F.col("n_sym_after")).cast("decimal(20,6)")
-                * 1000000
-                / F.col("n_sym_before")
-            ).cast("bigint"),
+            ppm_floor(
+                F.col("n_sym_before") - F.col("n_sym_after"), F.col("n_sym_before")
+            ),
         )
         .orderBy(id_col)
     )

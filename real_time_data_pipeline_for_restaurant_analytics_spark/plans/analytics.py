@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import load
+from ..functions.casts import ppm_floor
 from ..functions.enrich import flag_in, mask_columns, tier_bucket
 from ..functions.keys import hash_hex, hash_key, smart_date_key, smart_time_key
 from ..registry import register
@@ -1149,11 +1150,7 @@ def q127_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn(
             "share_ppm",
-            F.floor(
-                F.col("n_orders").cast("decimal(20,6)")
-                * 1000000
-                / F.sum("n_orders").over(total)
-            ).cast("bigint"),
+            ppm_floor(F.col("n_orders"), F.sum("n_orders").over(total)),
         )
         .select("priority", "n_orders", "share_ppm", "revenue")
         .orderBy("priority")
@@ -1245,16 +1242,9 @@ def q129_status_rate_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderdate", "o_orderstatus")
     n = F.count(F.lit(1))
     def rate(status: str, name: str):
-        return (
-            F.floor(
-                F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
-                .cast("decimal(20,6)")
-                * 1000000
-                / n
-            )
-            .cast("bigint")
-            .alias(name)
-        )
+        return ppm_floor(
+            F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0)), n
+        ).alias(name)
     return (
         o.groupBy(F.year(F.col("o_orderdate").cast("date")).cast("int").alias("order_year"))
         .agg(

@@ -17,12 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.casts import ppm_floor
 from ..functions.enrich import DEFAULT_MASKS, mask_columns
 from ..pipeline.runner import Warehouse
 
 
 def _ppm(num, den):
-    return F.floor(num.cast("decimal(20,6)") * 1000000 / den).cast("bigint")
+    return ppm_floor(num, den)
 
 
 class ConsumptionViews:

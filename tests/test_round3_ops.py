@@ -250,3 +250,24 @@ def test_bpe_encode_stats_hand_computed(spark):
         for r in bpe_encode_stats(docs, n_merges=3).collect()
     }
     assert got == {"d1": (3, 9, 3), "d2": (2, 8, 5)}
+
+
+def test_distribution_drift_odd_tvd_floors(spark):
+    """Review-finding pin: when the floored ppm deltas sum ODD, the
+    half must FLOOR (Spark truncation == DuckDB FLOOR), not round.
+    ref: 3 rows bin0 -> 1000000 ppm. cur: 1 row bin0 + 2 rows bin1 ->
+    333333 / 666666 ppm. |delta| sum = 1333333 -> tvd 666666."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dq import distribution_drift
+
+    rows = (
+        [("2024-01-10 00:00:00", 1.0)] * 3
+        + [("2024-01-20 00:00:00", 1.0)]
+        + [("2024-01-20 00:00:00", 30.0)] * 2
+    )
+    df = spark.createDataFrame(rows, "ts_s STRING, value DOUBLE").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = {r.bin_id: r for r in distribution_drift(df).collect()}
+    assert out[0].ref_ppm == 1000000 and out[0].cur_ppm == 333333
+    assert out[1].cur_ppm == 666666
+    assert out[0].tvd_ppm == 666666
