@@ -271,3 +271,70 @@ def test_distribution_drift_odd_tvd_floors(spark):
     assert out[0].ref_ppm == 1000000 and out[0].cur_ppm == 333333
     assert out[1].cur_ppm == 666666
     assert out[0].tvd_ppm == 666666
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int):
+    """Pure-Python Sennrich BPE reference: symbol-tuple vocabulary,
+    greedy left-to-right merge, (count desc, pair asc) selection."""
+    vocab: dict = {}
+    for w, f in word_freqs.items():
+        t = tuple(w)
+        vocab[t] = vocab.get(t, 0) + f
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_merges_property_vs_python_reference(spark):
+    """Property pin for the space-doubling merge algebra: random small-
+    alphabet corpora (maximal overlap pressure: runs of the same char)
+    must produce exactly the reference algorithm's merge sequence,
+    including early exhaustion when fewer than 3 pairs remain."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import bpe_train_merges
+
+    words = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ws=words)
+    def run(ws):
+        freqs: dict = {}
+        for w in ws:
+            freqs[w] = freqs.get(w, 0) + 1
+        docs = spark.createDataFrame([("d", " ".join(ws))], ["doc_id", "text"])
+        got = [
+            (r.left_sym, r.right_sym, r.pair_count)
+            for r in bpe_train_merges(docs, n_merges=3).collect()
+        ]
+        assert got == _ref_bpe(freqs, 3)
+
+    run()
