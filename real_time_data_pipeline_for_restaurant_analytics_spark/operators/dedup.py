@@ -1780,3 +1780,185 @@ ORDER BY t.doc_id
 def q123_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return duplicated_span_stats(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q133 — blocked fuzzy entity resolution (edit-distance matching).
+# The classic record-linkage kernel (Fellegi-Sunter blocking stage):
+# the reference normalizes entity names before its SCD merges
+# (`02 Location Entity.sql` 'Delhi'→'New Delhi'; menu trim/lower) —
+# this is the scalable generalization that FINDS those variant pairs
+# instead of hard-coding them.
+# ---------------------------------------------------------------------------
+def fuzzy_blocked_matches(
+    df: DataFrame,
+    name_col: str,
+    block_sql: str = None,
+    max_dist: int = 3,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Fuzzy duplicate-name pairs via blocking + Levenshtein.
+
+    Three-stage shape, each stage bounding the next:
+
+    1. **Vocabulary fold** — ``groupBy(name)`` collapses the corpus to
+       its distinct-name vocabulary (one shuffle; row count no longer
+       matters, only name cardinality — at 100 TB the vocabulary is
+       orders of magnitude smaller than the fact table).
+    2. **Blocking** — names bucket by ``block_sql``, a SQL expression
+       template over the ``{col}`` placeholder (default: last
+       whitespace token). The pairwise stage runs per block, so the
+       quadratic term is ``Σ block²`` not ``vocab²`` — the same
+       bucket-bounding contract as :func:`lsh_candidates`, with the
+       same loud hot-block cap: blocks larger than ``max_block_size``
+       distinct names are dropped (audit with a bucket-stats scan when
+       tuning), blocks of 1 produce no pairs and are skipped.
+    3. **In-block verify** — ``levenshtein(name1, name2) <= max_dist``
+       with ``name1 < name2`` canonical ordering. Levenshtein is a
+       JVM built-in (whole-stage codegen, no UDF); the filter runs
+       inside the join stage so only surviving pairs shuffle out.
+
+    Emits (name1, name2, edit_distance, n_entities1, n_entities2) —
+    the per-name entity counts ride along from stage 1 so the merge
+    planner downstream can pick the canonical side without re-scanning
+    the corpus.
+    """
+    if block_sql is None:
+        block_sql = "regexp_extract({col}, '([^ ]+)$', 1)"
+    names = (
+        df.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
+        .withColumn("block_key", F.expr(block_sql.format(col="name")))
+    )
+    ok = (
+        names.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n_names"))
+        .filter((F.col("n_names") >= 2) & (F.col("n_names") <= max_block_size))
+        .select("block_key")
+    )
+    blk = names.join(F.broadcast(ok), "block_key")
+    a = blk.select(
+        F.col("block_key"),
+        F.col("name").alias("name1"),
+        F.col("n_entities").alias("n_entities1"),
+    )
+    b = blk.select(
+        F.col("block_key").alias("bk2"),
+        F.col("name").alias("name2"),
+        F.col("n_entities").alias("n_entities2"),
+    )
+    return (
+        a.join(b, (F.col("block_key") == F.col("bk2")) & (F.col("name1") < F.col("name2")))
+        .withColumn("edit_distance", F.levenshtein("name1", "name2").cast("bigint"))
+        .filter(F.col("edit_distance") <= max_dist)
+        .select("name1", "name2", "edit_distance", "n_entities1", "n_entities2")
+    )
+
+
+@register(
+    "q133_fuzzy_blocked_match",
+    oracle="""
+WITH names AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_entities,
+         regexp_extract(p_name, '([^ ]+)$', 1) AS block_key
+  FROM part GROUP BY p_name
+),
+ok AS (
+  SELECT block_key FROM names GROUP BY block_key
+  HAVING COUNT(*) BETWEEN 2 AND 10000
+)
+SELECT a.name AS name1, b.name AS name2,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_distance,
+       a.n_entities AS n_entities1, b.n_entities AS n_entities2
+FROM names a
+JOIN names b ON a.block_key = b.block_key AND a.name < b.name
+JOIN ok ON a.block_key = ok.block_key
+WHERE levenshtein(a.name, b.name) <= 3
+ORDER BY name1, name2
+""",
+    doc="Blocked fuzzy entity resolution: distinct-name vocabulary "
+    "fold, last-token blocking (Σ block² pairwise bound + loud "
+    "hot-block cap), in-block Levenshtein <= 3 verify — all JVM "
+    "codegen, no UDF. The record-linkage generalization of the "
+    "reference's hard-coded name normalizations.",
+)
+def q133_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return fuzzy_blocked_matches(p, "p_name").orderBy("name1", "name2")
+
+
+# ---------------------------------------------------------------------------
+# q135 — shingle containment pairs (Broder containment, the
+# asymmetric companion to q20's Jaccard): detects a document embedded
+# inside a larger one, which Jaccard under-scores when sizes differ.
+# The standard benchmark-contamination / quote-detection measure.
+# ---------------------------------------------------------------------------
+def containment_pairs(
+    sh: DataFrame, id_col: str, min_permille: int = 800
+) -> DataFrame:
+    """Max-containment pairs from a (id, shingle) table:
+    ``containment_permille = ⌊1000·|∩| / min(|A|,|B|)⌋`` — 1000 means
+    the smaller document's shingle set is entirely inside the larger.
+
+    Same inverted-index self-join shape (and cost bound) as
+    :func:`jaccard_pairs`: one shuffle on the shingle key, pair rows
+    exist only where documents actually share a shingle.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("inter_ct").cast("bigint").alias("inter_ct"),
+            F.least("sz1", "sz2").cast("bigint").alias("min_sz"),
+            F.expr("CAST(inter_ct * 1000 AS BIGINT) div least(sz1, sz2)")
+            .cast("bigint")
+            .alias("containment_permille"),
+        )
+        .filter(F.col("containment_permille") >= min_permille)
+    )
+
+
+@register(
+    "q135_containment_pairs",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_ct
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2, CAST(i.inter_ct AS BIGINT) AS inter_ct,
+       CAST(least(s1.sz, s2.sz) AS BIGINT) AS min_sz,
+       CAST(i.inter_ct * 1000 AS BIGINT) // least(s1.sz, s2.sz) AS containment_permille
+FROM inter i
+JOIN sizes s1 ON i.id1 = s1.doc_id
+JOIN sizes s2 ON i.id2 = s2.doc_id
+WHERE CAST(i.inter_ct * 1000 AS BIGINT) // least(s1.sz, s2.sz) >= 800
+ORDER BY id1, id2
+""",
+    doc="Broder containment pairs (asymmetric near-dup: small doc "
+    "embedded in large one, which Jaccard under-scores): "
+    "1000·|∩|/min(|A|,|B|) over distinct 3-gram shingles, same "
+    "inverted-index bound as q20.",
+)
+def q135_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text")
+    return containment_pairs(sh, "doc_id").orderBy("id1", "id2")

@@ -1255,3 +1255,131 @@ def q129_status_rate_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — PageRank over the event-transition graph. The iterative
+# graph-centrality read on top of q104's Markov matrix: which event
+# type the session flow concentrates on. Bounded-iterative-state
+# pattern shared with q50/q79/q130: the corpus is folded ONCE to an
+# edge list, every iteration then runs on graph-sized frames only.
+# ---------------------------------------------------------------------------
+def event_pagerank(events: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Weighted PageRank (damping 0.85, ``n_iter`` synchronous
+    iterations) over the directed event-type transition graph, in
+    exact integer ppm arithmetic so both engines replay it bit-for-bit:
+
+    - ``score0(v) = 1_000_000 div n`` (n = node count),
+    - ``contrib(u→v) = (score(u) · w(u,v)) div out_weight(u)``,
+    - ``score'(v) = 150_000 div n + (850 · Σ contrib) div 1000``.
+
+    All terms are non-negative BIGINTs, so Spark's ``div`` and
+    DuckDB's ``//`` agree exactly (no float damping, no IEEE drift).
+    Dangling-node mass is dropped, not redistributed — the simplest
+    deterministic spec, documented here as the contract.
+
+    Scale shape: ONE lag-window shuffle on user_id builds the edge
+    list (the q104 derivation), folded to the |types|² weighted edge
+    frame and localCheckpoint'd. Each iteration joins the node-sized
+    score vector (broadcast) to the edges and partial-aggregates the
+    contributions — per-iteration cost is edge-frame-sized, never
+    corpus-sized, and the iteration count is a fixed small constant.
+    At 100 TB the same plan holds with the score vector broadcast and
+    the edge list partitioned by src.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    edges = (
+        t.groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        events.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
+    )
+    outd = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scores = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr("CAST(1000000 div n AS BIGINT)").alias("score"))
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(F.broadcast(scores), edges["src"] == scores["node"])
+            .join(F.broadcast(outd), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST((score * w) div outw AS BIGINT)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("sumc"))
+        )
+        scores = (
+            nodes.join(F.broadcast(contrib), "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    "CAST(150000 div n + (850 * coalesce(sumc, 0)) div 1000 AS BIGINT)"
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return scores.select(
+        F.col("node").alias("event_type"), F.col("score").alias("pagerank_ppm")
+    )
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    prev = "s0"
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, SUM((s.score * e.w) // o.outw) AS sumc
+  FROM e JOIN {prev} s ON e.src = s.node JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+s{k} AS (
+  SELECT n0.node,
+         CAST(150000 // nn.n + (850 * COALESCE(c.sumc, 0)) // 1000 AS BIGINT) AS score
+  FROM nodes n0 CROSS JOIN nn LEFT JOIN c{k} c ON n0.node = c.node
+)"""
+        )
+        prev = f"s{k}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+e AS (
+  SELECT prev_type AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+outd AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+s0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS score FROM nodes CROSS JOIN nn),
+{its_sql}
+SELECT node AS event_type, score AS pagerank_ppm FROM {prev} ORDER BY event_type
+"""
+
+
+@register(
+    "q134_event_pagerank",
+    oracle=_pagerank_oracle(3),
+    doc="Weighted PageRank (3 synchronous iterations, damping 0.85) "
+    "over the event-type transition digraph in exact integer ppm — "
+    "corpus folded once to the edge list, per-iteration cost is "
+    "graph-sized (broadcast score vector), dangling mass dropped by "
+    "documented contract.",
+)
+def q134_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return event_pagerank(e, n_iter=3).orderBy("event_type")
