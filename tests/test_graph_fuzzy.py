@@ -165,3 +165,75 @@ def test_containment_threshold_excludes_low_overlap(spark):
     assert containment_pairs(sh, "doc_id", min_permille=800).count() == 0
     low = containment_pairs(sh, "doc_id", min_permille=0).collect()
     assert [(r.id1, r.id2, r.containment_permille) for r in low] == [(1, 2, 250)]
+
+
+# ------------------------------------------------------- property pins
+
+
+def test_pagerank_random_graphs_match_replica(spark):
+    """Random event sequences (varied users/types) must reproduce the
+    pure-Python integer replica exactly — edges, teleport floors, and
+    div-order all pinned at once."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        types = ["a", "b", "c", "d", "e"][: rng.randint(2, 5)]
+        rows = []
+        for u in range(rng.randint(1, 4)):
+            for s in range(rng.randint(1, 12)):
+                rows.append((f"u{u}", s, rng.choice(types)))
+        e = _events(spark, rows)
+        # replica inputs derived independently from the same rows
+        seen_types = sorted({t for _, _, t in rows})
+        edges: dict = {}
+        by_user: dict = {}
+        for u, s, t in rows:
+            by_user.setdefault(u, []).append((s, t))
+        for u, seq in by_user.items():
+            seq.sort()
+            for (_, t1), (_, t2) in zip(seq, seq[1:]):
+                edges[(t1, t2)] = edges.get((t1, t2), 0) + 1
+        want = _ref_pagerank(edges, seen_types, 3)
+        got = {
+            r.event_type: r.pagerank_ppm for r in event_pagerank(e, n_iter=3).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_fuzzy_matches_brute_force_replica(spark):
+    """Blocked output must equal a brute-force all-pairs scan filtered
+    to same-block pairs (blocking is an optimization, not a semantics
+    change, within a block)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    adjs = ["red", "wed", "ted", "blue", "cold"]
+    nouns = ["bolt", "ring"]
+    names = [f"{rng.choice(adjs)} {rng.choice(nouns)}" for _ in range(30)]
+    df = _parts(spark, names)
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[lb]
+
+    counts: dict = {}
+    for n in names:
+        counts[n] = counts.get(n, 0) + 1
+    want = set()
+    for n1, n2 in itertools.combinations(sorted(counts), 2):
+        if n1.split()[-1] == n2.split()[-1] and lev(n1, n2) <= 3:
+            want.add((n1, n2, lev(n1, n2), counts[n1], counts[n2]))
+    got = {
+        (r.name1, r.name2, r.edit_distance, r.n_entities1, r.n_entities2)
+        for r in fuzzy_blocked_matches(df, "nm", max_dist=3).collect()
+    }
+    assert got == want
