@@ -1962,3 +1962,114 @@ def q135_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = shingles(d, "doc_id", "text")
     return containment_pairs(sh, "doc_id").orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# q136 — the PRODUCTION deployment of q135's containment kernel: LSH
+# candidates first, exact containment on candidate pairs only (the
+# q49 composition with the asymmetric denominator). q135 stays the
+# exact audit twin; this is the shape that runs at 100 TB.
+# ---------------------------------------------------------------------------
+def containment_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared_bands: int = 2,
+    min_permille: int = 800,
+) -> DataFrame:
+    """LSH candidate generation (linear) → exact Broder containment
+    ⌊1000·|∩|/min(|A|,|B|)⌋ ON CANDIDATE PAIRS ONLY. Same cost bound
+    as :func:`verified_near_dups`: the shingle inverted index joins
+    against the candidate pair list first, so non-candidates never
+    aggregate — O(collisions), not O(n²).
+
+    Caveat inherited from MinHash banding: recall is Jaccard-driven,
+    so a tiny doc fully contained in a huge one (high containment, low
+    Jaccard) can miss candidacy. That asymmetric-recall gap is exactly
+    what the q135 audit twin measures; at equal-size near-dups the
+    band recall math is q49's.
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    cands = lsh_candidates(lsh_bands(sig, id_col), id_col).filter(
+        F.col("n_shared_bands") >= min_shared_bands
+    )
+    sh = shingles(df, id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id1"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))
+    inter = (
+        cands.join(a, "id1")
+        .join(b, ["id2", "shingle"])
+        .groupBy("id1", "id2", "n_shared_bands")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            F.col("inter_ct").cast("bigint").alias("inter_ct"),
+            F.expr("CAST(inter_ct * 1000 AS BIGINT) div least(sz1, sz2)")
+            .cast("bigint")
+            .alias("containment_permille"),
+        )
+        .filter(F.col("containment_permille") >= min_permille)
+    )
+
+
+def _containment_verified_oracle() -> str:
+    mins = _sig_mins_duck()
+    band_exprs = _band_exprs_duck()
+    return f"""
+WITH {_DUCK_SHINGLES},
+hs AS (SELECT doc_id, {_DUCK_H_SQL.format(s="shingle")} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+    {band_exprs}
+  FROM sig
+),
+brows AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+cands AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_bands
+  FROM brows a JOIN brows b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, c.n_shared_bands, COUNT(*) AS inter_ct
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT i.id1, i.id2, CAST(i.n_shared_bands AS BIGINT) AS n_shared_bands,
+       CAST(i.inter_ct AS BIGINT) AS inter_ct,
+       CAST(i.inter_ct * 1000 AS BIGINT) // least(s1.sz, s2.sz) AS containment_permille
+FROM inter i JOIN sizes s1 ON i.id1 = s1.doc_id JOIN sizes s2 ON i.id2 = s2.doc_id
+WHERE CAST(i.inter_ct * 1000 AS BIGINT) // least(s1.sz, s2.sz) >= 800
+ORDER BY id1, id2
+"""
+
+
+@register(
+    "q136_containment_verified",
+    oracle=_containment_verified_oracle(),
+    doc="Production containment dedup: LSH candidates (>=2 shared "
+    "bands) verified with exact Broder containment on candidate pairs "
+    "only (>=0.8) — the linear-scale deployment of the q135 kernel; "
+    "q135 stays the exact audit twin (asymmetric-recall caveat "
+    "documented on the operator).",
+)
+def q136_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return containment_verified(d, "doc_id", "text").orderBy("id1", "id2")

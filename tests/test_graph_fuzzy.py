@@ -237,3 +237,30 @@ def test_fuzzy_matches_brute_force_replica(spark):
         for r in fuzzy_blocked_matches(df, "nm", max_dist=3).collect()
     }
     assert got == want
+
+
+def test_containment_verified_equals_exact_on_candidates(spark):
+    """q136 composition check: on a corpus whose near-dups are all
+    LSH-candidates (identical + one-word-edit docs), the verified
+    containment values must equal the exact q135 kernel's for the
+    same pairs."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        containment_verified,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    edited = base.replace("tok7", "zzz")
+    d = _docs(spark, [(1, base), (2, base), (3, edited), (4, "totally different words here")])
+    got = {
+        (r.id1, r.id2): r.containment_permille
+        for r in containment_verified(d, "doc_id", "text", min_permille=0).collect()
+    }
+    sh = shingles(d, "doc_id", "text")
+    exact = {
+        (r.id1, r.id2): r.containment_permille
+        for r in containment_pairs(sh, "doc_id", min_permille=0).collect()
+        if (r.id1, r.id2) in got
+    }
+    assert got == exact
+    assert got[(1, 2)] == 1000  # identical docs
+    assert 0 < got[(1, 3)] < 1000  # one-word edit
