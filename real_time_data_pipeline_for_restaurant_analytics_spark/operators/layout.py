@@ -29,7 +29,7 @@ data-path contract); this is the explicit Spark-side equivalent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -209,3 +209,104 @@ FROM z, st GROUP BY 1 ORDER BY zbucket
 def q88_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return zorder_bucket_audit(li, "l_partkey", "l_suppkey", n_bucket_bits=6, bits=None)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (the lakehouse OPTIMIZE / bin-packing
+# shape). The reference never needs one — Snowflake repacks
+# micro-partitions internally after every COPY (its daily date-path
+# loads, `order_proc.sql`, lean on that service) — but a Spark
+# warehouse ingesting the same daily drops accumulates small files,
+# and at 100 TB the planner that groups them into ~target-sized
+# rewrites IS the maintenance operator.
+# ---------------------------------------------------------------------------
+def compaction_plan(
+    files: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Sequential (next-fit) bin-packing of files into output groups
+    of ~``target_bytes``: within each ``group_col`` (table partition),
+    files ordered by ``order_col`` are assigned to output group
+    ``floor(start_offset / target_bytes)`` where start_offset is the
+    running byte total BEFORE the file — the standard compaction
+    binning (every group except possibly the last spans >= target
+    bytes once its last file lands, and order is preserved so the
+    rewrite stays a sequential scan of its inputs).
+
+    Scale: this plans over FILE METADATA, one row per file — at
+    100 TB with 128 MB files that is ~800k rows, kilobytes per
+    partition on the shuffle. The per-partition window is the
+    sequential-packing semantics itself (order-dependent by
+    definition); partitions are independent, so the sort parallelizes
+    across them, and a partition's listing is never larger than its
+    file count. Output: one row per planned output group with file
+    count, byte total, the id span it covers, and an `undersized`
+    flag (< target/2 — the trailing remainder a caller may defer to
+    the next run).
+    """
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).alias("start_off")
+    return (
+        files.select(
+            F.col(group_col).alias("part"),
+            F.col(order_col).alias("fid"),
+            F.col(size_col).alias("sz"),
+            start,
+        )
+        .select(
+            "part",
+            "fid",
+            "sz",
+            (F.col("start_off") / target_bytes).cast("bigint").alias("out_group"),
+        )
+        .groupBy("part", "out_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("sz").cast("bigint").alias("group_bytes"),
+            F.min("fid").cast("bigint").alias("first_id"),
+            F.max("fid").cast("bigint").alias("last_id"),
+        )
+        .withColumn(
+            "undersized",
+            (F.col("group_bytes") < F.lit(target_bytes // 2)).cast("boolean"),
+        )
+        .orderBy("part", "out_group")
+    )
+
+
+_COMPACTION_TARGET = 2048  # bytes per output group at gate scale
+
+_COMPACTION_ORACLE = f"""
+WITH f AS (
+  SELECT source AS part, doc_id AS fid, n_chars AS sz,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars AS start_off
+  FROM documents
+)
+SELECT part, CAST(start_off // {_COMPACTION_TARGET} AS BIGINT) AS out_group,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS group_bytes,
+       CAST(MIN(fid) AS BIGINT) AS first_id,
+       CAST(MAX(fid) AS BIGINT) AS last_id,
+       SUM(sz) < {_COMPACTION_TARGET} // 2 AS undersized
+FROM f GROUP BY 1, 2 ORDER BY part, out_group
+"""
+
+
+@register(
+    "q137_compaction_plan",
+    oracle=_COMPACTION_ORACLE,
+    doc="Small-file compaction planner (lakehouse OPTIMIZE bin-packing): "
+    "per table partition, files ordered by id are packed next-fit into "
+    "~target-byte output groups by floor(running-start-offset / target) "
+    "— one row per planned rewrite group with file count, bytes, id "
+    "span, and an undersized flag for the trailing remainder. Plans "
+    "over file METADATA (one row per file): at 100 TB ~800k rows, so "
+    "the per-partition packing window costs kilobytes per partition.",
+)
+def q137_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return compaction_plan(d, "source", "doc_id", "n_chars", _COMPACTION_TARGET)

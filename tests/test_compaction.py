@@ -1,0 +1,58 @@
+"""Compaction planner (q137) kernel semantics on crafted file
+listings — next-fit start-offset binning, order preservation,
+partition independence, undersized-trailer flag. The oracle parity
+test covers the registered query; these pin the edges the testdata
+doesn't exercise (a file larger than the target, a single-file
+partition, exact group boundaries)."""
+
+from __future__ import annotations
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+    compaction_plan,
+)
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "part string, fid long, sz long")
+
+
+def _plan(spark, rows, target):
+    out = compaction_plan(_files(spark, rows), "part", "fid", "sz", target).collect()
+    return {
+        (r.part, r.out_group): (r.n_files, r.group_bytes, r.first_id, r.last_id, r.undersized)
+        for r in out
+    }
+
+
+def test_next_fit_binning_exact_boundaries(spark):
+    # files of 60 bytes, target 100: starts 0,60,120,180 -> groups 0,0,1,1
+    rows = [("a", i, 60) for i in range(1, 5)]
+    got = _plan(spark, rows, 100)
+    assert got == {
+        ("a", 0): (2, 120, 1, 2, False),
+        ("a", 1): (2, 120, 3, 4, False),
+    }
+
+
+def test_file_larger_than_target_gets_own_group_slot(spark):
+    # 250-byte file starts at 0 (group 0); next file starts at 250 -> group 2
+    rows = [("a", 1, 250), ("a", 2, 10)]
+    got = _plan(spark, rows, 100)
+    assert got[("a", 0)] == (1, 250, 1, 1, False)
+    assert got[("a", 2)] == (1, 10, 2, 2, True)  # trailing remainder flagged
+
+
+def test_partitions_pack_independently(spark):
+    rows = [("a", 1, 90), ("b", 1, 90), ("b", 2, 90)]
+    got = _plan(spark, rows, 100)
+    assert got[("a", 0)] == (1, 90, 1, 1, False)
+    assert got[("b", 0)] == (2, 180, 1, 2, False)
+
+
+def test_order_preserved_within_group(spark):
+    # id span of each group must be contiguous in file order
+    rows = [("a", i, 40) for i in range(1, 8)]
+    got = _plan(spark, rows, 100)
+    spans = sorted((g, v[2], v[3]) for (_, g), v in got.items())
+    for (_, lo1, hi1), (_, lo2, _h) in zip(spans, spans[1:]):
+        assert lo2 == hi1 + 1
