@@ -472,6 +472,25 @@ def q20_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", min_permille=100).orderBy("id1", "id2")
 
 
+def _duck_brows_cap() -> str:
+    """DuckDB mirror of :func:`lsh_candidates`' ``max_bucket_size``
+    cap (plus its implicit >=2 bucket floor — singleton buckets can't
+    emit pairs anyway): band buckets hotter than ``DEFAULT_MAX_BUCKET``
+    are dropped BEFORE pair expansion, so every lsh_candidates-backed
+    oracle equals the production candidate set at ANY scale, not just
+    at gate scales where no bucket is hot. This is the q114 audit-cap
+    fix applied uniformly (round-6 ADVICE). q69's oracle stays uncapped
+    on purpose: its Spark side is a plain new×base band equi-join."""
+    return f"""bcap AS (
+  SELECT band_idx, band_hash FROM brows
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {DEFAULT_MAX_BUCKET}
+),
+browsc AS (
+  SELECT brows.doc_id, brows.band_idx, brows.band_hash
+  FROM brows JOIN bcap USING (band_idx, band_hash)
+)"""
+
+
 def _minhash_oracle() -> str:
     mins = _sig_mins_duck()
     band_exprs = _band_exprs_duck()
@@ -491,9 +510,10 @@ bands AS (
     {band_exprs}
   FROM sig
 ),
-brows AS ({band_rows})
+brows AS ({band_rows}),
+{_duck_brows_cap()}
 SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_bands
-FROM brows a JOIN brows b
+FROM browsc a JOIN browsc b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY id1, id2
 """
@@ -876,9 +896,10 @@ bands AS (
   FROM sig
 ),
 brows AS ({band_rows}),
+{_duck_brows_cap()},
 near_e AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2
-  FROM brows a JOIN brows b
+  FROM browsc a JOIN browsc b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
@@ -1080,9 +1101,10 @@ bands AS (
   FROM sig
 ),
 brows AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+{_duck_brows_cap()},
 cands AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_bands
-  FROM brows a JOIN brows b
+  FROM browsc a JOIN browsc b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
@@ -2038,9 +2060,10 @@ bands AS (
   FROM sig
 ),
 brows AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands" for b in range(N_BANDS))}),
+{_duck_brows_cap()},
 cands AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_bands
-  FROM brows a JOIN brows b
+  FROM browsc a JOIN browsc b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
