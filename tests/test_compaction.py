@@ -56,3 +56,38 @@ def test_order_preserved_within_group(spark):
     spans = sorted((g, v[2], v[3]) for (_, g), v in got.items())
     for (_, lo1, hi1), (_, lo2, _h) in zip(spans, spans[1:]):
         assert lo2 == hi1 + 1
+
+
+def test_property_matches_python_replica(spark):
+    """Pure-Python next-fit replica over random file listings: the
+    whole plan frame (group membership, bytes, spans, flag) must match
+    for every partition. Catches off-by-one drift in the start-offset
+    arithmetic that crafted cases might miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    target = 100
+    listings = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(min_value=1, max_value=250)),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(listings)
+    def run(items):
+        rows = [(part, i + 1, sz) for i, (part, sz) in enumerate(items)]
+        want = {}
+        by_part = {}
+        for part, fid, sz in sorted(rows, key=lambda r: (r[0], r[1])):
+            off = by_part.get(part, 0)
+            g = off // target
+            by_part[part] = off + sz
+            k = (part, g)
+            n, b, lo, hi = want.get(k, (0, 0, fid, fid))
+            want[k] = (n + 1, b + sz, min(lo, fid), max(hi, fid))
+        want = {k: (*v, v[1] < target // 2) for k, v in want.items()}
+        assert _plan(spark, rows, target) == want
+
+    run()
