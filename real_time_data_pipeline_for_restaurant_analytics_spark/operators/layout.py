@@ -260,7 +260,10 @@ def compaction_plan(
             "part",
             "fid",
             "sz",
-            (F.col("start_off") / target_bytes).cast("bigint").alias("out_group"),
+            # integer `div`, not `/`: float division would round-trip
+            # through a double and drift from the oracle's exact `//`
+            # once a partition's byte total passes 2^53
+            F.expr(f"start_off div {int(target_bytes)}").cast("bigint").alias("out_group"),
         )
         .groupBy("part", "out_group")
         .agg(
