@@ -44,23 +44,41 @@ def summary_line(
     the same buffer via ~70-char error entries). The full-name maps go
     to stderr for humans. Contract pinned by tests/test_bench_contract.
     """
-    short = {n.split("_", 1)[0]: round(t, 2) for n, t in timings.items()}
-    payload = {
-        "metric": "headline_query_wall_time",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": short,
-        "sf": sf,
-    }
-    if partial:
-        payload["partial"] = True
-    if errors:
-        payload["errors"] = dict(
-            (n.split("_", 1)[0], msg[:60])
-            for n, msg in list(errors.items())[:max_error_samples]
-        )
-        payload["n_errors"] = len(errors)
-    return json.dumps(payload, separators=(",", ":"))
+    def render(decimals: int, keep: int) -> str:
+        items = sorted(timings.items(), key=lambda kv: -kv[1])[:keep]
+        short = {n.split("_", 1)[0]: round(t, decimals) for n, t in items}
+        payload = {
+            "metric": "headline_query_wall_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+        }
+        dropped = len(timings) - len(short)
+        if dropped:
+            payload["n_queries_omitted"] = dropped
+        if partial:
+            payload["partial"] = True
+        if errors:
+            payload["errors"] = dict(
+                (n.split("_", 1)[0], msg[:60])
+                for n, msg in list(errors.items())[:max_error_samples]
+            )
+            payload["n_errors"] = len(errors)
+        return json.dumps(payload, separators=(",", ":"))
+
+    # Degrade deterministically until the line fits the tail buffer
+    # with margin: full 2-dp map → 1-dp map → drop the FASTEST
+    # queries (slowest are the signal) with an omitted count. The
+    # registry grows every round, so a fixed format would re-overflow
+    # eventually; this keeps the line valid at any registry size.
+    budget = 1890
+    for decimals, keep in ((2, len(timings)), (1, len(timings)), (1, 120),
+                           (1, 90), (1, 60), (1, 30)):
+        line = render(decimals, keep)
+        if len(line) <= budget:
+            return line
+    return render(1, 10)
 
 
 def main() -> None:

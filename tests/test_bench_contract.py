@@ -21,23 +21,37 @@ def test_short_query_keys_unique():
 
 
 def test_compact_bench_line_fits_tail_buffer():
-    # worst case: every query present with a 3-digit-seconds timing
+    """summary_line must fit the tail buffer for ANY timings at ANY
+    registry size — the adaptive emitter degrades precision, then
+    drops the fastest queries with an omitted count, rather than
+    overflowing (round-6: the fixed 2-dp format re-overflowed the
+    worst case as the registry passed ~136 queries)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import summary_line
+
     names = sorted(all_queries())
-    short = {n.split("_", 1)[0]: 999.99 for n in names}
-    line = json.dumps(
-        {
-            "metric": "headline_query_wall_time",
-            "value": 99999.999,
-            "unit": "sec",
-            "queries": short,
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < TAIL_BUFFER - 100, (
-        f"compact bench line {len(line)} chars — shrink keys or values "
-        "before the driver's tail buffer truncates it again"
-    )
+    # worst case today: every query at a 3-digit-seconds timing
+    line = summary_line({n: 999.994 for n in names}, {}, 0.1, partial=False)
+    assert len(line) < TAIL_BUFFER - 100
+    parsed = json.loads(line)
+    assert parsed["queries"], "queries map must survive degradation"
+    assert abs(parsed["value"] - 999.994 * len(names)) < 1
+    # typical case keeps full 2-dp precision for every query
+    line = summary_line({n: 1.23 for n in names}, {}, 0.1, partial=False)
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) == len(names)
+    assert parsed["queries"]["q01"] == 1.23
+    assert "n_queries_omitted" not in parsed
+    # pathological future registry: 400 queries, all slow — still fits,
+    # slowest entries retained, drop count declared
+    big = {f"q{i:03d}_future_op": 500.0 + i for i in range(1, 401)}
+    line = summary_line(big, {}, 0.1, partial=False)
+    assert len(line) < TAIL_BUFFER - 100
+    parsed = json.loads(line)
+    assert parsed["n_queries_omitted"] == 400 - len(parsed["queries"])
+    assert "q400" in parsed["queries"], "slowest query must be retained"
 
 
 def test_compact_line_bounded_under_systemic_errors():
