@@ -27,6 +27,14 @@ from real_time_data_pipeline_for_restaurant_analytics_spark.session import get_s
 
 HEADLINE = sorted(all_queries())
 
+#: The driver records only the last ~2000 chars of stdout; the summary
+#: line must fit with margin. Single source of truth — imported by
+#: tests/test_bench_contract.py so the contract and the budget can't
+#: drift apart (they were previously two coincidentally-aligned magic
+#: numbers).
+TAIL_BUFFER = 2000
+_LINE_BUDGET = TAIL_BUFFER - 110  # margin for driver-side prefixes
+
 
 def summary_line(
     timings: dict[str, float],
@@ -72,13 +80,30 @@ def summary_line(
     # queries (slowest are the signal) with an omitted count. The
     # registry grows every round, so a fixed format would re-overflow
     # eventually; this keeps the line valid at any registry size.
-    budget = 1890
     for decimals, keep in ((2, len(timings)), (1, len(timings)), (1, 120),
-                           (1, 90), (1, 60), (1, 30)):
+                           (1, 90), (1, 60), (1, 30), (1, 10), (1, 0)):
         line = render(decimals, keep)
-        if len(line) <= budget:
+        if len(line) <= _LINE_BUDGET:
             return line
-    return render(1, 10)
+    # unreachable in practice (keep=0 + capped error samples is ~400
+    # chars), but the last resort is length-GUARANTEED, not assumed:
+    # drop the error section entirely rather than emit an overflowing
+    # line the driver would truncate into invalid JSON.
+    line = render(1, 0)
+    if len(line) > _LINE_BUDGET:
+        payload = {
+            "metric": "headline_query_wall_time",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": sf,
+            "n_queries_omitted": len(timings),
+            "n_errors": len(errors),
+        }
+        if partial:
+            payload["partial"] = True
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 def main() -> None:

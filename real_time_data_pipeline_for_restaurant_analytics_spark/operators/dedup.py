@@ -1850,7 +1850,11 @@ def fuzzy_blocked_matches(
     names = (
         df.groupBy(F.col(name_col).alias("name"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_entities"))
-        .withColumn("block_key", F.expr(block_sql.format(col="name")))
+        # plain placeholder substitution, NOT str.format: the template
+        # may legitimately contain literal braces (regex quantifiers
+        # like "regexp_extract({col}, '^.{3}', 0)" for classic prefix
+        # blocking) which .format would reject with KeyError.
+        .withColumn("block_key", F.expr(block_sql.replace("{col}", "name")))
     )
     ok = (
         names.groupBy("block_key")

@@ -247,7 +247,17 @@ def compaction_plan(
     flag (< target/2 — the trailing remainder a caller may defer to
     the next run).
     """
-    w = Window.partitionBy(group_col).orderBy(order_col)
+    # ROWS frame, not the default RANGE frame: RANGE includes peer
+    # rows with equal order_col values in the running sum, which would
+    # inflate start offsets (and diverge from next-fit semantics and
+    # the oracle's ROWS UNBOUNDED PRECEDING) whenever the order key
+    # has duplicates — e.g. ordering by mtime or size instead of a
+    # unique file id.
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).alias("start_off")
     return (
         files.select(

@@ -9,9 +9,13 @@ from __future__ import annotations
 
 import json
 
-from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
+import sys
 
-TAIL_BUFFER = 2000
+sys.path.insert(0, "/root/repo")
+
+from bench import TAIL_BUFFER  # single source of truth with bench.py
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
 
 
 def test_short_query_keys_unique():
@@ -78,3 +82,16 @@ def test_compact_line_bounded_under_systemic_errors():
     assert len(line) < TAIL_BUFFER - 100
     parsed = json.loads(line)
     assert set(parsed["queries"]) & set(parsed["errors"]) == set()
+
+
+def test_last_resort_render_is_length_checked():
+    """Even a pathological combination (hundreds of queries AND a full
+    error map) must yield a line under the buffer — the final fallback
+    is length-verified, not assumed bounded."""
+    from bench import summary_line
+
+    timings = {f"q{i:03d}_op": 99999.9 for i in range(1, 500)}
+    errors = {f"e{i:03d}_op": "y" * 400 for i in range(1, 500)}
+    line = summary_line(timings, errors, 0.1, partial=True)
+    assert len(line) < TAIL_BUFFER - 100
+    json.loads(line)

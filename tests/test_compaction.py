@@ -58,6 +58,21 @@ def test_order_preserved_within_group(spark):
         assert lo2 == hi1 + 1
 
 
+def test_duplicate_order_keys_use_rows_frame(spark):
+    """Ordering by a non-unique column (e.g. mtime instead of a unique
+    file id) must still pack next-fit: the running start offset uses a
+    ROWS frame, so peer rows with equal order values each advance the
+    offset. Spark's default RANGE frame would sum ALL peers into every
+    row's offset — here four 60-byte files with identical order keys
+    would all start at 180 and collapse into one group of 4."""
+    rows = [("a", 7, 60) for _ in range(4)]  # same mtime-like order key
+    got = _plan(spark, rows, 100)
+    assert got == {
+        ("a", 0): (2, 120, 7, 7, False),
+        ("a", 1): (2, 120, 7, 7, False),
+    }
+
+
 def test_property_matches_python_replica(spark):
     """Pure-Python next-fit replica over random file listings: the
     whole plan frame (group membership, bytes, spans, flag) must match

@@ -60,6 +60,30 @@ def test_fuzzy_hot_block_cap_drops_block_loudly_sized(spark):
     assert fuzzy_blocked_matches(df, "nm", max_block_size=3).count() == 3
 
 
+def test_fuzzy_block_template_allows_literal_regex_braces(spark):
+    # classic prefix blocking uses a regex quantifier with literal
+    # braces; only the documented {col} placeholder is substituted, so
+    # this must not raise (str.format would KeyError on '{3}').
+    df = _parts(spark, ["redbolt", "wedbolt", "blue ring"])
+    out = {
+        (r.name1, r.name2): r.edit_distance
+        for r in fuzzy_blocked_matches(
+            df, "nm", block_sql="regexp_extract({col}, '^.{3}', 0)", max_dist=3
+        ).collect()
+    }
+    # 'red'/'wed' prefixes differ -> different blocks; craft a shared
+    # 3-char prefix pair instead to prove the block actually keys.
+    assert out == {}
+    df2 = _parts(spark, ["boltred", "boltwed", "blue ring"])
+    out2 = {
+        (r.name1, r.name2): r.edit_distance
+        for r in fuzzy_blocked_matches(
+            df2, "nm", block_sql="regexp_extract({col}, '^.{3}', 0)", max_dist=3
+        ).collect()
+    }
+    assert out2 == {("boltred", "boltwed"): 1}
+
+
 def test_fuzzy_singleton_blocks_produce_no_pairs(spark):
     df = _parts(spark, ["red bolt", "red ring", "red anvil"])
     assert fuzzy_blocked_matches(df, "nm").count() == 0
