@@ -12,7 +12,18 @@ table is a storage decision:
   the business key; the whole table is rewritten, which is the right
   trade below ~TB dims (a full rewrite of a 100 GB dim is minutes on
   a cluster, and the immutable versions power the change feed).
-- :class:`DeltaMergeBackend` — above that, rewrite-per-merge stops
+- :class:`BucketPrunedMergeBackend` — the executable file-pruned
+  MERGE: the dim is stored parquet-partitioned by a stable hash
+  bucket of the business key, and a merge reads + rewrites ONLY the
+  buckets containing batch keys (partition-pruned scan in, dynamic
+  partition overwrite out). Merge cost scales with the BATCH's key
+  spread, not the table size — the same geometry Delta's file-level
+  MERGE buys, built from plain parquet so it runs (and is measured)
+  in this sandbox. What it does NOT give is Delta's transaction log:
+  dynamic partition overwrite commits per-partition, so a crash
+  mid-merge can leave a subset of buckets updated. That boundary is
+  the remaining reason to swap in Delta/Iceberg at production scale.
+- :class:`DeltaMergeBackend` — above ~TB, rewrite-per-merge stops
   scaling: a 10 TB dim touched by a 1 GB batch should rewrite only
   the files holding matched keys. Delta Lake's MERGE INTO does
   exactly that (file-level pruning + transactional commit), so this
@@ -94,6 +105,246 @@ class SnapshotMergeBackend:
     def apply_scd2(self, batch: DataFrame, cfg: Scd2Config, batch_ts: Column) -> DataFrame:
         out = apply_scd2(self.snapshot(), batch, cfg, batch_ts)
         self.table.write(out)
+        return self.snapshot()
+
+
+class BucketPrunedMergeBackend:
+    """File-pruned MERGE over hash-bucket-partitioned parquet.
+
+    Layout: ``<path>/_mb=<k>/*.parquet`` where ``_mb =
+    pmod(xxhash64(key...), n_buckets)``. Because every version of a
+    business key hashes to the same bucket, a merge batch can only
+    affect the buckets its own keys map to, so:
+
+    1. one bounded job computes the batch's touched-bucket set
+       (≤ ``n_buckets`` ints — the analog of Delta's touched-file
+       discovery scan);
+    2. the current dim is read with ``_mb IN (touched)`` — partition
+       pruning skips every other bucket directory entirely;
+    3. the UNCHANGED pure merge transform (``merge_upsert`` /
+       ``apply_scd2`` from operators/merge.py) runs on that slice —
+       null-safe semantics included (NULL keys hash to one
+       deterministic bucket, so eqNullSafe matching stays co-located,
+       a constraint the Delta backend has to forbid instead);
+    4. the result overwrites ONLY the touched partitions (dynamic
+       partition overwrite).
+
+    At 100 TB with n_buckets sized so a bucket ≈ a file-group
+    (e.g. 8192 buckets × ~12 GB), a daily batch touching 1% of keys
+    reads and rewrites ~1% of the dim instead of 100% — the
+    `02 Location Entity.sql:266-345` / `order_proc.sql:195-303` MERGE
+    path at its real scale. The bucket spec (key + n_buckets) is
+    persisted in a sidecar and validated on every open, so two
+    writers can't silently interleave incompatible layouts.
+
+    Boundary (loud, documented): no transaction log — a crash between
+    partition commits leaves a torn merge. Delta/Iceberg close that
+    gap; this backend proves the pruning geometry runs, and is what
+    the SCALE measurement compares against snapshot rewrite.
+    """
+
+    BUCKET_COL = "_mb"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: list[str],
+        n_buckets: int = 64,
+        bucket_sql: str | None = None,
+    ):
+        """``bucket_sql`` (optional) overrides the default hash
+        bucketing with any deterministic SQL expression over the KEY
+        columns yielding an int in [0, n_buckets). The choice is the
+        pruning geometry:
+
+        - default ``pmod(xxhash64(key...), n)`` — uniform; prunes when
+          the batch's KEY COUNT is small relative to n_buckets (the
+          trickle-update dim);
+        - a range expression like ``least(cast(o_id div 100000 as
+          int), n-1)`` — locality-preserving; prunes when batch keys
+          CLUSTER (the reference's daily loads touch recent keys, so
+          a day's merge lands in a handful of trailing buckets no
+          matter how many rows it has — the geometry a lakehouse gets
+          from time-clustered files + Delta file stats).
+
+        Persisted in the sidecar like key/n_buckets: the expression IS
+        the storage layout, so opening with a different one is
+        refused. It must be a pure function of the key columns —
+        anything else scatters a key's versions across buckets.
+        """
+        self.spark = spark
+        self.path = path
+        self.key = list(key)
+        self.n_buckets = int(n_buckets)
+        self.bucket_sql = bucket_sql
+        self._validate_or_write_spec()
+
+    # -- bucket spec sidecar ------------------------------------------------
+    def _spec_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_bucketspec.json")
+
+    def _validate_or_write_spec(self) -> None:
+        import json
+        import os
+
+        p = self._spec_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                spec = json.load(f)
+            if spec != self._spec():
+                raise ValueError(
+                    f"BucketPrunedMergeBackend at {self.path} was created "
+                    f"with spec {spec}; refusing to open with "
+                    f"key={self.key}, n_buckets={self.n_buckets} — a "
+                    "mismatched bucket function would scatter keys across "
+                    "buckets and silently break merge co-location."
+                )
+
+    def _spec(self) -> dict:
+        return {
+            "key": self.key,
+            "n_buckets": self.n_buckets,
+            "bucket_sql": self.bucket_sql,
+        }
+
+    def _write_spec(self) -> None:
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._spec_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._spec(), f)
+        os.replace(tmp, self._spec_path())
+
+    # -- storage primitives -------------------------------------------------
+    def _bucket_expr(self) -> Column:
+        if self.bucket_sql is not None:
+            return F.expr(self.bucket_sql).cast("int")
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.key]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _exists(self) -> bool:
+        import os
+
+        return os.path.exists(self._spec_path()) and any(
+            e.startswith(f"{self.BUCKET_COL}=") for e in os.listdir(self.path)
+        )
+
+    def snapshot(self) -> DataFrame | None:
+        if not self._exists():
+            return None
+        return self.spark.read.parquet(self.path).drop(self.BUCKET_COL)
+
+    def _touched_buckets(self, batch: DataFrame) -> list[int]:
+        """The batch's bucket footprint — one distinct-aggregate job
+        bounded by ``n_buckets`` rows (the touched-file discovery
+        analog; Delta runs the same shape of job against its stats)."""
+        return sorted(
+            r[0]
+            for r in batch.select(self._bucket_expr().alias(self.BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+
+    def _read_slice(self, buckets: list[int]) -> DataFrame | None:
+        if not self._exists():
+            return None
+        return (
+            self.spark.read.parquet(self.path)
+            # literal IN on the partition column -> directory-level
+            # pruning; untouched buckets are never opened
+            .filter(F.col(self.BUCKET_COL).isin([int(b) for b in buckets]))
+            .drop(self.BUCKET_COL)
+        )
+
+    def _write_slice(self, df: DataFrame, initial: bool) -> None:
+        """Stage the touched buckets to a scratch dir, then swap each
+        bucket directory into the live table. Staging (rather than
+        dynamic partition overwrite in place) sidesteps Spark's
+        overwrite-while-reading guard — the merge output's lineage
+        reads the same parquet path it replaces — and makes the
+        pruning contract literal: an untouched bucket's directory is
+        never listed, opened, or re-created. The per-bucket swap is
+        rename-based (atomic per bucket on POSIX); the cross-bucket
+        torn-merge window is the documented no-transaction-log
+        boundary."""
+        import os
+        import shutil
+        import uuid
+
+        out = df.withColumn(self.BUCKET_COL, self._bucket_expr()).repartition(
+            self.BUCKET_COL
+        )
+        if initial:
+            out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(self.path)
+            self._write_spec()
+            return
+        staged = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
+        out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(staged)
+        try:
+            for entry in sorted(os.listdir(staged)):
+                if not entry.startswith(f"{self.BUCKET_COL}="):
+                    continue
+                live = os.path.join(self.path, entry)
+                # '='-free trash name: partition discovery skips
+                # underscore-prefixed paths WITHOUT '=' — so even a
+                # crash-leftover trash dir can never be parsed as a
+                # partition (live '_mb=k' dirs survive discovery
+                # precisely because they contain '=')
+                old = os.path.join(self.path, "_trash-" + entry.replace("=", "-"))
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(live):
+                    os.replace(live, old)
+                os.replace(os.path.join(staged, entry), live)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+        finally:
+            shutil.rmtree(staged, ignore_errors=True)
+
+    def _check_key(self, key: list[str], op: str) -> None:
+        if list(key) != self.key:
+            raise ValueError(
+                f"BucketPrunedMergeBackend.{op}: merge key {key} != the "
+                f"table's bucket key {self.key} — merging on a different "
+                "key than the storage layout cannot prune and would "
+                "mis-co-locate matches."
+            )
+
+    # -- merges -------------------------------------------------------------
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        key: list[str],
+        attrs: list[str],
+        modified_col: str | None = None,
+        batch_ts: Column | None = None,
+    ) -> DataFrame:
+        self._check_key(key, "merge_upsert")
+        if not self._exists():
+            self._write_slice(source, initial=True)
+            return self.snapshot()
+        touched = self._touched_buckets(source)
+        slice_df = self._read_slice(touched)
+        out = merge_upsert(slice_df, source, key, attrs, modified_col, batch_ts)
+        self._write_slice(out, initial=False)
+        return self.snapshot()
+
+    def apply_scd2(self, batch: DataFrame, cfg: Scd2Config, batch_ts: Column) -> DataFrame:
+        self._check_key(cfg.key, "apply_scd2")
+        if not self._exists():
+            out = apply_scd2(None, batch, cfg, batch_ts)
+            self._write_slice(out, initial=True)
+            return self.snapshot()
+        touched = self._touched_buckets(batch)
+        slice_df = self._read_slice(touched)
+        out = apply_scd2(slice_df, batch, cfg, batch_ts)
+        self._write_slice(out, initial=False)
         return self.snapshot()
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge import Scd2Config
 from real_time_data_pipeline_for_restaurant_analytics_spark.sources.merge_backend import (
     DELTA_RUNBOOK,
+    BucketPrunedMergeBackend,
     DeltaMergeBackend,
     SnapshotMergeBackend,
     has_delta,
@@ -24,6 +25,7 @@ from real_time_data_pipeline_for_restaurant_analytics_spark.sources.merge_backen
 
 _BACKENDS = [
     "snapshot",
+    "bucketed",
     pytest.param(
         "delta",
         marks=pytest.mark.skipif(
@@ -39,6 +41,10 @@ _BACKENDS = [
 def backend(request, spark, tmp_path):
     if request.param == "snapshot":
         return SnapshotMergeBackend(spark, str(tmp_path), "dim")
+    if request.param == "bucketed":
+        return BucketPrunedMergeBackend(
+            spark, str(tmp_path / "dim_bucketed"), key=["id"], n_buckets=8
+        )
     return DeltaMergeBackend(spark, str(tmp_path / "dim_delta"))
 
 
@@ -129,6 +135,96 @@ def test_scd2_batch_dedup_latest_per_key(backend, spark):
     out = backend.apply_scd2(b, cfg, _ts("2024-05-01 12:00:00"))
     rows = out.collect()
     assert len(rows) == 1 and rows[0].city == "New"
+
+
+# ------------------------------------------------- bucket-pruned backend
+
+
+def _bucket_state(path):
+    """Per-bucket-directory (file set, mtimes) fingerprint."""
+    import os
+
+    state = {}
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("_mb="):
+            continue
+        d = os.path.join(path, entry)
+        state[entry] = sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        )
+    return state
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The file-pruning contract, literally: after a merge whose batch
+    keys map to a strict subset of buckets, every OTHER bucket
+    directory is byte-for-byte untouched (same files, same mtimes)."""
+    path = str(tmp_path / "dim")
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+    init = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "id long, v string")
+    be.merge_upsert(init, ["id"], ["v"])
+    before = _bucket_state(path)
+    assert len(before) > 1, "need multiple buckets for the test to mean anything"
+
+    batch = spark.createDataFrame([(7, "NEW"), (200, "ins")], "id long, v string")
+    touched = set(be._touched_buckets(batch))
+    out = be.merge_upsert(batch, ["id"], ["v"])
+    after = _bucket_state(path)
+
+    untouched = {e for e in before if int(e.split("=")[1]) not in touched}
+    assert untouched, "batch of 2 keys must leave some of 8 buckets untouched"
+    for e in untouched:
+        assert after[e] == before[e], f"untouched bucket {e} was rewritten"
+    for b in touched:
+        e = f"_mb={b}"
+        assert after.get(e) != before.get(e), f"touched bucket {e} not rewritten"
+    # and the semantics match the pure transform
+    got = {r.id: r.v for r in out.collect()}
+    assert got[7] == "NEW" and got[200] == "ins" and got[3] == "v3"
+    assert len(got) == 201
+
+    # pruned read: the merge's input scan filters on the partition col
+    sl = be._read_slice(sorted(touched))
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or sl.count() < 200
+
+
+def test_bucketed_spec_sidecar_rejects_mismatched_layout(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+    be.merge_upsert(
+        spark.createDataFrame([(1, "a")], "id long, v string"), ["id"], ["v"]
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=16)
+    with pytest.raises(ValueError, match="bucket"):
+        BucketPrunedMergeBackend(spark, path, key=["v"], n_buckets=8)
+    # matching spec re-opens fine
+    BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+
+
+def test_bucketed_merge_key_must_match_layout_key(spark, tmp_path):
+    be = BucketPrunedMergeBackend(spark, str(tmp_path / "dim"), key=["id"], n_buckets=4)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    be.merge_upsert(df, ["id"], ["v"])
+    with pytest.raises(ValueError, match="bucket key"):
+        be.merge_upsert(df, ["v"], ["id"])
+
+
+def test_bucketed_null_keys_stay_colocated_and_merge_null_safely(spark, tmp_path):
+    """The eqNullSafe semantics the Delta backend must forbid work
+    here: NULL keys hash to one deterministic bucket, so a NULL-key
+    update matches its NULL-key target row."""
+    be = BucketPrunedMergeBackend(spark, str(tmp_path / "dim"), key=["id"], n_buckets=8)
+    init = spark.createDataFrame([(None, "x"), (1, "a")], "id long, v string")
+    be.merge_upsert(init, ["id"], ["v"])
+    out = be.merge_upsert(
+        spark.createDataFrame([(None, "y")], "id long, v string"), ["id"], ["v"]
+    )
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {None: "y", 1: "a"}
 
 
 @pytest.mark.skipif(has_delta(), reason="only meaningful without delta-spark")
