@@ -890,6 +890,14 @@ def bpe_train_merges(
 
     Returns one row per learned merge: (iteration, left_sym,
     right_sym, pair_count), ordered by iteration.
+
+    Depth boundary: each rule costs one Spark job round (pair-count
+    shuffle + rewrite), so a production tokenizer's 30k+ merges means
+    30k sequential rounds — iteration COUNT, not per-iteration cost,
+    is this operator's scale wall. Use
+    :func:`bpe_train_merges_batched` (q138) for depth: it learns up
+    to M non-conflicting rules per round (measured: depth-64 in 8
+    rounds, SCALE_r07.md), and replays this trainer exactly at M=1.
     """
     _, merges = _bpe_states(docs, text_col, n_merges, apply_last=False)
     out = merges[0].select(F.lit(1).cast("int").alias("iteration"), "*")
@@ -898,18 +906,10 @@ def bpe_train_merges(
     return out.orderBy("iteration")
 
 
-def _bpe_states(
-    docs: DataFrame, text_col: str, n_merges: int, apply_last: bool
-) -> tuple[DataFrame, list[DataFrame]]:
-    """Shared BPE training loop (see :func:`bpe_train_merges` for the
-    algorithm and scale rationale). Returns the final vocabulary state
-    ``(w, r, freq)`` — ``r`` with all learned merges applied when
-    ``apply_last`` (the encode path), without the last rewrite
-    otherwise (training only needs the pairs) — plus the per-iteration
-    1-row learned-pair frames."""
-    from .dedup import let_array
-
-    words = (
+def _bpe_vocab(docs: DataFrame, text_col: str) -> DataFrame:
+    """Fold the corpus to its (word, spaced-symbol-repr, freq)
+    vocabulary frame — the ONE corpus-sized scan of BPE training."""
+    return (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -924,28 +924,49 @@ def _bpe_states(
             "freq",
         )
     )
+
+
+def _state_pair_counts(wdf: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol-pair counts over a vocabulary
+    state frame — the per-iteration map-reduce kernel; shuffle bounded
+    by the pair vocabulary."""
+    from .dedup import let_array
+
+    pairs = wdf.select(
+        F.explode(
+            F.expr(
+                let_array(
+                    "split(trim(r), ' ')",
+                    "a",
+                    "zip_with(slice(a, 1, size(a) - 1),"
+                    " slice(a, 2, size(a) - 1),"
+                    " (x, y) -> struct(x AS l, y AS rr))",
+                )
+            )
+        ).alias("p"),
+        "freq",
+    ).select(F.col("p.l").alias("left_sym"), F.col("p.rr").alias("right_sym"), "freq")
+    return pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("bigint").alias("pair_count")
+    )
+
+
+def _bpe_states(
+    docs: DataFrame, text_col: str, n_merges: int, apply_last: bool
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared BPE training loop (see :func:`bpe_train_merges` for the
+    algorithm and scale rationale). Returns the final vocabulary state
+    ``(w, r, freq)`` — ``r`` with all learned merges applied when
+    ``apply_last`` (the encode path), without the last rewrite
+    otherwise (training only needs the pairs) — plus the per-iteration
+    1-row learned-pair frames."""
     # Vocabulary-sized iterative state: checkpoint so the corpus scan
     # happens once and iteration i does not replay iterations 1..i-1.
-    state = words.localCheckpoint()
+    state = _bpe_vocab(docs, text_col).localCheckpoint()
 
     def top_pair(wdf: DataFrame) -> DataFrame:
-        pairs = wdf.select(
-            F.explode(
-                F.expr(
-                    let_array(
-                        "split(trim(r), ' ')",
-                        "a",
-                        "zip_with(slice(a, 1, size(a) - 1),"
-                        " slice(a, 2, size(a) - 1),"
-                        " (x, y) -> struct(x AS l, y AS rr))",
-                    )
-                )
-            ).alias("p"),
-            "freq",
-        ).select(F.col("p.l").alias("left_sym"), F.col("p.rr").alias("right_sym"), "freq")
         return (
-            pairs.groupBy("left_sym", "right_sym")
-            .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+            _state_pair_counts(wdf)
             .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
             .limit(1)
         )
@@ -969,6 +990,136 @@ def _bpe_states(
                 .localCheckpoint()
             )
     return state, merges
+
+
+def bpe_train_merges_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    batch_m: int = 4,
+    cand_k: int | None = None,
+) -> DataFrame:
+    """Batched BPE merge training: learn up to ``batch_m``
+    NON-CONFLICTING merge rules per Spark round, so tokenizer depth
+    costs ``rounds ≈ vocab_target / batch_m`` job rounds instead of
+    one round per rule — the iteration-COUNT wall of the sequential
+    trainer (:func:`bpe_train_merges`, q130) at production depth
+    (30k+ merges) falls to ~vocab/M rounds. Measured: depth-64
+    training in 8 rounds at M=8 (SCALE_r07.md).
+
+    Per round, over the checkpointed vocabulary state:
+
+    1. pair-count shuffle (identical kernel to q130, bounded by the
+       pair vocabulary);
+    2. rank the top ``cand_k`` candidates (count DESC, pair — total
+       order, deterministic);
+    3. accept a candidate iff it shares NO symbol with any
+       higher-RANKED candidate — comparing against candidates (not
+       just accepted ones) keeps the rule set-expressible on both
+       engines, is strictly more conservative, and still always
+       accepts rank 1. "Shares a symbol" includes the higher pair's
+       CONCATENATION, so an accepted batch is pairwise
+       non-interacting: applying its merges in any order gives the
+       same result, and every accepted pair's round-start count is
+       still exact after the others apply;
+    4. keep the first ``batch_m`` accepted, fold them into ONE
+       vocabulary rewrite: the merge list rides in as a 1-row
+       broadcast array and ``aggregate(ms, doubled, (acc, m) ->
+       replace(...))`` applies every rule in a single codegen pass
+       (space-doubling trick per :func:`bpe_train_merges`).
+
+    Everything is declarative — no driver collect anywhere; the
+    per-round state sync is the localCheckpoint of a ≤``batch_m``-row
+    frame plus the vocabulary frame (the q50/q79 bounded-state
+    pattern). Relative to sequential BPE the batch is the standard
+    approximation: rules 2..M of a round are chosen from round-start
+    counts rather than after rule 1 applies (their counts stay exact
+    by construction; only the GREEDY ORDER can differ). ``batch_m=1``
+    reproduces the sequential trainer's merge table exactly (pinned
+    in tests).
+
+    Returns (iteration, round, sel, left_sym, right_sym, pair_count):
+    global rule index, the round it was learned in, its in-round
+    acceptance rank, and its (exact) round-start count.
+    """
+    from pyspark.sql import Window
+
+    cand_k = cand_k if cand_k is not None else 3 * batch_m
+    state = _bpe_vocab(docs, text_col).localCheckpoint()
+    order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
+    rounds: list[DataFrame] = []
+    for rnd in range(1, n_rounds + 1):
+        cand = (
+            _state_pair_counts(state)
+            .orderBy(*order)
+            .limit(cand_k)
+            .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+        )
+        a, b = cand.alias("a"), cand.alias("b")
+        hi = [
+            F.col("b.left_sym"),
+            F.col("b.right_sym"),
+            F.concat(F.col("b.left_sym"), F.col("b.right_sym")),
+        ]
+        conflict = F.lit(False)
+        for side in ("left_sym", "right_sym"):
+            for h in hi:
+                conflict = conflict | (F.col(f"a.{side}") == h)
+        blocked = (
+            a.join(b, (F.col("b.rnk") < F.col("a.rnk")) & conflict)
+            .select(F.col("a.rnk").alias("rnk"))
+            .distinct()
+        )
+        accepted = (
+            cand.join(blocked, "rnk", "left_anti")
+            .withColumn("sel", F.row_number().over(Window.orderBy("rnk")).cast("int"))
+            .filter(F.col("sel") <= batch_m)
+            .select(
+                F.lit(rnd).cast("int").alias("round"),
+                "sel",
+                "left_sym",
+                "right_sym",
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        rounds.append(accepted)
+        if rnd < n_rounds:
+            marr = accepted.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "sel",
+                            F.col("left_sym").alias("l"),
+                            F.col("right_sym").alias("r"),
+                        )
+                    )
+                ).alias("ms")
+            )
+            state = (
+                state.crossJoin(F.broadcast(marr))
+                .select(
+                    "w",
+                    F.expr(
+                        "replace(aggregate(ms, replace(r, ' ', '  '),"
+                        " (acc, m) -> replace(acc,"
+                        " ' '||m.l||'  '||m.r||' ', ' '||m.l||m.r||' ')),"
+                        " '  ', ' ')"
+                    ).alias("r"),
+                    "freq",
+                )
+                .localCheckpoint()
+            )
+    out = rounds[0]
+    for m in rounds[1:]:
+        out = out.unionByName(m)
+    return (
+        out.withColumn(
+            "iteration", F.row_number().over(Window.orderBy("round", "sel")).cast("int")
+        )
+        .select("iteration", "round", "sel", "left_sym", "right_sym", "pair_count")
+        .orderBy("iteration")
+    )
 
 
 def bpe_encode_stats(
@@ -1088,6 +1239,104 @@ FROM tok JOIN w{n_merges} v ON tok.w = v.w
 GROUP BY tok.doc_id
 ORDER BY doc_id
 """
+    )
+
+
+def _bpe_batched_oracle(n_rounds: int, batch_m: int, cand_k: int) -> str:
+    """DuckDB mirror of :func:`bpe_train_merges_batched`: per round —
+    pair counts, ranked top-``cand_k`` candidates, the
+    conflicts-with-higher-RANKED blocking join, the first ``batch_m``
+    survivors, then the batched rewrite unrolled as ``batch_m``
+    CASE-guarded replace steps over a pivoted 1-row accepted frame
+    (DuckDB 1.0 has no seeded list_reduce)."""
+    parts = [
+        """WITH w0 AS (
+  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS r,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w
+)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+p{i} AS (
+  SELECT s[i] AS left_sym, s[i+1] AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT string_split(trim(r), ' ') AS s, freq FROM w{i - 1}) t,
+       UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT left_sym, right_sym, pair_count,
+         ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym, right_sym) AS rnk
+  FROM p{i} ORDER BY pair_count DESC, left_sym, right_sym LIMIT {cand_k}
+),
+bl{i} AS (
+  SELECT DISTINCT a.rnk FROM c{i} a JOIN c{i} b ON b.rnk < a.rnk AND
+    (a.left_sym IN (b.left_sym, b.right_sym, b.left_sym || b.right_sym)
+     OR a.right_sym IN (b.left_sym, b.right_sym, b.left_sym || b.right_sym))
+),
+a{i} AS (
+  SELECT * FROM (
+    SELECT left_sym, right_sym, pair_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY rnk) AS INT) AS sel
+    FROM c{i} WHERE rnk NOT IN (SELECT rnk FROM bl{i})
+  ) WHERE sel <= {batch_m}
+)"""
+        )
+        if i < n_rounds:
+            piv = ", ".join(
+                f"MAX(CASE WHEN sel = {j} THEN left_sym END) AS l{j}, "
+                f"MAX(CASE WHEN sel = {j} THEN right_sym END) AS r{j}"
+                for j in range(1, batch_m + 1)
+            )
+            step = "replace(r, ' ', '  ')"
+            for j in range(1, batch_m + 1):
+                step = (
+                    f"CASE WHEN l{j} IS NULL THEN {step} ELSE "
+                    f"replace({step}, ' ' || l{j} || '  ' || r{j} || ' ',"
+                    f" ' ' || l{j} || r{j} || ' ') END"
+                )
+            parts.append(
+                f"""
+s{i} AS (SELECT {piv} FROM a{i})"""
+            )
+            parts.append(
+                f"""
+w{i} AS (SELECT w, replace({step}, '  ', ' ') AS r, freq FROM w{i - 1}, s{i})"""
+            )
+    selects = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS round, sel, left_sym, right_sym, pair_count FROM a{i}"
+        for i in range(1, n_rounds + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY round, sel) AS INT) AS iteration,
+       round, sel, left_sym, right_sym, pair_count
+FROM ({selects})
+ORDER BY iteration
+"""
+    )
+
+
+@register(
+    "q138_bpe_train_batched",
+    oracle=_bpe_batched_oracle(n_rounds=2, batch_m=4, cand_k=12),
+    doc="Batched BPE merge training (2 rounds x up to 4 rules): per "
+    "round, rank top-12 pair candidates, accept those sharing no "
+    "symbol (incl. the merged concatenation) with any higher-ranked "
+    "candidate, and fold the whole batch into ONE vocabulary rewrite "
+    "via a broadcast merge array + aggregate() — tokenizer depth costs "
+    "rounds/M Spark jobs, closing q130's iteration-count scale wall. "
+    "Accepted pairs are pairwise non-interacting so their round-start "
+    "counts stay exact. Oracle: the same rounds unrolled as DuckDB "
+    "CTEs with the blocking join and CASE-unrolled batch rewrite.",
+)
+def q138_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_merges_batched(
+        load(spark, sf_dir, "documents"), n_rounds=2, batch_m=4, cand_k=12
     )
 
 

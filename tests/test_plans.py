@@ -100,6 +100,10 @@ _SCALAR_CROSS_OK = (
     # scalar pattern; state frames are checkpointed vocabulary-sized).
     "q130_bpe_train_merges",
     "q132_bpe_encode_stats",
+    # q138: each round's accepted-merge batch (≤M rows) rides into the
+    # vocabulary rewrite as a 1-row broadcast ARRAY cross (collect_list
+    # over a bounded frame — the q130 scalar pattern, batched).
+    "q138_bpe_train_batched",
 )
 
 
