@@ -1455,10 +1455,22 @@ def semantic_dedup(
     ``k=None`` (the default) derives k from the corpus size via
     :func:`semdedup_auto_k` — the production behavior: cluster SIZE,
     not cluster count, is the invariant, so the pair stage stays
-    linear-ish as data grows. The count() behind it is one bounded
-    driver sync, same class as the Lloyd loop's own init/centroid
-    syncs. Pass k explicitly (the gate/oracle twin q87 pins k=8) when
-    the cluster count must be plan-static for a replayable oracle."""
+    linear-ish as data grows. Pass k explicitly (the gate/oracle twin
+    q87 pins k=8) when the cluster count must be plan-static for a
+    replayable oracle.
+
+    Eagerness boundary (r6 verdict item 3, resolved as documented
+    rather than folded): the auto-k probe is ONE count job — for a
+    parquet source it compiles to row-group statistics, no data read
+    — and it is pinned in tests to add exactly one job over the
+    explicit-k path. It cannot ride the plan as a q88-style 1-row
+    stats-cross because k's consumers are plan-STRUCTURAL, not row
+    values: the init read is a literal ``limit(k)`` and the Lloyd
+    loop materializes k×dim centroid literals per iteration (its
+    documented bounded sync) — this operator is inherently eager at
+    plan-build with or without the probe, and a declarative k would
+    force the corpus through a single-partition global rank to select
+    init points, a far worse trade at scale."""
     if k is None:
         k = semdedup_auto_k(emb.count())
     assigned = kmeans_assignments(emb, k, n_iter)

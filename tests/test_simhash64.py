@@ -142,6 +142,42 @@ def test_semantic_dedup_defaults_to_auto_k(spark):
     assert out.count() == 900
 
 
+def test_semdedup_autok_probe_adds_exactly_one_job(spark):
+    """The r6-verdict eagerness item, pinned as a measured contract:
+    plan-build of this operator is inherently eager (Lloyd init read +
+    per-iteration centroid syncs + the assignment checkpoint run jobs
+    with or without auto-k), and the auto-k size probe adds EXACTLY
+    one job on top of the explicit-k path — the documented boundary
+    in semantic_dedup's docstring. If a refactor ever makes the probe
+    trigger extra work (e.g. counting a derived frame instead of the
+    pruned source), this fails."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [float(rng.randint(-5, 5)) for _ in range(8)]) for i in range(700)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sc = spark.sparkContext
+
+    def jobs_during(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    fixed = jobs_during("semdedup-fixed-k", lambda: semantic_dedup(emb, k=3))
+    # what one bare count() costs on this frame (2 under AQE: stage
+    # materialization + result job) — the probe's entire budget
+    probe = jobs_during("semdedup-probe-baseline", emb.count)
+    auto = jobs_during("semdedup-auto-k", lambda: semantic_dedup(emb))
+    assert fixed > 0, "Lloyd loop is eager by design — zero jobs means the probe moved"
+    assert auto == fixed + probe, (
+        f"auto-k must cost exactly one count() of plan-build jobs "
+        f"(fixed={fixed}, probe={probe}, auto={auto})"
+    )
+
+
 def test_banding_recall_property_random_fingerprints(spark):
     """Property: for ANY set of 64-bit fingerprints (hypothesis-drawn,
     including sign-bit extremes and near-collisions), the banded
