@@ -468,7 +468,16 @@ def ivf_scored_candidates(
             f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
         ).alias("vm"),
     )
-    assigned = base.withColumn("cell", best_cells("vm", 1)[0]).drop("vm")
+    # coalesce makes the cell expression provably NON-NULL, so Catalyst
+    # cannot add an isnotnull(join key) filter — which it would push
+    # BELOW the spread() exchange, re-evaluating the entire n_cells-way
+    # argmin in the (often 2-partition) scan stage: measured 2x the
+    # whole kernel's cost, serialized on the scan's parallelism. The
+    # fallback -1 is unreachable (n_cells >= 1 ⇒ the sorted cell array
+    # is never empty).
+    assigned = base.withColumn(
+        "cell", F.coalesce(best_cells("vm", 1)[0], F.lit(-1))
+    ).drop("vm")
     probes = (
         base.filter(F.col(id_col) < query_max_id)
         .select(
@@ -598,7 +607,16 @@ def q24_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(k: int = 5, n_cells: int = 16, n_probe: int = 4, query_max_id: int = 10) -> str:
+def _ivf_oracle(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_max_id: int = 10,
+    band: tuple[float, float] | None = None,
+) -> str:
+    band_where = (
+        f"WHERE cos_raw >= {band[0]} AND cos_raw < {band[1]}" if band else ""
+    )
     return f"""
 WITH base AS (
   SELECT vec_id,
@@ -625,17 +643,20 @@ WITH base AS (
   WHERE rnk <= {n_probe} AND vec_id < {query_max_id}
 ), scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         round(list_sum(list_transform(generate_series(1, len(q.v)),
-              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_r
+         list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS cos_raw
   FROM probes p
   JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
   JOIN base q ON q.vec_id = p.query_id
   JOIN base c ON c.vec_id = a.vec_id
+), banded AS (
+  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_r
+  FROM scored {band_where}
 ), ranked AS (
   SELECT query_id, neighbor_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS rank,
          CAST(FLOOR(cos_r * 1000000 + 0.5) AS BIGINT) AS cos_micro
-  FROM scored
+  FROM banded
 )
 SELECT query_id, neighbor_id, rank, cos_micro FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
@@ -1933,6 +1954,67 @@ def q121_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return (
         hard_negative_mining(emb, query_filter=F.col("vec_id") < 10)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("cos_r") * 1000000 + F.lit(0.5)).cast("bigint").alias("cos_micro"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hard_negative_mining_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    lo: float = 0.25,
+    hi: float = 0.85,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_max_id: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining over IVF candidate cells — the registered
+    100 TB path that :func:`hard_negative_mining` (q121) documents:
+    hard negatives lie NEAR the query by construction (cosine in
+    [lo, hi) is the upper tail of the similarity distribution), so the
+    probed-cell candidate set of the IVF index is the band's natural
+    superset and the guarded O(corpus × queries) broadcast cross is
+    unnecessary. Same banded filter + (cos DESC, id) rank as q121,
+    applied to :func:`ivf_scored_candidates` — the join is the
+    equi-join on cell id (shuffle volume ≈ corpus × n_probe/n_cells),
+    with NO BroadcastNestedLoopJoin anywhere (plan-gated), and the
+    recall trade is measured, not guessed, by q124's audit. With
+    ``n_probe == n_cells`` the output equals q121 exactly (pinned)."""
+    from pyspark.sql import Window
+
+    scored = ivf_scored_candidates(emb, n_cells, n_probe, query_max_id, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_r"))
+    )
+
+
+@register(
+    "q139_hard_negatives_ivf",
+    oracle=_ivf_oracle(band=(0.25, 0.85)),
+    doc="Hard-negative mining over IVF candidate cells — q121's "
+    "registered scale path: the [0.25, 0.85) cosine band + top-5 rank "
+    "runs on the probed-cell equi-join candidates instead of the "
+    "guarded broadcast cross (hard negatives live near the query, so "
+    "the probe set is the band's natural superset); shuffle volume "
+    "drops by ~n_probe/n_cells and the plan carries no "
+    "BroadcastNestedLoopJoin. Oracle: the q34 IVF CTE chain with the "
+    "band applied before ranking.",
+)
+def q139_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        hard_negative_mining_ivf(emb)
         .select(
             "query_id",
             "neighbor_id",

@@ -15,6 +15,8 @@ from __future__ import annotations
 from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
 from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
     brute_force_topk,
+    hard_negative_mining,
+    hard_negative_mining_ivf,
     ivf_topk,
     lsh_bucket_ann,
 )
@@ -33,6 +35,19 @@ def test_ivf_full_probe_equals_brute_force(spark):
     qids = [r[0] for r in emb.select("vec_id").filter("vec_id < 10").collect()]
     bf = brute_force_topk(emb, qids, k=5)
     assert _rows(ivf) == _rows(bf)
+
+
+def test_ivf_hard_negatives_full_probe_equals_banded_brute_force(spark):
+    """q139's contract: with n_probe == n_cells the IVF candidate set
+    is exhaustive, so the banded rank must reproduce q121's guarded
+    broadcast-cross miner exactly — proving the bucketed path changes
+    only the candidate GENERATION, never the mining semantics."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    ivf = hard_negative_mining_ivf(emb, n_cells=8, n_probe=8, query_max_id=10)
+    brute = hard_negative_mining(emb, query_filter=F.col("vec_id") < 10)
+    assert _rows(ivf) == _rows(brute)
 
 
 def test_lsh_scores_match_exact_kernel(spark):
