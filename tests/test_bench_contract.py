@@ -84,6 +84,44 @@ def test_compact_line_bounded_under_systemic_errors():
     assert set(parsed["queries"]) & set(parsed["errors"]) == set()
 
 
+def test_sample_rotation_covers_registry():
+    """Round-7 verdict item 6: the driver's ~50-query CORRECTNESS
+    sample left most of the registry only mimic-verified. The rotation
+    manifest (tools/sample_rotation.py) must (a) put every
+    never-driver-sampled query at the front of the next proposal, and
+    (b) when applied round over round, cover the ENTIRE registry
+    within ceil(N/50) rounds — including queries added mid-rotation."""
+    from tools.sample_rotation import propose, sampled_history
+
+    registry = sorted(all_queries())
+    history = sampled_history()
+    never = {n for n in registry if n not in history}
+    manifest = propose(registry, history, 50)
+    # (a) never-sampled queries fill the proposal first
+    expect_new = min(50, len(never))
+    assert len(set(manifest) & never) == expect_new, (
+        "rotation must prioritize queries no CORRECTNESS round ever checked"
+    )
+    # (b) simulated rotation covers everything within ceil(N/50) rounds
+    sim = dict(history)
+    covered = set(sim)
+    rounds_needed = 0
+    max_rounds = -(-len(registry) // 50)
+    base_round = max(sim.values(), default=0)
+    for rnd in range(1, max_rounds + 1):
+        pick = propose(registry, sim, 50)
+        for n in pick:
+            sim[n] = base_round + rnd
+        covered |= set(pick)
+        rounds_needed = rnd
+        if covered >= set(registry):
+            break
+    assert covered >= set(registry), (
+        f"rotation failed to cover {len(set(registry) - covered)} queries "
+        f"in {rounds_needed} rounds"
+    )
+
+
 def test_last_resort_render_is_length_checked():
     """Even a pathological combination (hundreds of queries AND a full
     error map) must yield a line under the buffer — the final fallback
