@@ -992,6 +992,110 @@ def _bpe_states(
     return state, merges
 
 
+def quality_classifier_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_milli: int = 0,
+    weight_mod: int = 2001,
+) -> DataFrame:
+    """Hashed-n-gram linear quality classifier — the fastText-style
+    filter shape every production corpus pipeline runs (CCNet's
+    learned quality gate; the LLaMA-data 'looks like a reference
+    page' classifier): features = word unigrams + bigrams, hashed
+    into a weight table, score = mean feature weight, keep = score
+    over threshold.
+
+    This registers the INFERENCE plan shape with a deterministic
+    placeholder weight function — ``w(f) = md5_bucket(f) %
+    weight_mod - weight_mod//2``, i.e. a fixed random linear probe;
+    a trained model drops in by replacing that arithmetic with a
+    broadcast weight-array lookup, changing nothing about the plan.
+    Emits per doc: feature count, ``logit_milli`` =
+    floor(1000·Σw/n) (floored on BOTH engines — floor(x)>=0 ⇔ x>=0,
+    so ``keep`` is engine-exact), NULL logit for featureless docs.
+
+    Scale shape — the ideal one: a single map-side pass, no shuffle,
+    no joins, no UDFs; tokenize → hash → weight → fold runs entirely
+    inside one projection per document, so at 100 TB this is pure
+    scan throughput (the let-bindings pin tokenization and the
+    weight array to one evaluation each against CollapseProject
+    re-inlining, the q47 lesson)."""
+    from .dedup import let_array
+
+    half = weight_mod // 2
+    toks = f"filter(split({text_col}, ' '), t -> t <> '')"
+    feats = let_array(
+        toks,
+        "a",
+        "concat(a, zip_with(slice(a, 1, greatest(size(a) - 1, 0)),"
+        " slice(a, 2, greatest(size(a) - 1, 0)),"
+        " (x, y) -> concat(x, ' ', y)))",
+    )
+    weights = (
+        f"transform({feats}, f -> CAST(conv(substring(md5(f), 1, 8), 16, 10)"
+        f" AS BIGINT) % {weight_mod} - {half})"
+    )
+    stats = F.expr(
+        let_array(
+            weights,
+            "w",
+            "array(named_struct('n', size(w),"
+            " 's', aggregate(w, 0L, (acc, x) -> acc + x)))",
+        )
+    )[0]
+    return (
+        docs.select(F.col(id_col), stats.alias("_qc"))
+        .select(
+            id_col,
+            F.col("_qc.n").cast("bigint").alias("n_features"),
+            F.when(
+                F.col("_qc.n") > 0,
+                F.floor(F.col("_qc.s") * 1000 / F.col("_qc.n")).cast("bigint"),
+            ).alias("logit_milli"),
+        )
+        .withColumn("keep", F.col("logit_milli") >= threshold_milli)
+        .orderBy(id_col)
+    )
+
+
+@register(
+    "q140_quality_classifier",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_concat(a, list_transform(generate_series(1, greatest(len(a) - 1, 0)),
+                                       i -> a[i] || ' ' || a[i + 1])) AS fs
+  FROM t
+), w AS (
+  SELECT doc_id,
+         list_transform(fs, f -> CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+                                 % 2001 - 1000) AS ws
+  FROM f
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_features,
+       CAST(CASE WHEN len(ws) = 0 THEN NULL
+                 ELSE FLOOR(list_sum(ws) * 1000.0 / len(ws)) END AS BIGINT)
+         AS logit_milli,
+       CASE WHEN len(ws) = 0 THEN NULL
+            ELSE FLOOR(list_sum(ws) * 1000.0 / len(ws)) >= 0 END AS keep
+FROM w ORDER BY doc_id
+""",
+    doc="Hashed-n-gram linear quality classifier (fastText-filter "
+    "inference shape): word uni+bigrams hashed to a deterministic "
+    "weight function, per-doc mean weight in floored milli-units and a "
+    "keep flag — one map-side projection, zero shuffles/joins/UDFs; a "
+    "trained model swaps the weight arithmetic for a broadcast array "
+    "lookup with an identical plan.",
+)
+def q140_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier_score(load(spark, sf_dir, "documents"))
+
+
 def bpe_train_merges_batched(
     docs: DataFrame,
     text_col: str = "text",
