@@ -1015,14 +1015,19 @@ def quality_classifier_score(
     floor(1000·Σw/n) (floored on BOTH engines — floor(x)>=0 ⇔ x>=0,
     so ``keep`` is engine-exact), NULL logit for featureless docs.
 
-    Scale shape — the ideal one: a single map-side pass, no shuffle,
-    no joins, no UDFs; tokenize → hash → weight → fold runs entirely
-    inside one projection per document, so at 100 TB this is pure
-    scan throughput (the let-bindings pin tokenization and the
-    weight array to one evaluation each against CollapseProject
-    re-inlining, the q47 lesson)."""
-    from .dedup import let_array
+    Scale shape — the ideal one: a single map-side pass, no joins,
+    no UDFs; tokenize → hash → weight → fold runs entirely inside
+    one projection per document, so at 100 TB this is pure scan
+    throughput (the let-bindings pin tokenization and the weight
+    array to one evaluation each against CollapseProject
+    re-inlining, the q47 lesson). ``spread()`` guards the
+    local-file case only — on a cluster the scan's own parallelism
+    makes it a no-op, leaving zero shuffles (measured: the 2-file
+    local read serialized the kernel on 2 cores, 11 s → 1.7 s at
+    sf1.0)."""
+    from .dedup import let_array, spread
 
+    docs = spread(docs, id_col)
     half = weight_mod // 2
     toks = f"filter(split({text_col}, ' '), t -> t <> '')"
     feats = let_array(
