@@ -998,6 +998,7 @@ def quality_classifier_score(
     text_col: str = "text",
     threshold_milli: int = 0,
     weight_mod: int = 2001,
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """Hashed-n-gram linear quality classifier — the fastText-style
     filter shape every production corpus pipeline runs (CCNet's
@@ -1008,9 +1009,11 @@ def quality_classifier_score(
 
     This registers the INFERENCE plan shape with a deterministic
     placeholder weight function — ``w(f) = md5_bucket(f) %
-    weight_mod - weight_mod//2``, i.e. a fixed random linear probe;
-    a trained model drops in by replacing that arithmetic with a
-    broadcast weight-array lookup, changing nothing about the plan.
+    weight_mod - weight_mod//2``, i.e. a fixed random linear probe.
+    A trained model drops in via ``weights``: the table becomes a
+    constant-folded array literal (a broadcast variable on a
+    cluster) indexed by the same hash — identical plan shape, pinned
+    by ``test_trained_weight_array_path_same_plan_shape``.
     Emits per doc: feature count, ``logit_milli`` =
     floor(1000·Σw/n) (floored on BOTH engines — floor(x)>=0 ⇔ x>=0,
     so ``keep`` is engine-exact), NULL logit for featureless docs.
@@ -1037,13 +1040,20 @@ def quality_classifier_score(
         " slice(a, 2, greatest(size(a) - 1, 0)),"
         " (x, y) -> concat(x, ' ', y)))",
     )
-    weights = (
-        f"transform({feats}, f -> CAST(conv(substring(md5(f), 1, 8), 16, 10)"
-        f" AS BIGINT) % {weight_mod} - {half})"
-    )
+    bucket = "CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT)"
+    if weights is None:
+        # deterministic placeholder probe (see docstring)
+        w_of_f = f"{bucket} % {weight_mod} - {half}"
+    else:
+        # TRAINED model path: the weight table is a constant-folded
+        # array literal (on a cluster: a broadcast variable) indexed by
+        # the same hash — identical plan shape, zero extra shuffles.
+        lits = ", ".join(f"{int(w)}L" for w in weights)
+        w_of_f = f"element_at(array({lits}), CAST({bucket} % {len(weights)} AS INT) + 1)"
+    weights_sql = f"transform({feats}, f -> {w_of_f})"
     stats = F.expr(
         let_array(
-            weights,
+            weights_sql,
             "w",
             "array(named_struct('n', size(w),"
             " 's', aggregate(w, 0L, (acc, x) -> acc + x)))",

@@ -58,6 +58,41 @@ def test_threshold_moves_the_keep_boundary(spark):
     assert loose.keep is True
 
 
+def test_trained_weight_array_path_same_plan_shape(spark):
+    """The docstring's 'trained model drops in' claim, executed: an
+    explicit weight table gives w(f) = weights[bucket % len] via a
+    constant-folded array literal — same single-projection plan (no
+    join, no Python), and a replica pins the lookup arithmetic."""
+    table = [(i * 37) % 500 - 250 for i in range(64)]
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "aa bb")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_features, r.logit_milli, r.keep)
+        for r in quality_classifier_score(docs, weights=table).collect()
+    }
+
+    def rep(text):
+        toks = [t for t in text.split(" ") if t]
+        feats = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        if not feats:
+            return (0, None, None)
+        ws = [
+            table[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % len(table)]
+            for f in feats
+        ]
+        logit = math.floor(sum(ws) * 1000 / len(ws))
+        return (len(feats), logit, logit >= 0)
+
+    for i, t in ((1, "the cat sat"), (2, ""), (3, "aa bb")):
+        assert out[i] == rep(t), (i, t)
+    plan = (
+        quality_classifier_score(docs, weights=table)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
 def test_plan_is_single_pass_no_shuffle(spark):
     """The operator's 100 TB contract: one map-side projection — the
     physical plan before the output sort must contain no Exchange (no
