@@ -220,6 +220,51 @@ def q88_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and at 100 TB the planner that groups them into ~target-sized
 # rewrites IS the maintenance operator.
 # ---------------------------------------------------------------------------
+def compaction_assignments(
+    files: DataFrame,
+    group_col: str,
+    order_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Per-file next-fit group assignment — the shared kernel of the
+    PLAN view (:func:`compaction_plan`, q137) and the EXECUTOR
+    (:func:`compact_files`): one row per file with its output group
+    ``floor(running-start-offset / target)``. Extra input columns ride
+    through untouched (the executor threads the file path)."""
+    # ROWS frame, not the default RANGE frame: RANGE includes peer
+    # rows with equal order_col values in the running sum, which would
+    # inflate start offsets (and diverge from next-fit semantics and
+    # the oracle's ROWS UNBOUNDED PRECEDING) whenever the order key
+    # has duplicates — e.g. ordering by mtime or size instead of a
+    # unique file id.
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    passthrough = [
+        c for c in files.columns if c not in (group_col, order_col, size_col)
+    ]
+    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).alias("start_off")
+    return files.select(
+        F.col(group_col).alias("part"),
+        F.col(order_col).alias("fid"),
+        F.col(size_col).alias("sz"),
+        *passthrough,
+        start,
+    ).select(
+        "part",
+        "fid",
+        "sz",
+        *passthrough,
+        # integer `div`, not `/`: float division would round-trip
+        # through a double and drift from the oracle's exact `//`
+        # once a partition's byte total passes 2^53
+        F.expr(f"start_off div {int(target_bytes)}").cast("bigint").alias("out_group"),
+    )
+
+
 def compaction_plan(
     files: DataFrame,
     group_col: str,
@@ -247,34 +292,8 @@ def compaction_plan(
     flag (< target/2 — the trailing remainder a caller may defer to
     the next run).
     """
-    # ROWS frame, not the default RANGE frame: RANGE includes peer
-    # rows with equal order_col values in the running sum, which would
-    # inflate start offsets (and diverge from next-fit semantics and
-    # the oracle's ROWS UNBOUNDED PRECEDING) whenever the order key
-    # has duplicates — e.g. ordering by mtime or size instead of a
-    # unique file id.
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (F.sum(F.col(size_col)).over(w) - F.col(size_col)).alias("start_off")
     return (
-        files.select(
-            F.col(group_col).alias("part"),
-            F.col(order_col).alias("fid"),
-            F.col(size_col).alias("sz"),
-            start,
-        )
-        .select(
-            "part",
-            "fid",
-            "sz",
-            # integer `div`, not `/`: float division would round-trip
-            # through a double and drift from the oracle's exact `//`
-            # once a partition's byte total passes 2^53
-            F.expr(f"start_off div {int(target_bytes)}").cast("bigint").alias("out_group"),
-        )
+        compaction_assignments(files, group_col, order_col, size_col, target_bytes)
         .groupBy("part", "out_group")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_files"),
@@ -288,6 +307,74 @@ def compaction_plan(
         )
         .orderBy("part", "out_group")
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int,
+) -> dict:
+    """EXECUTE a compaction: rewrite ``src_dir``'s small parquet files
+    into ``dst_dir`` as one file per planned output group of
+    ~``target_bytes`` — the OPTIMIZE half that q137 only plans. The
+    maintenance loop the reference gets from Snowflake's automatic
+    micro-partition repacking after each daily COPY
+    (`order_proc.sql`'s loads); a Spark warehouse runs this instead.
+
+    Shape, sized for 100 TB:
+
+    1. one driver-side METADATA listing of the source files (path,
+       size) — the same ~800k-rows-at-100-TB bound q137 documents;
+    2. the shared next-fit assignment kernel maps file → output group
+       (:func:`compaction_assignments` — identical arithmetic to the
+       plan view, so what executes IS what q137 predicted);
+    3. ONE scan of the data, tagged by ``input_file_name()``, joined
+       to the broadcast file→group map (file-count-sized, never
+       data-sized);
+    4. one shuffle keyed by output group, written
+       ``partitionBy(out_group)`` — exactly one file per group dir
+       (rows for a group land in one task), total shuffle volume =
+       the rewrite volume, nothing more.
+
+    Returns {files_in, groups_out, bytes_in} for the caller's audit.
+    Ordering note: row order within a group is not preserved (parquet
+    rewrite, same as any OPTIMIZE); content equality is set-equality,
+    pinned by the round-trip test.
+    """
+    import os
+
+    listing = sorted(
+        (f, os.path.getsize(os.path.join(src_dir, f)))
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    files = spark.createDataFrame(
+        [(name, i, sz) for i, (name, sz) in enumerate(listing)],
+        "fname string, fid long, sz long",
+    ).withColumn("part", F.lit("t"))
+    assign = compaction_assignments(files, "part", "fid", "sz", target_bytes).select(
+        "fname", "out_group"
+    )
+    data = spark.read.parquet(src_dir).withColumn(
+        "_fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    n_groups = 1 + max(
+        (r[0] for r in assign.select("out_group").distinct().collect()), default=0
+    )
+    (
+        data.join(F.broadcast(assign), data["_fname"] == assign["fname"])
+        .drop("_fname", "fname")
+        .repartition(int(n_groups), "out_group")
+        .write.mode("overwrite")
+        .partitionBy("out_group")
+        .parquet(dst_dir)
+    )
+    return {
+        "files_in": len(listing),
+        "groups_out": int(n_groups),
+        "bytes_in": sum(sz for _, sz in listing),
+    }
 
 
 _COMPACTION_TARGET = 2048  # bytes per output group at gate scale

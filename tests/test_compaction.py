@@ -106,3 +106,48 @@ def test_property_matches_python_replica(spark):
         assert _plan(spark, rows, target) == want
 
     run()
+
+
+def test_compact_files_executes_the_plan(spark, tmp_path):
+    """Round-7: the executor half of q137. Rewrite a many-small-files
+    table into one file per planned output group: content is
+    set-identical, each group directory holds exactly one parquet
+    file, and the group count equals what compaction_assignments
+    predicted from the same listing."""
+    import os
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 5000).selectExpr(
+        "id", "concat('row-', id) AS payload", "id % 7 AS grp"
+    )
+    df.repartition(20).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small >= 10, "fixture must actually be fragmented"
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    target = total // 4 + 1  # aim for ~4 output groups
+    stats = compact_files(spark, src, dst, target)
+    assert stats["files_in"] == n_small
+    assert 1 <= stats["groups_out"] <= 6
+
+    group_dirs = [d for d in os.listdir(dst) if d.startswith("out_group=")]
+    assert len(group_dirs) == stats["groups_out"]
+    for d in group_dirs:
+        pq = [f for f in os.listdir(os.path.join(dst, d)) if f.endswith(".parquet")]
+        assert len(pq) == 1, f"{d} must hold exactly one compacted file"
+
+    before = sorted(tuple(r) for r in df.collect())
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dst).select("id", "payload", "grp").collect()
+    )
+    assert before == after
