@@ -85,25 +85,22 @@ def summary_line(
         line = render(decimals, keep)
         if len(line) <= _LINE_BUDGET:
             return line
-    # unreachable in practice (keep=0 + capped error samples is ~400
-    # chars), but the last resort is length-GUARANTEED, not assumed:
-    # drop the error section entirely rather than emit an overflowing
-    # line the driver would truncate into invalid JSON.
-    line = render(1, 0)
-    if len(line) > _LINE_BUDGET:
-        payload = {
-            "metric": "headline_query_wall_time",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": {},
-            "sf": sf,
-            "n_queries_omitted": len(timings),
-            "n_errors": len(errors),
-        }
-        if partial:
-            payload["partial"] = True
-        line = json.dumps(payload, separators=(",", ":"))
-    return line
+    # The ladder exhausted — its last rung was already render(1, 0)
+    # and overflowed, so go STRAIGHT to the minimal payload (no error
+    # section, no query map: a few counters, ~150 chars) rather than
+    # emit a line the driver would truncate into invalid JSON.
+    payload = {
+        "metric": "headline_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries_omitted": len(timings),
+        "n_errors": len(errors),
+    }
+    if partial:
+        payload["partial"] = True
+    return json.dumps(payload, separators=(",", ":"))
 
 
 def main() -> None:

@@ -226,21 +226,31 @@ def compaction_assignments(
     order_col: str,
     size_col: str,
     target_bytes: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-file next-fit group assignment — the shared kernel of the
     PLAN view (:func:`compaction_plan`, q137) and the EXECUTOR
     (:func:`compact_files`): one row per file with its output group
     ``floor(running-start-offset / target)``. Extra input columns ride
-    through untouched (the executor threads the file path)."""
+    through untouched (the executor threads the file path).
+
+    Determinism: a ROWS running sum over a NON-unique ``order_col``
+    depends on how Spark happens to order peer rows, so the packing
+    would differ run-to-run (and from the oracle) whenever same-keyed
+    files have unequal sizes. Pass ``tiebreak_col`` (any unique
+    column, e.g. the file name) when ``order_col`` can repeat — e.g.
+    ordering by mtime or size; q137's doc_id and the executor's fid
+    are unique, so they omit it."""
     # ROWS frame, not the default RANGE frame: RANGE includes peer
     # rows with equal order_col values in the running sum, which would
     # inflate start offsets (and diverge from next-fit semantics and
     # the oracle's ROWS UNBOUNDED PRECEDING) whenever the order key
     # has duplicates — e.g. ordering by mtime or size instead of a
     # unique file id.
+    order_by = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     w = (
         Window.partitionBy(group_col)
-        .orderBy(order_col)
+        .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     passthrough = [
@@ -335,12 +345,16 @@ def compact_files(
     4. one shuffle keyed by output group, written
        ``partitionBy(out_group)`` — exactly one file per group dir
        (rows for a group land in one task), total shuffle volume =
-       the rewrite volume, nothing more.
+       the rewrite volume, nothing more;
+    5. a metadata-only row-count audit (parquet footer counts, no
+       data read) of src vs dst — a listing/tag mismatch (nested
+       dirs, exotic names) fails LOUDLY instead of silently dropping
+       rows through the inner join.
 
-    Returns {files_in, groups_out, bytes_in} for the caller's audit.
-    Ordering note: row order within a group is not preserved (parquet
-    rewrite, same as any OPTIMIZE); content equality is set-equality,
-    pinned by the round-trip test.
+    Returns {files_in, groups_out, bytes_in, rows} for the caller's
+    audit. Ordering note: row order within a group is not preserved
+    (parquet rewrite, same as any OPTIMIZE); content equality is
+    set-equality, pinned by the round-trip test.
     """
     import os
 
@@ -356,24 +370,43 @@ def compact_files(
     assign = compaction_assignments(files, "part", "fid", "sz", target_bytes).select(
         "fname", "out_group"
     )
+    # input_file_name() reports the file URI, which percent-encodes
+    # characters like spaces — decode the basename back to the
+    # os.listdir spelling so the join key matches the listing.
+    # url_decode is form-encoding (it would turn a literal '+' into a
+    # space); a URI path never holds a raw space, so any '+' is a real
+    # plus — escape it to %2B first, then decode the %XX escapes.
+    uri_base = F.element_at(F.split(F.input_file_name(), "/"), -1)
     data = spark.read.parquet(src_dir).withColumn(
-        "_fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        "_fname", F.url_decode(F.replace(uri_base, F.lit("+"), F.lit("%2B")))
     )
-    n_groups = 1 + max(
-        (r[0] for r in assign.select("out_group").distinct().collect()), default=0
-    )
+    # distinct-group COUNT, not max+1: next-fit group ids skip
+    # integers whenever a single file is >= target_bytes, and the
+    # skipped ids would inflate the stat and create empty partitions
+    groups = sorted(r[0] for r in assign.select("out_group").distinct().collect())
+    n_groups = len(groups)
     (
         data.join(F.broadcast(assign), data["_fname"] == assign["fname"])
         .drop("_fname", "fname")
-        .repartition(int(n_groups), "out_group")
+        .repartition(max(n_groups, 1), "out_group")
         .write.mode("overwrite")
         .partitionBy("out_group")
         .parquet(dst_dir)
     )
+    n_src = spark.read.parquet(src_dir).count()
+    n_dst = spark.read.parquet(dst_dir).count() if n_src else 0
+    if n_dst != n_src:
+        raise RuntimeError(
+            f"compact_files: rewrote {n_dst} of {n_src} source rows — a "
+            "source file's tagged name did not match the directory "
+            f"listing (nested dirs under {src_dir!r}?). The destination "
+            f"{dst_dir!r} is incomplete; the source is untouched."
+        )
     return {
         "files_in": len(listing),
-        "groups_out": int(n_groups),
+        "groups_out": n_groups,
         "bytes_in": sum(sz for _, sz in listing),
+        "rows": int(n_src),
     }
 
 

@@ -286,26 +286,39 @@ class BucketPrunedMergeBackend:
             return
         staged = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
         out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(staged)
-        try:
-            for entry in sorted(os.listdir(staged)):
-                if not entry.startswith(f"{self.BUCKET_COL}="):
-                    continue
-                live = os.path.join(self.path, entry)
-                # '='-free trash name: partition discovery skips
-                # underscore-prefixed paths WITHOUT '=' — so even a
-                # crash-leftover trash dir can never be parsed as a
-                # partition (live '_mb=k' dirs survive discovery
-                # precisely because they contain '=')
-                old = os.path.join(self.path, "_trash-" + entry.replace("=", "-"))
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-                if os.path.exists(live):
-                    os.replace(live, old)
+        for entry in sorted(os.listdir(staged)):
+            if not entry.startswith(f"{self.BUCKET_COL}="):
+                continue
+            live = os.path.join(self.path, entry)
+            # '='-free trash name: partition discovery skips
+            # underscore-prefixed paths WITHOUT '=' — so even a
+            # crash-leftover trash dir can never be parsed as a
+            # partition (live '_mb=k' dirs survive discovery
+            # precisely because they contain '=')
+            old = os.path.join(self.path, "_trash-" + entry.replace("=", "-"))
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(live):
+                os.replace(live, old)
+            try:
                 os.replace(os.path.join(staged, entry), live)
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-        finally:
-            shutil.rmtree(staged, ignore_errors=True)
+            except BaseException:
+                # The bucket's live dir was already displaced to trash
+                # and the staged copy failed to land: restore the
+                # displaced copy so the table never loses the bucket,
+                # and LEAVE the staged dir on disk (underscore prefix —
+                # invisible to partition discovery) for recovery.
+                # Deleting staged here would destroy the only new copy
+                # while the old one sits in a discovery-skipped trash
+                # name — silent bucket loss, strictly worse than the
+                # documented cross-bucket torn-merge boundary.
+                if not os.path.exists(live) and os.path.exists(old):
+                    os.replace(old, live)
+                raise
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        # staged is only discarded once every bucket swapped in clean
+        shutil.rmtree(staged, ignore_errors=True)
 
     def _check_key(self, key: list[str], op: str) -> None:
         if list(key) != self.key:

@@ -133,3 +133,24 @@ def test_last_resort_render_is_length_checked():
     line = summary_line(timings, errors, 0.1, partial=True)
     assert len(line) < TAIL_BUFFER - 100
     json.loads(line)
+
+
+def test_minimal_fallback_payload_actually_exercised(monkeypatch):
+    """The keep=0 ladder rung always fits the REAL budget (capped error
+    samples), so the post-ladder minimal payload would otherwise be
+    dead code in every test: shrink the budget until even keep=0
+    overflows and pin that the fallback emits valid JSON with the
+    counters intact and no unbounded sections."""
+    import bench
+
+    monkeypatch.setattr(bench, "_LINE_BUDGET", 120)
+    timings = {f"q{i:03d}_op": 1.5 for i in range(1, 40)}
+    errors = {f"e{i:03d}_op": "z" * 400 for i in range(1, 40)}
+    line = bench.summary_line(timings, errors, 0.1, partial=True)
+    parsed = json.loads(line)
+    assert parsed["queries"] == {}
+    assert "errors" not in parsed, "fallback must drop the error section"
+    assert parsed["n_queries_omitted"] == 39
+    assert parsed["n_errors"] == 39
+    assert parsed["partial"] is True
+    assert abs(parsed["value"] - 1.5 * 39) < 0.01

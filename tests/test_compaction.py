@@ -151,3 +151,127 @@ def test_compact_files_executes_the_plan(spark, tmp_path):
         for r in spark.read.parquet(dst).select("id", "payload", "grp").collect()
     )
     assert before == after
+
+
+def test_duplicate_order_keys_with_tiebreak_are_deterministic(spark):
+    """Review finding: with duplicate order keys and UNEQUAL sizes the
+    peer order — and therefore the packing — is unspecified unless a
+    tiebreaker is supplied. With tiebreak_col the assignment must match
+    the python replica sorted by (order, tiebreak), every run."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compaction_assignments,
+    )
+
+    rows = [("a", 7, 150, "f1"), ("a", 7, 10, "f2"), ("a", 7, 80, "f3")]
+    df = spark.createDataFrame(rows, "part string, fid long, sz long, name string")
+    for _ in range(3):
+        got = {
+            r.name: r.out_group
+            for r in compaction_assignments(
+                df, "part", "fid", "sz", 100, tiebreak_col="name"
+            ).collect()
+        }
+        # replica: sorted by (fid, name) -> starts 0, 150, 160
+        assert got == {"f1": 0, "f2": 1, "f3": 1}
+
+
+def test_compact_files_audits_and_handles_encoded_names(spark, tmp_path):
+    """Review finding: input_file_name() percent-encodes the file URI,
+    so a source file with a space in its name would miss the inner
+    join against the os.listdir spelling and silently drop its rows.
+    Pinned: the decoded basename matches, content round-trips exactly,
+    and the stats carry the audited row count."""
+    import os
+    import shutil
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 500).selectExpr("id", "concat('r-', id) AS payload")
+    df.repartition(4).write.parquet(src)
+    # rename one part file to contain a space (and a '+', which must
+    # NOT be decoded as a space by a correct url_decode of a URI path)
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    shutil.move(
+        os.path.join(src, parts[0]),
+        os.path.join(src, "my data+file.parquet"),
+    )
+    stats = compact_files(spark, src, dst, target_bytes=1 << 20)
+    assert stats["rows"] == 500
+    before = sorted(tuple(r) for r in df.collect())
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(dst).select("id", "payload").collect()
+    )
+    assert before == after
+
+
+def test_compact_files_groups_out_counts_real_groups(spark, tmp_path):
+    """Review finding: next-fit group ids SKIP integers when a file is
+    >= target_bytes, so max(out_group)+1 over-counts. groups_out must
+    equal the number of directories actually written."""
+    import os
+    import shutil
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small")
+    os.makedirs(src)
+    # one big file (several multiples of target) then small ones:
+    # listing sorts big first -> ids 0 and >= 2, never 1
+    big = tmp_path / "big"
+    spark.range(0, 20000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(str(big))
+    small = tmp_path / "smallpart"
+    spark.range(0, 10).selectExpr("id", "'y' AS pad").coalesce(1).write.parquet(
+        str(small)
+    )
+    shutil.move(
+        str(next(big.glob("*.parquet"))), os.path.join(src, "a-big.parquet")
+    )
+    shutil.move(
+        str(next(small.glob("*.parquet"))), os.path.join(src, "b-small.parquet")
+    )
+    big_sz = os.path.getsize(os.path.join(src, "a-big.parquet"))
+    target = big_sz // 3  # big spans ids 0..2, small starts at id 3
+    dst = str(tmp_path / "compacted")
+    stats = compact_files(spark, src, dst, target)
+    group_dirs = [d for d in os.listdir(dst) if d.startswith("out_group=")]
+    assert stats["groups_out"] == len(group_dirs) == 2
+    assert stats["rows"] == 20010
+    assert spark.read.parquet(dst).count() == 20010
+
+
+def test_compact_files_fails_loudly_on_unlisted_rows(spark, tmp_path):
+    """Rows readable by the scan but absent from the listing must abort
+    with the audit error, never silently vanish from the rewrite.
+    Spark's parquet scan reads every non-hidden file REGARDLESS of
+    extension, while the planner's listing keeps only '*.parquet' — a
+    part file renamed to '.pq' is exactly the scanned-but-unplanned
+    mismatch the row-count audit exists to catch. (A nested
+    subdirectory is NOT such a case: the non-recursive scan and the
+    listing both skip it, so scan and plan agree.)"""
+    import os
+    import shutil
+
+    import pytest
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small")
+    df = spark.range(0, 200).selectExpr("id", "concat('r-', id) AS payload")
+    df.repartition(2).write.parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    shutil.move(
+        os.path.join(src, parts[0]),
+        os.path.join(src, parts[0].removesuffix(".parquet") + ".pq"),
+    )
+    with pytest.raises(RuntimeError, match="compact_files"):
+        compact_files(spark, src, str(tmp_path / "dst"), target_bytes=1 << 20)

@@ -247,3 +247,56 @@ def test_delta_null_key_guard_is_loud(spark):
     assert "NULL business key" in str(exc.value)
     ok = spark.createDataFrame([(1, "a")], "id long, v string")
     DeltaMergeBackend._assert_non_null_keys(ok, ["id"], "apply_scd2")
+
+
+def test_bucketed_swap_failure_never_loses_a_bucket(spark, tmp_path, monkeypatch):
+    """Round-7 review finding: a failed staged->live rename AFTER the
+    live bucket dir was displaced to trash must not destroy the
+    bucket. The swap rolls the displaced copy back (the failed bucket
+    reads its PRE-merge rows), already-swapped buckets keep their new
+    rows (the documented torn-merge boundary), the staged dir is
+    PRESERVED for recovery instead of rmtree'd, and a plain retry of
+    the same merge converges to the correct final state."""
+    import os
+
+    be = BucketPrunedMergeBackend(
+        spark, str(tmp_path / "dim"), key=["id"], n_buckets=8
+    )
+    init = spark.createDataFrame(
+        [(i, "old") for i in range(16)], "id long, v string"
+    )
+    be.merge_upsert(init, ["id"], ["v"])
+
+    batch = spark.createDataFrame(
+        [(i, "new") for i in range(16)], "id long, v string"
+    )
+    real_replace = os.replace
+    staged_to_live = {"n": 0}
+
+    def flaky(src, dst):
+        if "_staged-" in str(src) and f"{be.BUCKET_COL}=" in os.path.basename(dst):
+            staged_to_live["n"] += 1
+            if staged_to_live["n"] == 2:  # bucket 1 already swapped in
+                raise OSError("injected rename failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", flaky)
+    with pytest.raises(OSError, match="injected"):
+        be.merge_upsert(batch, ["id"], ["v"])
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # no bucket lost: every id still present; torn but never missing
+    got = {r.id: r.v for r in be.snapshot().collect()}
+    assert set(got) == set(range(16)), "a bucket's rows vanished"
+    assert "old" in got.values() and "new" in got.values(), (
+        "expected the documented torn state: failed bucket rolled back, "
+        "swapped bucket updated"
+    )
+    # the staged dir survives for recovery (invisible to discovery)
+    assert any(
+        e.startswith("_staged-") for e in os.listdir(be.path)
+    ), "staged copy must be preserved after a failed swap"
+
+    # plain retry heals the torn state
+    out = be.merge_upsert(batch, ["id"], ["v"])
+    assert {r.v for r in out.collect()} == {"new"}
