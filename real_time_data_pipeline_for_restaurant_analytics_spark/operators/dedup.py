@@ -1518,6 +1518,144 @@ def q100_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup_stats(d).orderBy("doc_id")
 
 
+def passage_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = PASSAGE_W
+) -> DataFrame:
+    """EXECUTE the corpus-wide passage dedup that q100 only audits —
+    the C4/RefinedWeb rewrite step: every w-word passage duplicated
+    anywhere in the corpus is removed EXCEPT its canonical (first)
+    occurrence, and each document is reassembled from its surviving
+    segments in original order. Canonical = the occurrence with the
+    smallest (doc_id, position) — encoded as one bigint key so both
+    engines pick it with a plain MIN. The trailing <w-word remainder
+    of every doc is exempt from dedup and always kept (a rewrite must
+    never silently drop text the audit never counted; short docs ARE
+    their remainder and ride through whole).
+
+    Scale shape (reference analog: Snowflake dedup-before-merge,
+    `order_proc.sql` — this is its corpus-text counterpart): one
+    explode linear in tokens/w; ONE shuffle on the passage md5 for
+    the canonical-key MIN (map-side partials collapse repeats); one
+    hash join back (passage-vocabulary × passage-instance, both
+    bounded by tokens/w — the vocabulary side is NOT broadcast, it
+    scales with the corpus); one shuffle on the doc id to reassemble.
+    No pairwise comparison at any corpus size.
+
+    Returns per doc: n_passages (full windows), n_removed, clean
+    text, clean_chars.
+    """
+    tail_struct = "named_struct('seg', concat_ws(' ', %s), 'is_tail', true)"
+    body = (
+        f"if(size(_w) < {w}, array({tail_struct % '_w'}), "
+        f"concat("
+        f"transform(sequence(1, size(_w) DIV {w}), i -> named_struct("
+        f"'seg', concat_ws(' ', slice(_w, (i-1)*{w} + 1, {w})), 'is_tail', false)), "
+        f"if(size(_w) % {w} = 0, array(), "
+        f"array({tail_struct % f'slice(_w, (size(_w) DIV {w})*{w} + 1, size(_w) % {w})'})"
+        f")))"
+    )
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(let_array(f"split({text_col}, ' ')", "_w", body))
+            ).alias("i", "s"),
+        )
+        .select(
+            F.col(id_col),
+            "i",
+            F.col("s.seg").alias("seg"),
+            F.col("s.is_tail").alias("is_tail"),
+        )
+        .withColumn(
+            "k", F.col(id_col).cast("bigint") * F.lit(1 << 20).cast("bigint") + F.col("i")
+        )
+        .withColumn("ph", F.md5("seg"))
+    )
+    mins = (
+        segs.filter(~F.col("is_tail")).groupBy("ph").agg(F.min("k").alias("mk"))
+    )
+    joined = segs.join(mins, "ph", "left")
+    keep = F.col("is_tail") | (F.col("k") == F.col("mk"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum(F.when(~F.col("is_tail"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_passages"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("i", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumn("clean_chars", F.length("clean_text").cast("bigint"))
+    )
+
+
+@register(
+    "q141_passage_scrub",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, i - 1 AS i,
+         array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ') AS seg,
+         FALSE AS is_tail
+  FROM w, UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
+  WHERE len(ws) >= {PASSAGE_W}
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN len(ws) < {PASSAGE_W} THEN 0 ELSE len(ws) // {PASSAGE_W} END AS i,
+         array_to_string(
+           ws[CASE WHEN len(ws) < {PASSAGE_W} THEN 1
+                   ELSE (len(ws) // {PASSAGE_W})*{PASSAGE_W} + 1 END : len(ws)], ' ') AS seg,
+         TRUE AS is_tail
+  FROM w
+  WHERE len(ws) < {PASSAGE_W} OR len(ws) % {PASSAGE_W} <> 0
+),
+keyed AS (SELECT doc_id, i, seg, is_tail,
+                 doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg),
+mins AS (SELECT ph, MIN(k) AS mk FROM keyed WHERE NOT is_tail GROUP BY ph),
+j AS (SELECT keyed.*, mins.mk FROM keyed LEFT JOIN mins USING (ph)),
+o AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
+         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
+                             ' ' ORDER BY i), '') AS clean_text
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM o ORDER BY doc_id
+""",
+    doc="Passage-scrub REWRITE (the executor half of q100's audit): "
+    "remove every corpus-duplicated w-word passage except its first "
+    "(min doc_id, position) occurrence, keep trailing remainders "
+    "verbatim, reassemble docs in order; result pinned by md5 of the "
+    "rebuilt text. One explode + one md5-keyed shuffle + one doc-keyed "
+    "reassembly — no pairwise work at any corpus size.",
+)
+def q141_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        passage_scrub(d)
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_removed",
+            F.md5("clean_text").alias("clean_md5"),
+            "clean_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def lsh_recall_audit(
     docs: DataFrame,
     id_col: str,

@@ -114,3 +114,41 @@ def test_duplicated_span_stats_planted_repeat(spark):
     assert out[4].longest_dup_span_tokens == 6
     assert out[1].n_shingles == 10  # 14 tokens, 5-grams
     assert out[1].dup_ppm == out[1].n_dup_shingles * 1000000 // 10
+
+
+def test_passage_scrub_semantics(spark):
+    """q141's rewrite contract on crafted docs (w=3 for readability):
+    the first (doc_id, position) occurrence of a duplicated passage
+    survives, later ones are cut, trailing <w remainders and short
+    docs ride through verbatim, and a doc reduced to nothing yields
+    the empty string rather than NULL."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        passage_scrub,
+    )
+
+    dup = "x y z"  # one full 3-word passage, duplicated everywhere
+    docs = spark.createDataFrame(
+        [
+            (1, f"{dup} a b c tail1"),   # canonical copy + unique + tail
+            (2, f"{dup} d e f"),         # later copy cut, unique kept
+            (3, dup),                     # later copy cut -> empty doc
+            (4, "short doc"),            # < w words: whole text is tail
+            (5, f"p q r {dup}"),         # dup at position 1, cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_passages, r.n_removed, r.clean_text)
+        for r in passage_scrub(docs, w=3).collect()
+    }
+    assert out[1] == (2, 0, "x y z a b c tail1")
+    assert out[2] == (2, 1, "d e f")
+    assert out[3] == (1, 1, "")
+    assert out[4] == (0, 0, "short doc")
+    assert out[5] == (2, 1, "p q r")
+    # within-doc repeats: second occurrence in the SAME doc is cut too
+    solo = spark.createDataFrame(
+        [(9, f"{dup} {dup} end")], "doc_id long, text string"
+    )
+    r = passage_scrub(solo, w=3).collect()[0]
+    assert (r.n_passages, r.n_removed, r.clean_text) == (2, 1, "x y z end")
