@@ -152,3 +152,72 @@ def test_passage_scrub_semantics(spark):
     )
     r = passage_scrub(solo, w=3).collect()[0]
     assert (r.n_passages, r.n_removed, r.clean_text) == (2, 1, "x y z end")
+
+
+def test_passage_scrub_matches_python_replica(spark):
+    """Property-pin q141's kernel against a pure-Python replica over
+    random small-alphabet corpora (repeated words force cross- and
+    within-doc passage collisions): per-doc passage counts, removal
+    counts, the rebuilt text, and its length must all match."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        passage_scrub,
+    )
+
+    w = 3
+    corpus = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "aa"]), min_size=0, max_size=14).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    def replica(docs):
+        segs = []
+        for doc_id, text in docs:
+            ws = text.split(" ")
+            if len(ws) < w:
+                segs.append((doc_id, 0, " ".join(ws), True))
+            else:
+                nfull = len(ws) // w
+                for i in range(nfull):
+                    segs.append((doc_id, i, " ".join(ws[i * w:(i + 1) * w]), False))
+                if len(ws) % w:
+                    segs.append((doc_id, nfull, " ".join(ws[nfull * w:]), True))
+        mins = {}
+        for d, i, s, t in segs:
+            if not t:
+                k = d * (1 << 20) + i
+                mins[s] = min(mins.get(s, k), k)
+        out = {}
+        for doc_id, _ in docs:
+            kept, removed, npass = [], 0, 0
+            for d, i, s, t in segs:
+                if d != doc_id:
+                    continue
+                if not t:
+                    npass += 1
+                if t or mins[s] == d * (1 << 20) + i:
+                    kept.append((i, s))
+                else:
+                    removed += 1
+            kept.sort()
+            ct = " ".join(s for _, s in kept)
+            out[doc_id] = (npass, removed, ct, len(ct))
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus)
+    def run(texts):
+        docs = list(enumerate(texts))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_passages, r.n_removed, r.clean_text, r.clean_chars)
+            for r in passage_scrub(df, w=w).collect()
+        }
+        assert got == replica(docs)
+
+    run()
