@@ -1518,6 +1518,46 @@ def q100_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup_stats(d).orderBy("doc_id")
 
 
+def _passage_segments(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """Shared segmentation kernel of the scrub family: one row per
+    segment (full w-word passages, is_tail=false, plus the trailing
+    <w-word remainder, is_tail=true; a short doc IS its remainder),
+    with 0-based in-doc position ``i``, the packed canonical key
+    ``k = id·2^20 + i`` (positions per doc bounded by 2^20 ≈ 10M
+    words at w=10), and the passage md5 ``ph``. Pure map-side
+    explode, linear in tokens/w."""
+    tail_struct = "named_struct('seg', concat_ws(' ', %s), 'is_tail', true)"
+    body = (
+        f"if(size(_w) < {w}, array({tail_struct % '_w'}), "
+        f"concat("
+        f"transform(sequence(1, size(_w) DIV {w}), i -> named_struct("
+        f"'seg', concat_ws(' ', slice(_w, (i-1)*{w} + 1, {w})), 'is_tail', false)), "
+        f"if(size(_w) % {w} = 0, array(), "
+        f"array({tail_struct % f'slice(_w, (size(_w) DIV {w})*{w} + 1, size(_w) % {w})'})"
+        f")))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(let_array(f"split({text_col}, ' ')", "_w", body))
+            ).alias("i", "s"),
+        )
+        .select(
+            F.col(id_col),
+            "i",
+            F.col("s.seg").alias("seg"),
+            F.col("s.is_tail").alias("is_tail"),
+        )
+        .withColumn(
+            "k", F.col(id_col).cast("bigint") * F.lit(1 << 20).cast("bigint") + F.col("i")
+        )
+        .withColumn("ph", F.md5("seg"))
+    )
+
+
 def passage_scrub(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", w: int = PASSAGE_W
 ) -> DataFrame:
@@ -1544,39 +1584,19 @@ def passage_scrub(
     Returns per doc: n_passages (full windows), n_removed, clean
     text, clean_chars.
     """
-    tail_struct = "named_struct('seg', concat_ws(' ', %s), 'is_tail', true)"
-    body = (
-        f"if(size(_w) < {w}, array({tail_struct % '_w'}), "
-        f"concat("
-        f"transform(sequence(1, size(_w) DIV {w}), i -> named_struct("
-        f"'seg', concat_ws(' ', slice(_w, (i-1)*{w} + 1, {w})), 'is_tail', false)), "
-        f"if(size(_w) % {w} = 0, array(), "
-        f"array({tail_struct % f'slice(_w, (size(_w) DIV {w})*{w} + 1, size(_w) % {w})'})"
-        f")))"
-    )
-    segs = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(
-                F.expr(let_array(f"split({text_col}, ' ')", "_w", body))
-            ).alias("i", "s"),
-        )
-        .select(
-            F.col(id_col),
-            "i",
-            F.col("s.seg").alias("seg"),
-            F.col("s.is_tail").alias("is_tail"),
-        )
-        .withColumn(
-            "k", F.col(id_col).cast("bigint") * F.lit(1 << 20).cast("bigint") + F.col("i")
-        )
-        .withColumn("ph", F.md5("seg"))
-    )
+    segs = _passage_segments(df, id_col, text_col, w)
     mins = (
         segs.filter(~F.col("is_tail")).groupBy("ph").agg(F.min("k").alias("mk"))
     )
-    joined = segs.join(mins, "ph", "left")
-    keep = F.col("is_tail") | (F.col("k") == F.col("mk"))
+    return _scrub_assemble(segs.join(mins, "ph", "left"), id_col)
+
+
+def _scrub_assemble(joined: DataFrame, id_col: str) -> DataFrame:
+    """Shared reassembly tail of the scrub family: keep tails and
+    canonical occurrences (k == mk; a NULL mk — passage unseen in the
+    reference set — also keeps), rebuild each doc's text in position
+    order, count removals. One shuffle keyed by the doc id."""
+    keep = F.col("is_tail") | F.col("mk").isNull() | (F.col("k") == F.col("mk"))
     return (
         joined.groupBy(id_col)
         .agg(
@@ -1596,6 +1616,45 @@ def passage_scrub(
         )
         .withColumn("clean_chars", F.length("clean_text").cast("bigint"))
     )
+
+
+def passage_scrub_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = PASSAGE_W,
+) -> DataFrame:
+    """Scrub an incoming BATCH against an existing BASE corpus without
+    ever re-scrubbing the base — q69's batch×base discipline at
+    passage granularity, and the deployment shape of q141: the base
+    was scrubbed when it was ingested; a daily crawl drop only needs
+    (a) passages already in the base removed (the base copy is
+    canonical by seniority) and (b) within-batch duplicates reduced to
+    their first occurrence. Tails are exempt exactly as in
+    :func:`passage_scrub`.
+
+    Scale: the base contributes ONE distinct-ph vocabulary frame with
+    a -1 sentinel key (always beats any batch key) — in production
+    this is the corpus's stored passage index, appended per drop,
+    never recomputed and NEVER joined base×base; the shuffle is keyed
+    by ph over base-vocab + batch passages, and reassembly shuffles
+    only the batch."""
+    base_ph = (
+        _passage_segments(base, id_col, text_col, w)
+        .filter(~F.col("is_tail"))
+        .select("ph")
+        .distinct()
+        .withColumn("mk", F.lit(-1).cast("bigint"))
+    )
+    segs = _passage_segments(batch, id_col, text_col, w)
+    batch_mins = (
+        segs.filter(~F.col("is_tail")).groupBy("ph").agg(F.min("k").alias("mk"))
+    )
+    mins = (
+        base_ph.unionByName(batch_mins).groupBy("ph").agg(F.min("mk").alias("mk"))
+    )
+    return _scrub_assemble(segs.join(mins, "ph", "left"), id_col)
 
 
 @register(
@@ -1645,6 +1704,80 @@ def q141_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return (
         passage_scrub(d)
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_removed",
+            F.md5("clean_text").alias("clean_md5"),
+            "clean_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q142_incremental_passage_scrub",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE doc_id % 5 = 4),
+seg AS (
+  SELECT doc_id, i - 1 AS i,
+         array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ') AS seg,
+         FALSE AS is_tail
+  FROM w, UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
+  WHERE len(ws) >= {PASSAGE_W}
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN len(ws) < {PASSAGE_W} THEN 0 ELSE len(ws) // {PASSAGE_W} END AS i,
+         array_to_string(
+           ws[CASE WHEN len(ws) < {PASSAGE_W} THEN 1
+                   ELSE (len(ws) // {PASSAGE_W})*{PASSAGE_W} + 1 END : len(ws)], ' ') AS seg,
+         TRUE AS is_tail
+  FROM w
+  WHERE len(ws) < {PASSAGE_W} OR len(ws) % {PASSAGE_W} <> 0
+),
+keyed AS (SELECT doc_id, i, seg, is_tail,
+                 doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg),
+basep AS (
+  SELECT DISTINCT
+         md5(array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ')) AS ph
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 4) b,
+       UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
+  WHERE len(ws) >= {PASSAGE_W}
+),
+mins AS (
+  SELECT ph, MIN(mk) AS mk FROM (
+    SELECT ph, CAST(-1 AS BIGINT) AS mk FROM basep
+    UNION ALL
+    SELECT ph, MIN(k) AS mk FROM keyed WHERE NOT is_tail GROUP BY ph
+  ) GROUP BY ph
+),
+j AS (SELECT keyed.*, mins.mk FROM keyed LEFT JOIN mins USING (ph)),
+o AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
+         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
+                             ' ' ORDER BY i), '') AS clean_text
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM o ORDER BY doc_id
+""",
+    doc="Incremental passage scrub (batch doc_id%5=4 vs base rest): "
+    "the daily-drop deployment shape of q141 — base passages win by "
+    "seniority via a -1 sentinel key (the base contributes only its "
+    "DISTINCT passage vocabulary, the stored corpus index — never "
+    "base×base work), within-batch dups reduce to first occurrence, "
+    "reassembly shuffles only the batch.",
+)
+def q142_incremental_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 4)
+    base = d.filter(F.col("doc_id") % 5 != 4)
+    return (
+        passage_scrub_incremental(base, batch)
         .select(
             "doc_id",
             "n_passages",

@@ -221,3 +221,35 @@ def test_passage_scrub_matches_python_replica(spark):
         assert got == replica(docs)
 
     run()
+
+
+def test_passage_scrub_incremental_semantics(spark):
+    """q142's batch×base contract (w=3): a batch passage present
+    anywhere in the base is removed (base wins by seniority, even
+    when the batch position key is smaller), within-batch duplicates
+    keep only the first occurrence, unseen passages and tails ride
+    through, and the base is never rewritten (operator returns batch
+    rows only)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        passage_scrub_incremental,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "x y z old stuff here")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "x y z fresh words tail"),   # first passage in base -> cut
+            (2, "a b c a b c"),              # within-batch self-dup
+            (3, "a b c"),                    # dup of doc 2's canonical -> cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_passages, r.n_removed, r.clean_text)
+        for r in passage_scrub_incremental(base, batch, w=3).collect()
+    }
+    assert set(out) == {1, 2, 3}, "only batch docs are rewritten"
+    assert out[1] == (2, 1, "fresh words tail")
+    assert out[2] == (2, 1, "a b c")
+    assert out[3] == (1, 1, "")
