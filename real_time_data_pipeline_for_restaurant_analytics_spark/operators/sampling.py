@@ -499,3 +499,97 @@ LIMIT {_WPS_K}
 def q89_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return weighted_priority_sample(d, "doc_id", "n_chars", _WPS_K)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source TOKEN-budget cap — how a training mixture is
+    actually specified ("N billion tokens of source X"), where q78's
+    domain cap counts documents: walk each source's docs in the
+    deterministic md5-rank order and keep every doc whose running
+    token total BEFORE it is still under the budget (next-fit
+    boundary, same start-offset convention as q137's packer — the doc
+    that crosses the line is the last one kept, so the budget is
+    always reached when the source can fill it).
+
+    One shuffle, partitioned by source, ROWS-frame running sum over
+    the rank order (the q137 lesson: the default RANGE frame would
+    pool md5-tie peers). Token counts are whitespace tokens here; any
+    token-count column can be supplied upstream. Returns the kept
+    docs with their rank and pre-start offset."""
+    rnd = F.md5(F.concat(F.lit("tok:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(rnd, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    return (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("start_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .filter(F.col("start_tokens") < F.lit(int(budget_tokens)))
+    )
+
+
+_TOKEN_BUDGET = 8000  # per-source token budget at gate scale
+
+
+@register(
+    "q143_token_budget_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         md5('tok:' || CAST(doc_id AS VARCHAR)) AS rnd
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY rnd, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tokens
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(CASE WHEN start_tokens < {_TOKEN_BUDGET} THEN 1 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN start_tokens < {_TOKEN_BUDGET} THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(COUNT(CASE WHEN start_tokens >= {_TOKEN_BUDGET} THEN 1 END) AS BIGINT) AS dropped_docs
+FROM r GROUP BY source ORDER BY source
+""",
+    doc="Per-source token-budget sampling (the mixture spec 'N tokens "
+    "of source X'): deterministic md5-rank walk keeps docs while the "
+    "running pre-doc token total is under budget (next-fit boundary); "
+    "per-source kept/dropped accounting. One source-keyed shuffle with "
+    "a ROWS-frame running sum.",
+)
+def q143_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept_flag = F.col("start_tokens") < _TOKEN_BUDGET
+    # the registered AUDIT needs dropped-doc accounting too, so it
+    # computes the same flags over ALL docs instead of calling the
+    # filtering operator (token_budget_sample itself is pinned by the
+    # unit test; identical window arithmetic)
+    rnd = F.md5(F.concat(F.lit("tok:"), F.col("doc_id").cast("string")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(rnd, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    all_docs = (
+        d.withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+        .withColumn("start_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    return (
+        all_docs.groupBy("source")
+        .agg(
+            F.sum(F.when(kept_flag, 1).otherwise(0)).cast("bigint").alias("kept_docs"),
+            F.sum(F.when(kept_flag, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(kept_flag, 0).otherwise(1)).cast("bigint").alias("dropped_docs"),
+        )
+        .orderBy("source")
+    )

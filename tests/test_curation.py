@@ -246,3 +246,33 @@ def test_dataset_card_short_doc_lm_edge(spark):
     # (b) the en group's mean comes from the scoreable doc only,
     # so it is non-NULL wherever doc 3 landed
     assert any(m is not None for m in by_lang["en"][2])
+
+
+def test_token_budget_sample_next_fit_boundary(spark):
+    """q143's operator half: docs are taken in the deterministic
+    md5-rank order and kept while the PRE-doc running token total is
+    under budget — the doc that crosses the line is the last one kept,
+    so a fillable source always reaches the budget; a source smaller
+    than the budget is kept whole; reruns pick the identical set."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big", " ".join(["w"] * 10)) for i in range(20)]  # 200 tokens
+        + [(100 + i, "tiny", "a b c") for i in range(3)],      # 9 tokens
+        "doc_id long, source string, text string",
+    )
+    kept = token_budget_sample(docs, budget_tokens=55)
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # big: 10-token docs, starts 0,10,20,30,40,50 < 55 -> exactly 6 kept
+    assert len(by_src["big"]) == 6
+    assert sum(r.n_tokens for r in by_src["big"]) == 60  # boundary doc kept
+    # tiny: 9 tokens total < budget -> kept whole
+    assert len(by_src["tiny"]) == 3
+    # determinism: same set on rerun
+    again = sorted(r.doc_id for r in token_budget_sample(docs, 55).collect())
+    assert again == sorted(r.doc_id for r in rows)
