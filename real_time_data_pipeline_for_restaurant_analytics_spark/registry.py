@@ -10,6 +10,10 @@ driver's order-insensitive value-hash matches.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -39,6 +43,82 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder]
     return deco
 
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def driver_sample_history(root: str = _ROOT) -> dict[str, tuple[int, bool]]:
+    """``{query_name: (last_round_sampled, green_at_that_round)}`` from
+    the driver's historical ``CORRECTNESS_r*.json`` artifacts.
+
+    ``green`` means the row's err is None (or the by-design
+    ``no_oracle`` rows-only check) and no match flag is False. Queries
+    never sampled by any round are absent. Missing/corrupt artifacts
+    are skipped — in a fresh checkout this returns ``{}`` and the
+    rotation degrades to plain name order.
+    """
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            prev = hist.get(name)
+            if prev is not None and rnd < prev[0]:
+                continue
+            green = (
+                isinstance(row, dict)
+                and row.get("err") in (None, "no_oracle")
+                and all(
+                    row.get(k) is not False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+            )
+            hist[name] = (rnd, green)
+    return hist
+
+
+def rotation_order(
+    names: list[str], history: dict[str, tuple[int, bool]] | None = None
+) -> list[str]:
+    """Deterministic driver-sample rotation (round-7 verdict item 1).
+
+    The driver's per-round CORRECTNESS check takes the FIRST ~50
+    entries of ``queries()`` in dict order, so the registry's
+    iteration order IS the sample manifest. Order so the prefix
+    rotates through the whole registry:
+
+    1. queries whose most recent driver sample was NOT green (a fixed
+       defect awaiting hard re-confirmation — e.g. the round-1 hash
+       failures q23/q24/q44/q47, fixed in round 2 but never resampled);
+    2. queries never driver-sampled in any round (name order);
+    3. green queries, least-recently-sampled round first.
+
+    Ties break by name, so the order is stable across calls and
+    checkouts. Reference analog: the probe-SELECT verification habit
+    after each entity load (``02 Location Entity.sql:50,83``) — every
+    surface gets re-probed, not just the ones loaded first.
+    """
+    if history is None:
+        history = driver_sample_history()
+
+    def key(n: str) -> tuple[int, int, str]:
+        entry = history.get(n)
+        if entry is None:
+            return (1, 0, n)
+        rnd, green = entry
+        return (2, rnd, n) if green else (0, rnd, n)
+
+    return sorted(names, key=key)
+
+
 def all_queries() -> dict[str, Query]:
     # Import registrars lazily to avoid import cycles; each module
     # registers its queries at import time.
@@ -60,7 +140,7 @@ def all_queries() -> dict[str, Query]:
     )
     from .sources import corpus  # noqa: F401
 
-    return dict(_REGISTRY)
+    return {name: _REGISTRY[name] for name in rotation_order(list(_REGISTRY))}
 
 
 def queries() -> dict[str, Builder]:

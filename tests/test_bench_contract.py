@@ -8,10 +8,14 @@ worst-case line stays under the buffer with headroom.
 from __future__ import annotations
 
 import json
-
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# repo root derived from this file, not hardcoded (ADVICE r7): the
+# test must import bench.py from whatever checkout it lives in.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from bench import TAIL_BUFFER  # single source of truth with bench.py
 
@@ -30,9 +34,6 @@ def test_compact_bench_line_fits_tail_buffer():
     drops the fastest queries with an omitted count, rather than
     overflowing (round-6: the fixed 2-dp format re-overflowed the
     worst case as the registry passed ~136 queries)."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from bench import summary_line
 
     names = sorted(all_queries())
@@ -62,9 +63,6 @@ def test_compact_line_bounded_under_systemic_errors():
     """A systemic failure (every query erroring) must still produce a
     parseable line inside the tail buffer: the error section is a
     bounded sample + count, never the full map."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from bench import summary_line
 
     names = sorted(all_queries())
@@ -96,18 +94,23 @@ def test_sample_rotation_covers_registry():
     registry = sorted(all_queries())
     history = sampled_history()
     never = {n for n in registry if n not in history}
+    failed = {n for n, (_, green) in history.items() if not green and n in set(registry)}
     manifest = propose(registry, history, 50)
-    # (a) never-sampled queries fill the proposal first
-    expect_new = min(50, len(never))
+    # (a) failed-at-last-sample queries lead (hard re-confirmation),
+    #     then never-sampled queries fill the rest of the proposal
+    assert set(manifest[: len(failed)]) == failed or not failed, (
+        "queries whose last driver sample was non-green must lead the proposal"
+    )
+    expect_new = min(50 - len(failed), len(never))
     assert len(set(manifest) & never) == expect_new, (
         "rotation must prioritize queries no CORRECTNESS round ever checked"
     )
     # (b) simulated rotation covers everything within ceil(N/50) rounds
-    sim = dict(history)
+    sim: dict = dict(history)
     covered = set(sim)
     rounds_needed = 0
     max_rounds = -(-len(registry) // 50)
-    base_round = max(sim.values(), default=0)
+    base_round = max((v[0] for v in sim.values()), default=0)
     for rnd in range(1, max_rounds + 1):
         pick = propose(registry, sim, 50)
         for n in pick:
@@ -120,6 +123,67 @@ def test_sample_rotation_covers_registry():
         f"rotation failed to cover {len(set(registry) - covered)} queries "
         f"in {rounds_needed} rounds"
     )
+
+
+def test_registry_order_is_the_rotation_manifest():
+    """Round-8 (verdict item 1): the driver's CORRECTNESS sample is the
+    FIRST ~50 entries of ``queries()`` in dict order, so the registry
+    must iterate in rotation order — failed-at-last-sample first, then
+    never-driver-sampled, then stalest-green. Otherwise the manifest is
+    just a printout nobody applies."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        driver_sample_history,
+        queries,
+        rotation_order,
+    )
+
+    live = list(queries().keys())
+    assert live == rotation_order(live), "queries() must iterate in rotation order"
+    hist = driver_sample_history()
+    failed = [n for n in live if n in hist and not hist[n][1]]
+    never = [n for n in live if n not in hist]
+    # the sample prefix = every fixed-but-unconfirmed query, then
+    # never-sampled queries (as many as fit)
+    prefix = live[: min(50, len(failed) + len(never))]
+    assert prefix[: len(failed)] == sorted(failed, key=lambda n: (hist[n][0], n))
+    assert all(n in never for n in prefix[len(failed) :])
+
+
+def test_rotation_green_history_parsing():
+    """driver_sample_history must read green-ness, not just presence:
+    a hash_match=False row at the last sample marks the query
+    non-green; a no_oracle rows-only row stays green; a later green
+    round supersedes an earlier failure."""
+    import tempfile
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        driver_sample_history,
+    )
+
+    rows = {
+        "q_fail": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+        "q_green": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "q_rows_only": {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "err": "no_oracle",
+        },
+        "q_err": {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"},
+    }
+    later = {
+        "q_fail": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    }
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "CORRECTNESS_r01.json"), "w") as f:
+            json.dump(rows, f)
+        with open(os.path.join(d, "CORRECTNESS_r02.json"), "w") as f:
+            json.dump(later, f)
+        hist = driver_sample_history(d)
+    assert hist["q_fail"] == (2, True), "later green round supersedes the r01 failure"
+    assert hist["q_green"] == (1, True)
+    assert hist["q_rows_only"] == (1, True), "no_oracle rows-only is green by design"
+    assert hist["q_err"] == (1, False)
 
 
 def test_last_resort_render_is_length_checked():
