@@ -1552,7 +1552,38 @@ def _passage_segments(
             F.col("s.is_tail").alias("is_tail"),
         )
         .withColumn(
-            "k", F.col(id_col).cast("bigint") * F.lit(1 << 20).cast("bigint") + F.col("i")
+            # Packed-key range contract (ADVICE r7): the bigint key
+            # k = id·2^20 + i is only injective for 0 <= id < 2^43 and
+            # i < 2^20, and the incremental path's -1 base sentinel
+            # only wins if every batch key is non-negative. Outside
+            # that range canonical selection silently corrupts, so
+            # fail LOUDLY at key-build time. The guard lives inside
+            # the k expression itself (not a droppable audit column)
+            # so column pruning can never elide it; two integer
+            # comparisons per segment, fully inside codegen.
+            "k",
+            F.when(
+                (F.col(id_col).cast("bigint") < 0)
+                | (F.col(id_col).cast("bigint") >= F.lit(1 << 43).cast("bigint"))
+                | (F.col("i") >= F.lit(1 << 20)),
+                F.raise_error(
+                    F.concat(
+                        F.lit("passage_scrub packed-key overflow: doc_id="),
+                        F.col(id_col).cast("string"),
+                        F.lit(" position="),
+                        F.col("i").cast("string"),
+                        F.lit(
+                            " outside [0, 2^43) x [0, 2^20) — the packed "
+                            "canonical key and the -1 base sentinel require "
+                            "non-negative ids in range (re-key the corpus or "
+                            "widen the position field)"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(
+                F.col(id_col).cast("bigint") * F.lit(1 << 20).cast("bigint")
+                + F.col("i")
+            ),
         )
         .withColumn("ph", F.md5("seg"))
     )

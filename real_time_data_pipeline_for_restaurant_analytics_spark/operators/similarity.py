@@ -650,11 +650,16 @@ WITH base AS (
   JOIN base q ON q.vec_id = p.query_id
   JOIN base c ON c.vec_id = a.vec_id
 ), banded AS (
-  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_r
+  SELECT query_id, neighbor_id, cos_raw, round(cos_raw, 6) AS cos_r
   FROM scored {band_where}
 ), ranked AS (
+  -- rank on the RAW cosine (ADVICE r7): the Spark side (ivf_topk /
+  -- hard_negative_mining_ivf) windows on unrounded cos_sim, so
+  -- ranking the oracle on the 6-dp-rounded value would order two
+  -- in-band neighbors differently when their cosines differ only
+  -- past the 6th decimal. cos_micro stays derived from cos_r.
   SELECT query_id, neighbor_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS BIGINT) AS rank,
          CAST(FLOOR(cos_r * 1000000 + 0.5) AS BIGINT) AS cos_micro
   FROM banded
 )

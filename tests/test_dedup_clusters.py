@@ -154,6 +154,40 @@ def test_passage_scrub_semantics(spark):
     assert (r.n_passages, r.n_removed, r.clean_text) == (2, 1, "x y z end")
 
 
+def test_passage_scrub_packed_key_guard(spark):
+    """ADVICE r7: the packed key k = id·2^20 + i silently corrupts
+    canonical selection for negative or >= 2^43 doc ids (negative ids
+    also beat the incremental -1 base sentinel). The kernel must fail
+    LOUDLY at key-build time instead."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        passage_scrub,
+        passage_scrub_incremental,
+    )
+
+    for bad_id in (-1, 1 << 43):
+        bad = spark.createDataFrame(
+            [(bad_id, "a b c d e f")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception) as exc:
+            passage_scrub(bad, w=3).collect()
+        assert "packed-key overflow" in str(exc.value)
+    # the incremental path shares the guard on its batch side
+    base = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    batch = spark.createDataFrame([(-7, "a b c x y z")], "doc_id long, text string")
+    with pytest.raises(Exception) as exc:
+        passage_scrub_incremental(base, batch, w=3).collect()
+    assert "packed-key overflow" in str(exc.value)
+    # in-range ids at the boundary still work (id = 2^43 - 1)
+    ok = spark.createDataFrame(
+        [((1 << 43) - 1, "a b c d e")], "doc_id long, text string"
+    )
+    row = passage_scrub(ok, w=3).collect()[0]
+    assert (row.n_passages, row.n_removed) == (1, 0)
+
+
 def test_passage_scrub_matches_python_replica(spark):
     """Property-pin q141's kernel against a pure-Python replica over
     random small-alphabet corpora (repeated words force cross- and

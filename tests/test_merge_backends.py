@@ -249,6 +249,232 @@ def test_delta_null_key_guard_is_loud(spark):
     DeltaMergeBackend._assert_non_null_keys(ok, ["id"], "apply_scd2")
 
 
+def test_bucketed_spec_written_eagerly_at_construction(spark, tmp_path):
+    """ADVICE r7: the spec sidecar must persist at CONSTRUCTION, not at
+    the first merge — otherwise two writers can open the same path
+    with incompatible layouts and both pass validation."""
+    import os
+
+    path = str(tmp_path / "dim")
+    BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+    assert os.path.exists(os.path.join(path, "_bucketspec.json")), (
+        "spec must be written before any merge"
+    )
+    # a second opener with a different layout is refused IMMEDIATELY
+    with pytest.raises(ValueError, match="bucket"):
+        BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=16)
+    # and the spec survives the initial write's mode=overwrite
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+    be.merge_upsert(
+        spark.createDataFrame([(1, "a")], "id long, v string"), ["id"], ["v"]
+    )
+    assert os.path.exists(os.path.join(path, "_bucketspec.json"))
+
+
+def test_bucketed_custom_bucket_sql_range_validated(spark, tmp_path):
+    """ADVICE r7: a custom bucket_sql yielding NULL or a value outside
+    [0, n_buckets) must fail loudly — NULL lands in
+    __HIVE_DEFAULT_PARTITION__ and out-of-range values mint phantom
+    partitions, silently breaking co-location. Both the merge path
+    (via the touched-bucket job) and the initial-write path (via the
+    written partition dirs) are guarded."""
+    # initial write with an out-of-range expression
+    be = BucketPrunedMergeBackend(
+        spark,
+        str(tmp_path / "d1"),
+        key=["id"],
+        n_buckets=2,
+        bucket_sql="cast(id as int)",
+    )
+    bad_init = spark.createDataFrame([(0, "a"), (5, "b")], "id long, v string")
+    with pytest.raises(ValueError, match="phantom"):
+        be.merge_upsert(bad_init, ["id"], ["v"])
+
+    # merge path: in-range initial load, then a batch that maps outside
+    be2 = BucketPrunedMergeBackend(
+        spark,
+        str(tmp_path / "d2"),
+        key=["id"],
+        n_buckets=4,
+        bucket_sql="cast(id as int)",
+    )
+    be2.merge_upsert(
+        spark.createDataFrame([(0, "a"), (3, "b")], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    with pytest.raises(ValueError, match="phantom"):
+        be2.merge_upsert(
+            spark.createDataFrame([(9, "x")], "id long, v string"), ["id"], ["v"]
+        )
+    # NULL bucket (NULL key under a non-total expression) is refused too
+    with pytest.raises(ValueError, match="NULL"):
+        be2.merge_upsert(
+            spark.createDataFrame([(None, "x")], "id long, v string"), ["id"], ["v"]
+        )
+    # the default hash bucketing keeps tolerating NULL keys (total fn)
+    be3 = BucketPrunedMergeBackend(spark, str(tmp_path / "d3"), key=["id"], n_buckets=4)
+    out = be3.merge_upsert(
+        spark.createDataFrame([(None, "x")], "id long, v string"), ["id"], ["v"]
+    )
+    assert out.count() == 1
+
+
+def _mk_backend_with_data(spark, tmp_path, n=32, n_buckets=8):
+    be = BucketPrunedMergeBackend(
+        spark, str(tmp_path / "dim"), key=["id"], n_buckets=n_buckets
+    )
+    init = spark.createDataFrame([(i, "old") for i in range(n)], "id long, v string")
+    be.merge_upsert(init, ["id"], ["v"])
+    return be
+
+
+def _leftovers(path):
+    import os
+
+    return [
+        e
+        for e in os.listdir(path)
+        if e.startswith(("_staged-", "_trash-", "_commit-"))
+    ]
+
+
+def test_torn_merge_healed_crash_before_first_swap(spark, tmp_path, monkeypatch):
+    """Verdict r7 item 2, crash point A: manifest written, ZERO buckets
+    swapped. Reopen detects the torn merge and rolls the whole
+    transaction FORWARD from the staged dir; no recovery material
+    leaks."""
+    import glob
+    import os
+
+    be = _mk_backend_with_data(spark, tmp_path)
+    batch = spark.createDataFrame([(i, "new") for i in range(32)], "id long, v string")
+
+    def boom(self, staged, entry):
+        raise OSError("injected crash before first swap")
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_swap_bucket", boom)
+    with pytest.raises(OSError, match="injected"):
+        be.merge_upsert(batch, ["id"], ["v"])
+    monkeypatch.undo()
+    assert glob.glob(os.path.join(be.path, "_commit-*.json")), (
+        "the commit manifest must survive the crash — it IS the detector"
+    )
+
+    be2 = BucketPrunedMergeBackend(spark, be.path, key=["id"], n_buckets=8)
+    got = {r.id: r.v for r in be2.snapshot().collect()}
+    assert got == {i: "new" for i in range(32)}, "heal must roll forward"
+    assert _leftovers(be2.path) == []
+
+
+def test_torn_merge_healed_crash_mid_swap(spark, tmp_path, monkeypatch):
+    """Crash point B: some buckets landed, some still staged (the
+    classic torn merge). Reopen rolls the REMAINING buckets forward —
+    including one whose live dir was already displaced to trash by a
+    hard kill mid-swap."""
+    import os
+
+    be = _mk_backend_with_data(spark, tmp_path)
+    batch = spark.createDataFrame([(i, "new") for i in range(32)], "id long, v string")
+    real_swap = BucketPrunedMergeBackend._swap_bucket
+    calls = {"n": 0}
+
+    def crash_after_two(self, staged, entry):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise OSError("injected mid-swap crash")
+        return real_swap(self, staged, entry)
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_swap_bucket", crash_after_two)
+    with pytest.raises(OSError, match="injected"):
+        be.merge_upsert(batch, ["id"], ["v"])
+    monkeypatch.undo()
+
+    # simulate the hard-kill intermediate state on one unswapped
+    # manifest bucket: live displaced to trash, staged not yet landed
+    import json
+
+    mpath = [os.path.join(be.path, e) for e in os.listdir(be.path) if e.startswith("_commit-")][0]
+    man = json.load(open(mpath))
+    staged = os.path.join(be.path, man["staged"])
+    pending = [e for e in sorted(man["buckets"]) if os.path.exists(os.path.join(staged, e))]
+    victim = pending[0]
+    live = os.path.join(be.path, victim)
+    os.replace(live, os.path.join(be.path, "_trash-" + victim.replace("=", "-")))
+
+    be2 = BucketPrunedMergeBackend(spark, be.path, key=["id"], n_buckets=8)
+    got = {r.id: r.v for r in be2.snapshot().collect()}
+    assert got == {i: "new" for i in range(32)}, "every bucket must converge to the merge result"
+    assert _leftovers(be2.path) == []
+
+
+def test_torn_merge_healed_crash_after_last_swap(spark, tmp_path, monkeypatch):
+    """Crash point C: every bucket landed but the staged dir / manifest
+    cleanup didn't finish. Reopen recognizes the completed transaction,
+    clears the leftovers, and changes nothing in the table."""
+    import os
+
+    be = _mk_backend_with_data(spark, tmp_path)
+    batch = spark.createDataFrame([(i, "new") for i in range(32)], "id long, v string")
+    real_remove = os.remove
+
+    def crash_on_manifest_delete(p):
+        if "_commit-" in str(p):
+            raise OSError("injected crash before manifest delete")
+        return real_remove(p)
+
+    monkeypatch.setattr(os, "remove", crash_on_manifest_delete)
+    with pytest.raises(OSError, match="injected"):
+        be.merge_upsert(batch, ["id"], ["v"])
+    monkeypatch.undo()
+
+    be2 = BucketPrunedMergeBackend(spark, be.path, key=["id"], n_buckets=8)
+    got = {r.id: r.v for r in be2.snapshot().collect()}
+    assert got == {i: "new" for i in range(32)}
+    assert _leftovers(be2.path) == []
+
+
+def test_torn_merge_corrupt_staged_rolls_back(spark, tmp_path, monkeypatch):
+    """A staged bucket contradicting its manifest inventory must roll
+    BACK (restore the trash copy) rather than promote corrupt data;
+    intact staged buckets in the same transaction still roll forward."""
+    import json
+    import os
+
+    be = _mk_backend_with_data(spark, tmp_path)
+    batch = spark.createDataFrame([(i, "new") for i in range(32)], "id long, v string")
+
+    def boom(self, staged, entry):
+        raise OSError("injected crash before first swap")
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_swap_bucket", boom)
+    with pytest.raises(OSError, match="injected"):
+        be.merge_upsert(batch, ["id"], ["v"])
+    monkeypatch.undo()
+
+    mpath = [os.path.join(be.path, e) for e in os.listdir(be.path) if e.startswith("_commit-")][0]
+    man = json.load(open(mpath))
+    staged = os.path.join(be.path, man["staged"])
+    victim = sorted(man["buckets"])[0]
+    # corrupt the victim's staged copy AND displace its live dir to
+    # trash (the worst reachable pre-land state)
+    vdir = os.path.join(staged, victim)
+    data_file = next(f for f in os.listdir(vdir) if not f.startswith((".", "_")))
+    with open(os.path.join(vdir, data_file), "ab") as f:
+        f.write(b"CORRUPT")
+    os.replace(
+        os.path.join(be.path, victim),
+        os.path.join(be.path, "_trash-" + victim.replace("=", "-")),
+    )
+
+    be2 = BucketPrunedMergeBackend(spark, be.path, key=["id"], n_buckets=8)
+    got = {r.id: r.v for r in be2.snapshot().collect()}
+    assert set(got) == set(range(32)), "no key may vanish"
+    assert "old" in got.values(), "corrupt bucket must roll back to pre-merge rows"
+    assert "new" in got.values(), "intact staged buckets must roll forward"
+    assert _leftovers(be2.path) == []
+
+
 def test_bucketed_swap_failure_never_loses_a_bucket(spark, tmp_path, monkeypatch):
     """Round-7 review finding: a failed staged->live rename AFTER the
     live bucket dir was displaced to trash must not destroy the
