@@ -1,0 +1,145 @@
+"""Streaming deployment of the incremental passage scrub — q142's
+batch×base discipline inside ``foreachBatch`` (round-8, verdict item
+5).
+
+The production shape: a file-source stream watches a landing
+directory of daily crawl drops; each micro-batch scrubs the new
+documents against the STORED passage-vocabulary index (the corpus's
+passage md5 set, appended per drop — never recomputed from the base
+corpus, never joined base×base), writes the cleaned documents, and
+appends the drop's own vocabulary so the next drop dedups against it.
+Reference analog: the C1→C4 stream→merge loop (`with procedures/
+order_proc.sql:96-309`) — a stream drained per cadence into an
+idempotent state-advancing merge; here the "dim" is the passage
+index and the "merge" is the scrub rewrite.
+
+Exactly-once discipline (same contract as ``ingest_stream``):
+
+- the CHECKPOINT makes file consumption exactly-once — a restarted
+  stream never re-reads a consumed drop;
+- the foreachBatch body is IDEMPOTENT under replay (Structured
+  Streaming re-runs a batch whose commit didn't land): both sinks
+  are hive-partitioned by ``batch_id`` and written with dynamic
+  partition overwrite, so a replay overwrites its own partition
+  byte-for-byte instead of appending duplicates;
+- the index read EXCLUDES the current batch_id partition — a crash
+  after the index write but before the checkpoint commit would
+  otherwise replay the batch against its OWN vocabulary and scrub
+  every passage it contains (the -1 sentinel beats every in-batch
+  key). The partition filter prunes at the directory level, so the
+  exclusion is free.
+
+Scale: identical to q142 — the index contributes one distinct-ph
+frame per prior drop (the stored corpus index), the shuffle is keyed
+by ph over index+batch passages, and reassembly shuffles only the
+batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import PASSAGE_W, _passage_segments, _scrub_assemble
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _index_exists(index_dir: str) -> bool:
+    return os.path.isdir(index_dir) and any(
+        e.startswith("batch_id=") for e in os.listdir(index_dir)
+    )
+
+
+def scrub_microbatch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = PASSAGE_W,
+) -> None:
+    """One drop's scrub: q142's kernel with the stored index as the
+    base vocabulary. Idempotent under replay (see module docstring);
+    callable directly for crash-replay tests."""
+    segs = _passage_segments(batch, id_col, text_col, w)
+    batch_mins = (
+        segs.filter(~F.col("is_tail")).groupBy("ph").agg(F.min("k").alias("mk"))
+    )
+    if _index_exists(index_dir):
+        base_ph = (
+            spark.read.parquet(index_dir)
+            # exclude our own (possibly crash-leftover) partition:
+            # replay must scrub against PRIOR drops only
+            .filter(F.col("batch_id") != F.lit(int(batch_id)))
+            .select("ph")
+            .distinct()
+            .withColumn("mk", F.lit(-1).cast("bigint"))
+        )
+        mins = (
+            base_ph.unionByName(batch_mins).groupBy("ph").agg(F.min("mk").alias("mk"))
+        )
+    else:
+        mins = batch_mins
+    out = _scrub_assemble(segs.join(mins, "ph", "left"), id_col).withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("bigint")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    # vocabulary append AFTER the scrub write: a crash between the two
+    # replays into the same partitions, converging to the same state
+    (
+        segs.filter(~F.col("is_tail"))
+        .select("ph")
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_dir)
+    )
+
+
+def scrub_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = PASSAGE_W,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Start the scrub loop over a landing dir of JSON-lines drops
+    (``{"doc_id": ..., "text": ...}``), one micro-batch per drop by
+    default (``maxFilesPerTrigger=1`` — each daily file scrubs against
+    everything before it, exactly like replaying q142 day by day).
+    ``availableNow`` drains the backlog and stops — the daily-task
+    cadence of the reference, run on demand."""
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(landing_dir)
+    )
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        scrub_microbatch(
+            spark, batch, batch_id, out_dir, index_dir, id_col, text_col, w
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

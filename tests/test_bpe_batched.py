@@ -111,6 +111,63 @@ def test_batch_m1_replays_sequential_trainer(spark):
     assert seq == bat
 
 
+def test_adaptive_cand_k_grows_until_batch_realizes(spark):
+    """Round-8 (verdict item 4): with cand_k=None, a conflict-dense
+    candidate pool (every top pair shares the symbol 'x') must grow
+    the pool until the realized batch reaches 0.8*M — and the grown
+    result must equal a single fixed pass at the final pool size
+    (prefix stability), with the growth visible in round_stats."""
+    # 12 distinct x-words saturate the 3*M=12 base pool (all conflict
+    # on x, so only rank 1 is acceptable); the disjoint pairs
+    # pq/rs/tu/vw sit just below them in rank
+    xwords = [f"x{c}" for c in "abcdefghijkl"]
+    texts = [" ".join(xwords)] * 10 + ["pq rs tu vw"] * 2
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    stats: list = []
+    adaptive = [
+        (r.round, r.sel, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges_batched(
+            docs, n_rounds=1, batch_m=4, cand_k=None, round_stats=stats
+        ).collect()
+    ]
+    (rnd, final_k, realized) = stats[0]
+    assert rnd == 1
+    assert final_k > 12, "pool must have grown beyond the 3*M start"
+    assert realized >= 0.8 * 4, "growth must realize the batch floor"
+    # fixed single pass at the final pool size gives the same batch
+    fixed = [
+        (r.round, r.sel, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges_batched(
+            docs, n_rounds=1, batch_m=4, cand_k=final_k
+        ).collect()
+    ]
+    assert adaptive == fixed, "adaptive growth must be prefix-stable"
+    # and the base pool really was conflict-starved (the reason to grow)
+    starved = bpe_train_merges_batched(
+        docs, n_rounds=1, batch_m=4, cand_k=12
+    ).count()
+    assert starved < 0.8 * 4
+    # default adaptivity never fires when the base pool realizes:
+    # explicit-k q138 semantics == adaptive on a conflict-light corpus
+    light = ["ab cd ef gh ij kl"] * 4
+    ldocs = spark.createDataFrame([(t,) for t in light], "text string")
+    lstats: list = []
+    got = [
+        tuple(r)
+        for r in bpe_train_merges_batched(
+            ldocs, n_rounds=2, batch_m=4, cand_k=None, round_stats=lstats
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in bpe_train_merges_batched(
+            ldocs, n_rounds=2, batch_m=4, cand_k=12
+        ).collect()
+    ]
+    assert got == want
+    assert all(k == 12 for _, k, _ in lstats)
+
+
 def test_accepted_batch_counts_stay_exact_after_application(spark):
     """Disjointness contract: every accepted pair's reported count
     equals the count the SEQUENTIAL trainer would see when it reaches

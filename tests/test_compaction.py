@@ -247,6 +247,103 @@ def test_compact_files_groups_out_counts_real_groups(spark, tmp_path):
     assert spark.read.parquet(dst).count() == 20010
 
 
+def test_compact_files_walks_partitioned_layout(spark, tmp_path):
+    """Round-8 (verdict item 3): a hive-partitioned source
+    (part=.../ *.parquet — the form a real lakehouse OPTIMIZE walks)
+    compacts per partition with the shared kernel: one file per
+    partition-group leaf, planner rows == executor groups, content
+    set-identical, per-partition audit counts carried in the stats."""
+    import os
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 6000).selectExpr(
+        "id", "concat('row-', id) AS payload", "cast(id % 3 as int) AS part"
+    )
+    df.repartition(8).write.partitionBy("part").parquet(src)
+    part_dirs = sorted(d for d in os.listdir(src) if d.startswith("part="))
+    assert len(part_dirs) == 3
+    n_small = sum(
+        1
+        for d in part_dirs
+        for f in os.listdir(os.path.join(src, d))
+        if f.endswith(".parquet")
+    )
+    assert n_small >= 12, "fixture must be fragmented in every partition"
+
+    per_part_bytes = max(
+        sum(
+            os.path.getsize(os.path.join(src, d, f))
+            for f in os.listdir(os.path.join(src, d))
+            if f.endswith(".parquet")
+        )
+        for d in part_dirs
+    )
+    target = per_part_bytes // 2 + 1  # ~2 groups in the largest partition
+    stats = compact_files(spark, src, dst, target)
+    assert stats["files_in"] == n_small
+    assert stats["partitions"] == 3
+    assert stats["plan_rows"] == stats["groups_out"], (
+        "what executes must be what the planner predicted"
+    )
+    assert stats["rows"] == 6000
+
+    # layout: dst/part=v/out_group=g/ with exactly ONE file per leaf
+    leaves = 0
+    for d in sorted(os.listdir(dst)):
+        if not d.startswith("part="):
+            continue
+        gdirs = [g for g in os.listdir(os.path.join(dst, d)) if g.startswith("out_group=")]
+        assert gdirs, f"partition {d} lost its groups"
+        for g in gdirs:
+            pq = [
+                f
+                for f in os.listdir(os.path.join(dst, d, g))
+                if f.endswith(".parquet")
+            ]
+            assert len(pq) == 1, f"{d}/{g} must hold exactly one compacted file"
+            leaves += 1
+    assert leaves == stats["groups_out"]
+
+    before = sorted(tuple(r) for r in df.collect())
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dst).select("id", "payload", "part").collect()
+    )
+    assert before == after
+
+
+def test_compact_files_partitioned_rejects_nested_and_mixed(spark, tmp_path):
+    """The partition walk is one level with one column: deeper trees or
+    mixed partition columns must fail loudly rather than silently
+    escaping the listing."""
+    import os
+
+    import pytest
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "deep")
+    df = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 2 as int) AS a", "cast(id % 3 as int) AS b"
+    )
+    df.write.partitionBy("a", "b").parquet(src)
+    with pytest.raises(ValueError, match="nested"):
+        compact_files(spark, src, str(tmp_path / "d1"), 1 << 20)
+
+    src2 = str(tmp_path / "mixed")
+    os.makedirs(os.path.join(src2, "a=1"))
+    os.makedirs(os.path.join(src2, "b=1"))
+    with pytest.raises(ValueError, match="mix"):
+        compact_files(spark, src2, str(tmp_path / "d2"), 1 << 20)
+
+
 def test_compact_files_fails_loudly_on_unlisted_rows(spark, tmp_path):
     """Rows readable by the scan but absent from the listing must abort
     with the audit error, never silently vanish from the rewrite.
