@@ -145,6 +145,58 @@ def test_expression_duplication_budget(spark, name, expr, budget):
     )
 
 
+def test_scrub_family_exchange_budget(spark):
+    """Round-8 (verdict item 8): the scrub/sampler kernels carry
+    LITERAL shuffle budgets, not just prose claims (the q140
+    treatment). passage_scrub = 3 hash Exchanges (ph-keyed canonical
+    MIN, ph-keyed join-back, doc-keyed reassembly); the incremental
+    variant adds exactly one more (the base-vocabulary distinct);
+    token_budget_sample = 1 (the source-keyed rank walk). Every
+    Exchange must be hash-partitioned on a documented key — no
+    SinglePartition round-trips, no extra shuffles smuggled in by a
+    refactor."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        passage_scrub,
+        passage_scrub_incremental,
+    )
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f", "web"), (2, "a b c x y z", "news")],
+        "doc_id long, text string, source string",
+    )
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        return [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "Reused" not in ln
+        ]
+
+    ex141 = exchanges(passage_scrub(docs, w=3))
+    assert len(ex141) == 3, ex141
+    assert sum("hashpartitioning(ph" in ln for ln in ex141) == 2
+    assert sum("hashpartitioning(doc_id" in ln for ln in ex141) == 1
+
+    ex142 = exchanges(
+        passage_scrub_incremental(docs, docs.filter("doc_id = 2"), w=3)
+    )
+    assert len(ex142) == 4, ex142
+    assert sum("hashpartitioning(ph" in ln for ln in ex142) == 3
+    assert sum("hashpartitioning(doc_id" in ln for ln in ex142) == 1
+
+    ex143 = exchanges(token_budget_sample(docs, 5))
+    assert len(ex143) == 1, ex143
+    assert "hashpartitioning(source" in ex143[0]
+
+    for ex in (ex141, ex142, ex143):
+        assert all("SinglePartition" not in ln for ln in ex)
+
+
 def test_q76_exact_percentile_matches_numpy(spark):
     """Spark's exact percentile == numpy linear interpolation on the
     same values (the definition both engines implement)."""
