@@ -1162,16 +1162,20 @@ def bpe_train_merges_batched(
     the candidate pool starts at ``3*batch_m`` and, whenever symbol
     conflicts leave the realized batch below ``0.8*batch_m``, DOUBLES
     and re-selects (bounded at ``64*batch_m``; growth stops early if
-    the pair vocabulary itself is smaller than the pool). Growth is
-    prefix-stable — ranking is a total order and blocking looks only
-    at higher-ranked candidates, so a larger pool never changes which
-    of the existing candidates are accepted, it only appends more —
+    the pair vocabulary itself is smaller than the pool — at that
+    point the shortfall is the corpus's conflict structure, not the
+    pool, and no cand_k can fill the batch). Growth is prefix-stable
+    — ranking is a total order and blocking looks only at
+    higher-ranked candidates, so a larger pool never changes which of
+    the existing candidates are accepted, it only appends more —
     which keeps the accepted-batch semantics identical to a single
-    pass at the final pool size. Passing an explicit ``cand_k``
-    disables adaptivity (q138 pins cand_k=12 so its SQL oracle stays
-    exact). The retry cost is one extra vocabulary-bounded pair
-    aggregation per growth — the rounds/M claim now holds at
-    production depth instead of degrading to the measured 5.5/8.
+    pass at the final pool size. The grown pool is STICKY: it carries
+    forward as the next round's starting size (measured in
+    SCALE_r08 — re-laddering from 3*batch_m every round tripled the
+    selection passes of conflict-dense rounds for zero extra rules),
+    so a depth-64 run grows once and pays one extra selection pass
+    total, not one per round. Passing an explicit ``cand_k`` disables
+    adaptivity (q138 pins cand_k=12 so its SQL oracle stays exact).
     Pass a list as ``round_stats`` to receive one
     ``(round, final_cand_k, realized_m)`` tuple per round (the
     SCALE-measurement log).
@@ -1183,13 +1187,13 @@ def bpe_train_merges_batched(
     from pyspark.sql import Window
 
     adaptive = cand_k is None
-    base_k = cand_k if cand_k is not None else 3 * batch_m
     realized_floor = 0.8 * batch_m
     state = _bpe_vocab(docs, text_col).localCheckpoint()
     order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
     rounds: list[DataFrame] = []
+    # sticky across rounds: a pool that had to grow stays grown
+    round_k = cand_k if cand_k is not None else 3 * batch_m
     for rnd in range(1, n_rounds + 1):
-        round_k = base_k
         while True:
             cand = (
                 _state_pair_counts(state)
