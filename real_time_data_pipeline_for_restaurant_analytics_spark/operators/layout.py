@@ -357,9 +357,9 @@ def compact_files(
     the same shared kernel (group_col = the partition dir), the
     rewrite preserves the partition layout
     (``dst/col=value/out_group=g/`` with exactly one file per leaf),
-    the row-count audit runs PER PARTITION, and the planner's group
-    rows are asserted equal to the executor's written groups — what
-    executes IS what q137 predicted. See :func:`_compact_partitioned`.
+    the row-count audit runs PER PARTITION, and the executor consumes
+    the planner's own assignment frame — what executes IS what q137's
+    kernel computed, structurally. See :func:`_compact_partitioned`.
 
     Returns {files_in, groups_out, bytes_in, rows} for the caller's
     audit (+ {partitions, plan_rows} for partitioned sources).
@@ -391,13 +391,11 @@ def compact_files(
     )
     # input_file_name() reports the file URI, which percent-encodes
     # characters like spaces — decode the basename back to the
-    # os.listdir spelling so the join key matches the listing.
-    # url_decode is form-encoding (it would turn a literal '+' into a
-    # space); a URI path never holds a raw space, so any '+' is a real
-    # plus — escape it to %2B first, then decode the %XX escapes.
-    uri_base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # os.listdir spelling so the join key matches the listing
+    # (see _uri_basename for the '+'-escaping subtlety).
     data = spark.read.parquet(src_dir).withColumn(
-        "_fname", F.url_decode(F.replace(uri_base, F.lit("+"), F.lit("%2B")))
+        "_fname",
+        _uri_basename(F.element_at(F.split(F.input_file_name(), "/"), -1)),
     )
     # distinct-group COUNT, not max+1: next-fit group ids skip
     # integers whenever a single file is >= target_bytes, and the
@@ -450,9 +448,9 @@ def _compact_partitioned(
     1. walk each ``col=value/`` dir, listing (partition dir, file,
        size) — still file-METADATA-sized;
     2. the SAME next-fit kernel packs per partition (group_col = the
-       partition dir name), and :func:`compaction_plan` over the same
-       listing is asserted row-for-group against what gets written —
-       the planner/executor contract is checked, not assumed;
+       partition dir name); the executor consumes the planner's own
+       assignment frame, so the planner/executor contract is
+       structural — q137's plan view is this frame aggregated;
     3. ONE scan of the whole partitioned table, tagged with the
        decoded ``<part dir>/<basename>`` of ``input_file_name()``,
        joined to the broadcast file→group map;
@@ -475,6 +473,20 @@ def _compact_partitioned(
             f"names ({part_dirs[0]!r} vs {mixed[0]!r}) — one partition "
             "level with one column is supported."
         )
+    if pcol in ("out_group", "fkey", "_fkey"):
+        # a source partitioned by one of the kernel's internal column
+        # names (notably a previous compact_files OUTPUT, partitioned
+        # by out_group) would collide with the assignment columns and
+        # die in an opaque duplicate-column AnalysisException — refuse
+        # with the real reason instead. To re-OPTIMIZE a compacted
+        # table, rewrite it under a different partition column first
+        # (out_group is a compaction artifact, not a table partition).
+        raise ValueError(
+            f"compact_files: partition column {pcol!r} collides with the "
+            "compaction kernel's internal columns (out_group/fkey/_fkey "
+            "are reserved); rename the partition column to compact this "
+            "layout."
+        )
     listing = []
     for pd in part_dirs:
         d = os.path.join(src_dir, pd)
@@ -487,6 +499,16 @@ def _compact_partitioned(
                 )
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 listing.append((pd, f, os.path.getsize(os.path.join(d, f))))
+    if not listing:
+        # nothing to compact (empty partition dirs) — a scan of zero
+        # files can't even infer a schema, so return clean zero stats
+        return {
+            "files_in": 0,
+            "groups_out": 0,
+            "bytes_in": 0,
+            "rows": 0,
+            "partitions": len(part_dirs),
+        }
     files = spark.createDataFrame(
         [(pd, f, i, sz) for i, (pd, f, sz) in enumerate(listing)],
         "pdir string, fname string, fid long, sz long",
@@ -495,15 +517,12 @@ def _compact_partitioned(
     amap = assign.select(
         F.concat_ws("/", "part", "fname").alias("fkey"), "out_group"
     )
+    # the executor consumes the PLANNER'S OWN assignment frame (the
+    # same kernel q137's plan view aggregates), so the planner/executor
+    # contract is structural, not an assertable invariant — one bounded
+    # job (file-count rows) lists the groups to be written
     groups = assign.select("part", "out_group").distinct().collect()
     n_groups = len(groups)
-    plan_rows = compaction_plan(files, "pdir", "fid", "sz", target_bytes).count()
-    if plan_rows != n_groups:
-        raise RuntimeError(
-            f"compact_files: planner produced {plan_rows} groups but the "
-            f"executor assigned {n_groups} — the shared kernel diverged "
-            "from itself; refusing to write."
-        )
     uri = F.split(F.input_file_name(), "/")
     data = spark.read.parquet(src_dir).withColumn(
         "_fkey",
@@ -523,10 +542,17 @@ def _compact_partitioned(
         r[0]: r[1]
         for r in spark.read.parquet(src_dir).groupBy(pcol).count().collect()
     }
-    dst_counts = {
-        r[0]: r[1]
-        for r in spark.read.parquet(dst_dir).groupBy(pcol).count().collect()
-    }
+    # zero-row sources write no partition dirs at all — reading dst
+    # would die on schema inference instead of auditing clean (the
+    # flat path's `if n_src` guard, kept here per-partition)
+    dst_counts = (
+        {
+            r[0]: r[1]
+            for r in spark.read.parquet(dst_dir).groupBy(pcol).count().collect()
+        }
+        if sum(src_counts.values())
+        else {}
+    )
     if src_counts != dst_counts:
         torn = sorted(
             str(k)
@@ -546,7 +572,6 @@ def _compact_partitioned(
         "bytes_in": sum(sz for _, _, sz in listing),
         "rows": int(sum(src_counts.values())),
         "partitions": len(part_dirs),
-        "plan_rows": int(plan_rows),
     }
 
 

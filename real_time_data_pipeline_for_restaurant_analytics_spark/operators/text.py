@@ -1240,7 +1240,10 @@ def bpe_train_merges_batched(
                 break
             if cand.count() < round_k:
                 break  # pair vocabulary exhausted — growth can't help
-            round_k *= 2
+            # clamp to the documented 64*M bound: plain doubling from
+            # 3*M lands on 96*M, 1.5x the advertised O(cand_k^2)
+            # blocking-join worst case
+            round_k = min(round_k * 2, 64 * batch_m)
         if round_stats is not None:
             round_stats.append((rnd, round_k, int(accepted.count())))
         rounds.append(accepted)

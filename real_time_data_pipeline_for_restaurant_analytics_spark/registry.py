@@ -31,6 +31,7 @@ class Query:
 
 
 _REGISTRY: dict[str, Query] = {}
+_ORDER_CACHE: list[str] | None = None
 
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], Builder]:
@@ -140,7 +141,18 @@ def all_queries() -> dict[str, Query]:
     )
     from .sources import corpus  # noqa: F401
 
-    return {name: _REGISTRY[name] for name in rotation_order(list(_REGISTRY))}
+    global _ORDER_CACHE
+    if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(_REGISTRY):
+        # Computed once per process (refreshed only if the registry
+        # itself grows): the order reads the CORRECTNESS_r*.json
+        # artifacts, and re-deriving it per call would both re-parse
+        # them on every queries()/oracle_sql() call and let a
+        # CORRECTNESS file written MID-PROCESS silently shift the
+        # first-50 sample prefix between two calls in the same run —
+        # the manifest must be stable for the lifetime of the process
+        # that was certified against it.
+        _ORDER_CACHE = rotation_order(list(_REGISTRY))
+    return {name: _REGISTRY[name] for name in _ORDER_CACHE}
 
 
 def queries() -> dict[str, Builder]:

@@ -518,13 +518,18 @@ class BucketPrunedMergeBackend:
         )
         if initial:
             out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(self.path)
+            # re-persist the spec BEFORE validating: mode=overwrite just
+            # deleted the eagerly-written sidecar, and raising while the
+            # spec is absent would let a reopen with a "corrected"
+            # bucket_sql adopt data bucketed by the OLD expression — the
+            # exact mis-co-location the sidecar exists to refuse. With
+            # the original spec back on disk first, a failed validation
+            # leaves a table that only the original spec can reopen.
+            self._write_spec()
             entries = sorted(
                 e for e in os.listdir(self.path) if e.startswith(f"{self.BUCKET_COL}=")
             )
             self._validate_bucket_entries(entries, "the initial write")
-            # spec already persisted eagerly at construction; rewrite
-            # defensively in case the overwrite cleaned the dir
-            self._write_spec()
             return
         txid = uuid.uuid4().hex
         staged = os.path.join(self.path, f"_staged-{txid}")

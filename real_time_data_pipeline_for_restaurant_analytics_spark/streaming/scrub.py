@@ -67,7 +67,10 @@ def scrub_microbatch(
     """One drop's scrub: q142's kernel with the stored index as the
     base vocabulary. Idempotent under replay (see module docstring);
     callable directly for crash-replay tests."""
-    segs = _passage_segments(batch, id_col, text_col, w)
+    # persist the segmentation: it feeds the scrub write AND the
+    # vocabulary write — without it each sink re-reads and re-explodes
+    # the micro-batch, doubling the segmentation cost of every drop
+    segs = _passage_segments(batch, id_col, text_col, w).persist()
     batch_mins = (
         segs.filter(~F.col("is_tail")).groupBy("ph").agg(F.min("k").alias("mk"))
     )
@@ -96,17 +99,19 @@ def scrub_microbatch(
         .parquet(out_dir)
     )
     # vocabulary append AFTER the scrub write: a crash between the two
-    # replays into the same partitions, converging to the same state
+    # replays into the same partitions, converging to the same state.
+    # batch_mins.select("ph") IS the batch's distinct full-passage
+    # vocabulary (reuses the persisted segs + the same aggregation
+    # shape instead of a third derivation).
     (
-        segs.filter(~F.col("is_tail"))
-        .select("ph")
-        .distinct()
+        batch_mins.select("ph")
         .withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(index_dir)
     )
+    segs.unpersist()
 
 
 def scrub_stream(

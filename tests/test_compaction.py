@@ -287,10 +287,27 @@ def test_compact_files_walks_partitioned_layout(spark, tmp_path):
     stats = compact_files(spark, src, dst, target)
     assert stats["files_in"] == n_small
     assert stats["partitions"] == 3
-    assert stats["plan_rows"] == stats["groups_out"], (
+    assert stats["rows"] == 6000
+    # planner/executor contract: the written groups ARE the plan's rows
+    # (the executor consumes the planner's assignment frame)
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.layout import (
+        compaction_plan,
+    )
+
+    listing = [
+        (d, f, os.path.getsize(os.path.join(src, d, f)))
+        for d in part_dirs
+        for f in sorted(os.listdir(os.path.join(src, d)))
+        if f.endswith(".parquet")
+    ]
+    files = spark.createDataFrame(
+        [(pd, i, sz) for i, (pd, _f, sz) in enumerate(listing)],
+        "pdir string, fid long, sz long",
+    )
+    plan_rows = compaction_plan(files, "pdir", "fid", "sz", target).count()
+    assert plan_rows == stats["groups_out"], (
         "what executes must be what the planner predicted"
     )
-    assert stats["rows"] == 6000
 
     # layout: dst/part=v/out_group=g/ with exactly ONE file per leaf
     leaves = 0
@@ -342,6 +359,32 @@ def test_compact_files_partitioned_rejects_nested_and_mixed(spark, tmp_path):
     os.makedirs(os.path.join(src2, "b=1"))
     with pytest.raises(ValueError, match="mix"):
         compact_files(spark, src2, str(tmp_path / "d2"), 1 << 20)
+
+    # review r8: a source partitioned by a kernel-internal name
+    # (notably a previous compact_files OUTPUT, out_group=g/) must be
+    # refused with the real reason, not a duplicate-column error
+    src3 = str(tmp_path / "flatout")
+    spark.range(0, 100).selectExpr("id", "concat('r-', id) AS payload").repartition(
+        4
+    ).write.parquet(src3)
+    dst3 = str(tmp_path / "d3")
+    compact_files(spark, src3, dst3, 1 << 20)  # flat compaction -> out_group=g/
+    with pytest.raises(ValueError, match="reserved"):
+        compact_files(spark, dst3, str(tmp_path / "d4"), 1 << 20)
+
+    # empty partition dirs compact to clean zero stats, not a
+    # schema-inference crash
+    src4 = str(tmp_path / "empty")
+    os.makedirs(os.path.join(src4, "part=0"))
+    os.makedirs(os.path.join(src4, "part=1"))
+    stats = compact_files(spark, src4, str(tmp_path / "d5"), 1 << 20)
+    assert stats == {
+        "files_in": 0,
+        "groups_out": 0,
+        "bytes_in": 0,
+        "rows": 0,
+        "partitions": 2,
+    }
 
 
 def test_compact_files_fails_loudly_on_unlisted_rows(spark, tmp_path):

@@ -289,6 +289,18 @@ def test_bucketed_custom_bucket_sql_range_validated(spark, tmp_path):
     bad_init = spark.createDataFrame([(0, "a"), (5, "b")], "id long, v string")
     with pytest.raises(ValueError, match="phantom"):
         be.merge_upsert(bad_init, ["id"], ["v"])
+    # review r8: the failed initial write must leave the ORIGINAL spec
+    # on disk (mode=overwrite deleted it mid-write) — a reopen with a
+    # "corrected" bucket_sql over the old-expression data is refused,
+    # not silently adopted
+    with pytest.raises(ValueError, match="refusing to open"):
+        BucketPrunedMergeBackend(
+            spark,
+            str(tmp_path / "d1"),
+            key=["id"],
+            n_buckets=2,
+            bucket_sql="pmod(id, 2)",
+        )
 
     # merge path: in-range initial load, then a batch that maps outside
     be2 = BucketPrunedMergeBackend(
