@@ -446,6 +446,49 @@ def test_torn_merge_healed_crash_after_last_swap(spark, tmp_path, monkeypatch):
     assert _leftovers(be2.path) == []
 
 
+def test_crash_during_recovery_is_itself_recoverable(spark, tmp_path, monkeypatch):
+    """Recovery is idempotent: if the HEALING pass crashes after
+    rolling only some buckets forward (manifest still on disk), the
+    NEXT open finishes the job — no state reachable by any crash
+    sequence is terminal."""
+    import os
+
+    be = _mk_backend_with_data(spark, tmp_path)
+    batch = spark.createDataFrame([(i, "new") for i in range(32)], "id long, v string")
+
+    def boom(self, staged, entry):
+        raise OSError("injected crash before first swap")
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_swap_bucket", boom)
+    with pytest.raises(OSError, match="injected"):
+        be.merge_upsert(batch, ["id"], ["v"])
+    monkeypatch.undo()
+
+    # first recovery attempt crashes after healing ONE bucket
+    real_swap = BucketPrunedMergeBackend._swap_bucket
+    calls = {"n": 0}
+
+    def crash_second(self, staged, entry):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("injected crash during recovery")
+        return real_swap(self, staged, entry)
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_swap_bucket", crash_second)
+    with pytest.raises(OSError, match="during recovery"):
+        BucketPrunedMergeBackend(spark, be.path, key=["id"], n_buckets=8)
+    monkeypatch.undo()
+    assert [e for e in os.listdir(be.path) if e.startswith("_commit-")], (
+        "the manifest must survive a crashed recovery"
+    )
+
+    # second open completes the heal
+    be2 = BucketPrunedMergeBackend(spark, be.path, key=["id"], n_buckets=8)
+    got = {r.id: r.v for r in be2.snapshot().collect()}
+    assert got == {i: "new" for i in range(32)}
+    assert _leftovers(be2.path) == []
+
+
 def test_torn_merge_corrupt_staged_rolls_back(spark, tmp_path, monkeypatch):
     """A staged bucket contradicting its manifest inventory must roll
     BACK (restore the trash copy) rather than promote corrupt data;
