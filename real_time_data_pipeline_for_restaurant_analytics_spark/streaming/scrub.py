@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import PASSAGE_W, _passage_segments, _scrub_assemble
+from ..catalog import load
+from ..registry import register
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -147,4 +149,155 @@ def scrub_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q144: the streaming deployment REGISTERED and fully oracled — a
+# deterministic 2-drop replay of scrub_stream over the documents table,
+# hash-checked against a DuckDB oracle that replays the same two
+# micro-batches as CTEs. The first streaming operator in the registry
+# with a full value-hash oracle (streaming ops are allowed rows-only
+# by the driver contract; this one doesn't need the concession).
+# ---------------------------------------------------------------------------
+
+def _seg_cte(src_where: str, p: str, w: int) -> str:
+    """DuckDB CTE block segmenting a filtered documents slice exactly
+    like :func:`_passage_segments` (full w-word passages + exempt
+    tail; packed key; md5), with CTE names prefixed by ``p``."""
+    return f"""
+w{p} AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents {src_where}),
+seg{p} AS (
+  SELECT doc_id, i - 1 AS i,
+         array_to_string(ws[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ') AS seg,
+         FALSE AS is_tail
+  FROM w{p}, UNNEST(generate_series(1, len(ws) // {w})) AS t(i)
+  WHERE len(ws) >= {w}
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN len(ws) < {w} THEN 0 ELSE len(ws) // {w} END AS i,
+         array_to_string(
+           ws[CASE WHEN len(ws) < {w} THEN 1
+                   ELSE (len(ws) // {w})*{w} + 1 END : len(ws)], ' ') AS seg,
+         TRUE AS is_tail
+  FROM w{p}
+  WHERE len(ws) < {w} OR len(ws) % {w} <> 0
+),
+keyed{p} AS (SELECT doc_id, i, seg, is_tail,
+                    doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg{p})"""
+
+
+def _scrub_out_cte(p: str, mins: str) -> str:
+    """DuckDB CTE reassembling slice ``p`` against min-key frame
+    ``mins`` exactly like :func:`_scrub_assemble`."""
+    return f"""
+j{p} AS (SELECT keyed{p}.*, {mins}.mk FROM keyed{p} LEFT JOIN {mins} USING (ph)),
+o{p} AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
+         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
+                             ' ' ORDER BY i), '') AS clean_text
+  FROM j{p} GROUP BY doc_id
+)"""
+
+
+_REPLAY_ORACLE = f"""
+WITH {_seg_cte("WHERE doc_id % 5 = 3", "a", PASSAGE_W).lstrip()},
+minsa AS (SELECT ph, MIN(k) AS mk FROM keyeda WHERE NOT is_tail GROUP BY ph),
+{_scrub_out_cte("a", "minsa").lstrip()},
+{_seg_cte("WHERE doc_id % 5 = 4", "b", PASSAGE_W).lstrip()},
+minsb AS (
+  SELECT ph, MIN(mk) AS mk FROM (
+    SELECT DISTINCT ph, CAST(-1 AS BIGINT) AS mk FROM keyeda WHERE NOT is_tail
+    UNION ALL
+    SELECT ph, MIN(k) AS mk FROM keyedb WHERE NOT is_tail GROUP BY ph
+  ) GROUP BY ph
+),
+{_scrub_out_cte("b", "minsb").lstrip()}
+SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM (SELECT * FROM oa UNION ALL SELECT * FROM ob)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q144_streaming_scrub_replay",
+    oracle=_REPLAY_ORACLE,
+    doc="Streaming incremental passage scrub, REPLAYED end to end and "
+    "fully oracled: two deterministic daily drops (doc_id%5=3, then "
+    "%5=4) land as JSON files, scrub_stream drains them as two ordered "
+    "foreachBatch micro-batches against the stored vocabulary index "
+    "(drop 1 scrubs standalone, drop 2 against drop 1's passages by "
+    "-1 seniority), and the parquet sink is read back and hash-checked "
+    "against a DuckDB oracle replaying the same two batches as CTEs — "
+    "the stream->merge loop of the reference "
+    "(`with procedures/order_proc.sql:96-309`) with the scrub as the "
+    "merge body, exactly-once by checkpoint + batch_id-partition "
+    "idempotent sinks.",
+)
+def q144_streaming_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+    import uuid
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp_stream_replay",
+    )
+    os.makedirs(root, exist_ok=True)
+    # purge replay scratch from past invocations (their readers are
+    # long gone; the CURRENT invocation's dir is brand new). The
+    # returned DataFrame lazily reads this run's parquet, so the dir
+    # must outlive the query — age-based cleanup, not delete-on-exit.
+    now = time.time()
+    for e in os.listdir(root):
+        p = os.path.join(root, e)
+        if now - os.path.getmtime(p) > 3600:
+            shutil.rmtree(p, ignore_errors=True)
+    work = os.path.join(root, uuid.uuid4().hex)
+    landing = os.path.join(work, "drops")
+    os.makedirs(landing)
+
+    d = load(spark, sf_dir, "documents")
+    drops = (
+        d.filter(F.col("doc_id") % 5 == 3).select("doc_id", "text"),
+        d.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text"),
+    )
+    for i, frame in enumerate(drops):
+        # one JSON file per drop + pinned mtimes: the file source
+        # orders micro-batches by modification time, so each drop is
+        # exactly one batch and drop 0 always precedes drop 1
+        tmp = os.path.join(work, f"w{i}")
+        frame.coalesce(1).write.mode("overwrite").json(tmp)
+        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+        dst = os.path.join(landing, f"drop{i}.json")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = scrub_stream(
+        spark,
+        landing,
+        os.path.join(work, "clean"),
+        os.path.join(work, "index"),
+        os.path.join(work, "ckpt"),
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "q144_streaming_scrub_replay: availableNow drain did not "
+            "finish within 600 s"
+        )
+    return (
+        spark.read.parquet(os.path.join(work, "clean"))
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_removed",
+            F.md5("clean_text").alias("clean_md5"),
+            "clean_chars",
+        )
+        .orderBy("doc_id")
     )
