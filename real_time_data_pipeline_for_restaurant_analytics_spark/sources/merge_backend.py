@@ -152,12 +152,23 @@ class BucketPrunedMergeBackend:
     ``os.replace`` steps, so healing always converges to exactly the
     pre-merge or post-merge table — never a mix within one bucket.
 
-    Remaining boundary (loud, documented): SINGLE WRITER ASSUMED —
-    there is no lock, so two concurrent mergers can interleave swaps
-    and manifests. Delta/Iceberg close that with optimistic
-    concurrency on the log; this backend proves the pruning geometry
-    plus crash consistency run on plain parquet, and is what the
-    SCALE measurement compares against snapshot rewrite.
+    Single writer, ENFORCED (round-8): every mutating span — a merge,
+    and the recovery pass that may heal one — runs under an exclusive
+    ``flock`` on the SIBLING file ``<path>.writerlock`` (outside the
+    table dir on purpose: the initial load's ``mode=overwrite`` wipes
+    the directory, and an in-dir lock file would be deleted mid-
+    critical-section, letting a second writer lock a fresh inode while
+    the first still holds the old one), so a second writer (or an
+    opener, whose recovery could otherwise "heal" a LIVE transaction's
+    manifest mid-flight) waits up to ``lock_timeout_s`` and then fails
+    LOUDLY instead of interleaving swaps. Advisory-lock caveat,
+    documented: flock is reliable on POSIX-local filesystems; on NFS
+    it depends on the server, and object stores have no flock — there,
+    coordinate writers externally. What Delta/Iceberg would still add
+    is multi-writer OPTIMISTIC concurrency (conflicting commits retry
+    instead of waiting); this backend proves the pruning geometry plus
+    crash consistency run on plain parquet, and is what the SCALE
+    measurement compares against snapshot rewrite.
     """
 
     BUCKET_COL = "_mb"
@@ -169,6 +180,7 @@ class BucketPrunedMergeBackend:
         key: list[str],
         n_buckets: int = 64,
         bucket_sql: str | None = None,
+        lock_timeout_s: float = 60.0,
     ):
         """``bucket_sql`` (optional) overrides the default hash
         bucketing with any deterministic SQL expression over the KEY
@@ -195,8 +207,61 @@ class BucketPrunedMergeBackend:
         self.key = list(key)
         self.n_buckets = int(n_buckets)
         self.bucket_sql = bucket_sql
+        self.lock_timeout_s = float(lock_timeout_s)
         self._validate_or_write_spec()
-        self._recover_if_torn()
+        # recovery mutates the table, so it is a writer-side operation:
+        # opening while another process is mid-merge must WAIT for its
+        # lock rather than "heal" the live transaction's manifest
+        with self._writer_lock():
+            self._recover_if_torn()
+
+    def _lock_path(self) -> str:
+        import os
+
+        return os.path.abspath(self.path).rstrip("/") + ".writerlock"
+
+    def _writer_lock(self):
+        """Exclusive advisory lock scoping every mutating span. flock
+        is per open-file-description, so even two instances in ONE
+        process conflict; closing the fd releases the lock on every
+        exit path (including exceptions — the crash-injection tests
+        rely on that)."""
+        import contextlib
+        import fcntl
+        import os
+        import time
+
+        @contextlib.contextmanager
+        def _lock():
+            # sibling of the table dir, NOT inside it: the initial
+            # load's mode=overwrite wipes the dir, and flocking a
+            # since-deleted inode excludes nobody
+            parent = os.path.dirname(os.path.abspath(self.path))
+            os.makedirs(parent, exist_ok=True)
+            fd = os.open(self._lock_path(), os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                deadline = time.monotonic() + self.lock_timeout_s
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.monotonic() >= deadline:
+                            raise RuntimeError(
+                                f"BucketPrunedMergeBackend at {self.path}: "
+                                "another writer holds the table lock "
+                                f"(_writerlock) after {self.lock_timeout_s:.1f}s "
+                                "— concurrent merges are not supported "
+                                "(single-writer enforced via flock on "
+                                "POSIX-local filesystems; on NFS/object "
+                                "stores coordinate writers externally)."
+                            ) from None
+                        time.sleep(0.05)
+                yield
+            finally:
+                os.close(fd)
+
+        return _lock()
 
     # -- bucket spec sidecar ------------------------------------------------
     def _spec_path(self) -> str:
@@ -465,6 +530,12 @@ class BucketPrunedMergeBackend:
         for e in os.listdir(self.path):
             if e.startswith(("_staged-", "_trash-")):
                 shutil.rmtree(os.path.join(self.path, e), ignore_errors=True)
+            elif e.startswith("_commit-") and e.endswith(".json.tmp"):
+                # a crash inside the manifest's own tmp->final replace
+                # leaves an inert half-written tmp file (the glob only
+                # honors *.json, so it can never be mistaken for a
+                # manifest) — clear it with the other pre-commit garbage
+                os.remove(os.path.join(self.path, e))
 
     def _validate_bucket_entries(self, entries: list[str], where: str) -> None:
         """Directory-name validation of a written partition layout
@@ -565,32 +636,35 @@ class BucketPrunedMergeBackend:
         batch_ts: Column | None = None,
     ) -> DataFrame:
         self._check_key(key, "merge_upsert")
-        # heal any torn merge BEFORE reading the slice: a same-process
-        # retry after a crashed swap must not read a half-swapped
-        # table, and completing the old transaction first keeps its
-        # manifest from outliving (and later clobbering) this merge
-        self._recover_if_torn()
-        if not self._exists():
-            self._write_slice(source, initial=True)
+        with self._writer_lock():
+            # heal any torn merge BEFORE reading the slice: a
+            # same-process retry after a crashed swap must not read a
+            # half-swapped table, and completing the old transaction
+            # first keeps its manifest from outliving (and later
+            # clobbering) this merge
+            self._recover_if_torn()
+            if not self._exists():
+                self._write_slice(source, initial=True)
+                return self.snapshot()
+            touched = self._touched_buckets(source)
+            slice_df = self._read_slice(touched)
+            out = merge_upsert(slice_df, source, key, attrs, modified_col, batch_ts)
+            self._write_slice(out, initial=False)
             return self.snapshot()
-        touched = self._touched_buckets(source)
-        slice_df = self._read_slice(touched)
-        out = merge_upsert(slice_df, source, key, attrs, modified_col, batch_ts)
-        self._write_slice(out, initial=False)
-        return self.snapshot()
 
     def apply_scd2(self, batch: DataFrame, cfg: Scd2Config, batch_ts: Column) -> DataFrame:
         self._check_key(cfg.key, "apply_scd2")
-        self._recover_if_torn()  # same pre-read healing as merge_upsert
-        if not self._exists():
-            out = apply_scd2(None, batch, cfg, batch_ts)
-            self._write_slice(out, initial=True)
+        with self._writer_lock():
+            self._recover_if_torn()  # same pre-read healing as merge_upsert
+            if not self._exists():
+                out = apply_scd2(None, batch, cfg, batch_ts)
+                self._write_slice(out, initial=True)
+                return self.snapshot()
+            touched = self._touched_buckets(batch)
+            slice_df = self._read_slice(touched)
+            out = apply_scd2(slice_df, batch, cfg, batch_ts)
+            self._write_slice(out, initial=False)
             return self.snapshot()
-        touched = self._touched_buckets(batch)
-        slice_df = self._read_slice(touched)
-        out = apply_scd2(slice_df, batch, cfg, batch_ts)
-        self._write_slice(out, initial=False)
-        return self.snapshot()
 
 
 class DeltaMergeBackend:

@@ -446,6 +446,102 @@ def test_torn_merge_healed_crash_after_last_swap(spark, tmp_path, monkeypatch):
     assert _leftovers(be2.path) == []
 
 
+def test_single_writer_lock_enforced(spark, tmp_path):
+    """Round-8: the single-writer boundary is ENFORCED, not assumed —
+    a second writer (or opener, whose recovery could heal a LIVE
+    transaction) fails loudly while the flock is held, and proceeds
+    once it is released. flock is per open-file-description, so the
+    conflict reproduces within one process."""
+    import fcntl
+    import os
+
+    be = BucketPrunedMergeBackend(
+        spark, str(tmp_path / "dim"), key=["id"], n_buckets=4, lock_timeout_s=0.3
+    )
+    be.merge_upsert(
+        spark.createDataFrame([(1, "a")], "id long, v string"), ["id"], ["v"]
+    )
+    batch = spark.createDataFrame([(1, "b")], "id long, v string")
+    # the lock lives OUTSIDE the table dir (the initial overwrite wipes
+    # the dir, and flocking a deleted inode excludes nobody)
+    fd = os.open(be._lock_path(), os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(RuntimeError, match="another writer"):
+            be.merge_upsert(batch, ["id"], ["v"])
+        with pytest.raises(RuntimeError, match="another writer"):
+            BucketPrunedMergeBackend(
+                spark, be.path, key=["id"], n_buckets=4, lock_timeout_s=0.3
+            )
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    out = be.merge_upsert(batch, ["id"], ["v"])
+    assert {r.v for r in out.collect()} == {"b"}
+
+
+def test_every_crash_point_converges(spark, tmp_path):
+    """Exhaustive hard-kill model: fail the n-th os.replace of a merge
+    AND every one after it (a dead process never syscalls again), for
+    every n the merge performs. After reopening, the table must be
+    EXACTLY the pre-merge or the post-merge state (never a mix), no
+    recovery material may leak, and a plain retry must land the merge.
+    Subsumes the four hand-picked crash-state tests with the full
+    enumeration."""
+    import os
+    import shutil
+
+    old = {i: "old" for i in range(8)}
+    new = {i: "new" for i in range(8)}
+    init_rows = [(i, "old") for i in range(8)]
+    batch_rows = [(i, "new") for i in range(8)]
+    real_replace = os.replace
+
+    n = 0
+    while True:
+        n += 1
+        path = str(tmp_path / f"dim{n}")
+        be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+        be.merge_upsert(
+            spark.createDataFrame(init_rows, "id long, v string"), ["id"], ["v"]
+        )
+        batch = spark.createDataFrame(batch_rows, "id long, v string")
+        calls = {"k": 0}
+
+        def dying(src, dst, *, _n=n, _calls=calls):
+            _calls["k"] += 1
+            if _calls["k"] >= _n:
+                raise OSError(f"hard kill at replace #{_n}")
+            return real_replace(src, dst)
+
+        os.replace = dying
+        try:
+            be.merge_upsert(batch, ["id"], ["v"])
+            survived = True
+        except (OSError, RuntimeError):
+            survived = False
+        finally:
+            os.replace = real_replace
+
+        if survived:
+            # n exceeded the merge's replace count — enumeration done
+            assert n > 1, "the merge must perform at least one replace"
+            shutil.rmtree(path)
+            break
+
+        be2 = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+        got = {r.id: r.v for r in be2.snapshot().collect()}
+        assert got in (old, new), (
+            f"crash at replace #{n} healed to a MIXED table: {got}"
+        )
+        assert _leftovers(be2.path) == [], f"crash at replace #{n} leaked"
+        retry = be2.merge_upsert(batch, ["id"], ["v"])
+        assert {r.id: r.v for r in retry.collect()} == new, (
+            f"retry after crash at replace #{n} did not converge"
+        )
+        shutil.rmtree(path)
+
+
 def test_crash_during_recovery_is_itself_recoverable(spark, tmp_path, monkeypatch):
     """Recovery is idempotent: if the HEALING pass crashes after
     rolling only some buckets forward (manifest still on disk), the
