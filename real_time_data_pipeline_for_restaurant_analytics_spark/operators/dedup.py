@@ -1649,6 +1649,61 @@ def _scrub_assemble(joined: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def scrub_seg_cte(src_where: str, p: str, w: int) -> str:
+    """DuckDB CTE block segmenting a filtered documents slice exactly
+    like :func:`_passage_segments` (full w-word passages + exempt
+    tail; packed key; md5), CTE names prefixed by ``p``. The SINGLE
+    source of the scrub family's oracle segmentation SQL — q141, q142,
+    and the streaming replay (q144) all build from it, so a change to
+    the kernel's segmentation semantics has exactly one oracle twin to
+    update (review r8: three hand-maintained copies had crept in)."""
+    return f"""
+w{p} AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents {src_where}),
+seg{p} AS (
+  SELECT doc_id, i - 1 AS i,
+         array_to_string(ws[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ') AS seg,
+         FALSE AS is_tail
+  FROM w{p}, UNNEST(generate_series(1, len(ws) // {w})) AS t(i)
+  WHERE len(ws) >= {w}
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN len(ws) < {w} THEN 0 ELSE len(ws) // {w} END AS i,
+         array_to_string(
+           ws[CASE WHEN len(ws) < {w} THEN 1
+                   ELSE (len(ws) // {w})*{w} + 1 END : len(ws)], ' ') AS seg,
+         TRUE AS is_tail
+  FROM w{p}
+  WHERE len(ws) < {w} OR len(ws) % {w} <> 0
+),
+keyed{p} AS (SELECT doc_id, i, seg, is_tail,
+                    doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg{p})"""
+
+
+def scrub_out_cte(p: str, mins: str) -> str:
+    """DuckDB CTE reassembling slice ``p`` against min-key frame
+    ``mins`` exactly like :func:`_scrub_assemble` (keep tails and
+    canonical/unseen occurrences, rebuild in position order, count
+    removals; empty docs COALESCE to '' matching Spark's
+    collect_list→array_join)."""
+    return f"""
+j{p} AS (SELECT keyed{p}.*, {mins}.mk FROM keyed{p} LEFT JOIN {mins} USING (ph)),
+o{p} AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
+         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
+                             ' ' ORDER BY i), '') AS clean_text
+  FROM j{p} GROUP BY doc_id
+)"""
+
+
+_SCRUB_FINAL_SELECT = """
+SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM {src} ORDER BY doc_id
+"""
+
+
 def passage_scrub_incremental(
     base: DataFrame,
     batch: DataFrame,
@@ -1690,40 +1745,12 @@ def passage_scrub_incremental(
 
 @register(
     "q141_passage_scrub",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-seg AS (
-  SELECT doc_id, i - 1 AS i,
-         array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ') AS seg,
-         FALSE AS is_tail
-  FROM w, UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
-  WHERE len(ws) >= {PASSAGE_W}
-  UNION ALL
-  SELECT doc_id,
-         CASE WHEN len(ws) < {PASSAGE_W} THEN 0 ELSE len(ws) // {PASSAGE_W} END AS i,
-         array_to_string(
-           ws[CASE WHEN len(ws) < {PASSAGE_W} THEN 1
-                   ELSE (len(ws) // {PASSAGE_W})*{PASSAGE_W} + 1 END : len(ws)], ' ') AS seg,
-         TRUE AS is_tail
-  FROM w
-  WHERE len(ws) < {PASSAGE_W} OR len(ws) % {PASSAGE_W} <> 0
-),
-keyed AS (SELECT doc_id, i, seg, is_tail,
-                 doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg),
-mins AS (SELECT ph, MIN(k) AS mk FROM keyed WHERE NOT is_tail GROUP BY ph),
-j AS (SELECT keyed.*, mins.mk FROM keyed LEFT JOIN mins USING (ph)),
-o AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
-         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
-                             ' ' ORDER BY i), '') AS clean_text
-  FROM j GROUP BY doc_id
-)
-SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
-       CAST(length(clean_text) AS BIGINT) AS clean_chars
-FROM o ORDER BY doc_id
-""",
+    oracle=(
+        f"WITH {scrub_seg_cte('', '', PASSAGE_W).lstrip()},\n"
+        "mins AS (SELECT ph, MIN(k) AS mk FROM keyed WHERE NOT is_tail GROUP BY ph),"
+        f"{scrub_out_cte('', 'mins')}"
+        f"{_SCRUB_FINAL_SELECT.format(src='o')}"
+    ),
     doc="Passage-scrub REWRITE (the executor half of q100's audit): "
     "remove every corpus-duplicated w-word passage except its first "
     "(min doc_id, position) occurrence, keep trailing remainders "
@@ -1748,54 +1775,19 @@ def q141_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q142_incremental_passage_scrub",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-           WHERE doc_id % 5 = 4),
-seg AS (
-  SELECT doc_id, i - 1 AS i,
-         array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ') AS seg,
-         FALSE AS is_tail
-  FROM w, UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
-  WHERE len(ws) >= {PASSAGE_W}
-  UNION ALL
-  SELECT doc_id,
-         CASE WHEN len(ws) < {PASSAGE_W} THEN 0 ELSE len(ws) // {PASSAGE_W} END AS i,
-         array_to_string(
-           ws[CASE WHEN len(ws) < {PASSAGE_W} THEN 1
-                   ELSE (len(ws) // {PASSAGE_W})*{PASSAGE_W} + 1 END : len(ws)], ' ') AS seg,
-         TRUE AS is_tail
-  FROM w
-  WHERE len(ws) < {PASSAGE_W} OR len(ws) % {PASSAGE_W} <> 0
-),
-keyed AS (SELECT doc_id, i, seg, is_tail,
-                 doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg),
-basep AS (
-  SELECT DISTINCT
-         md5(array_to_string(ws[(i-1)*{PASSAGE_W}+1:(i-1)*{PASSAGE_W}+{PASSAGE_W}], ' ')) AS ph
-  FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 5 <> 4) b,
-       UNNEST(generate_series(1, len(ws) // {PASSAGE_W})) AS t(i)
-  WHERE len(ws) >= {PASSAGE_W}
-),
-mins AS (
-  SELECT ph, MIN(mk) AS mk FROM (
-    SELECT ph, CAST(-1 AS BIGINT) AS mk FROM basep
-    UNION ALL
-    SELECT ph, MIN(k) AS mk FROM keyed WHERE NOT is_tail GROUP BY ph
-  ) GROUP BY ph
-),
-j AS (SELECT keyed.*, mins.mk FROM keyed LEFT JOIN mins USING (ph)),
-o AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
-         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
-                             ' ' ORDER BY i), '') AS clean_text
-  FROM j GROUP BY doc_id
-)
-SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
-       CAST(length(clean_text) AS BIGINT) AS clean_chars
-FROM o ORDER BY doc_id
-""",
+    oracle=(
+        f"WITH {scrub_seg_cte('WHERE doc_id % 5 = 4', '', PASSAGE_W).lstrip()},"
+        f"{scrub_seg_cte('WHERE doc_id % 5 <> 4', 'base', PASSAGE_W)},\n"
+        "mins AS (\n"
+        "  SELECT ph, MIN(mk) AS mk FROM (\n"
+        "    SELECT DISTINCT ph, CAST(-1 AS BIGINT) AS mk FROM keyedbase WHERE NOT is_tail\n"
+        "    UNION ALL\n"
+        "    SELECT ph, MIN(k) AS mk FROM keyed WHERE NOT is_tail GROUP BY ph\n"
+        "  ) GROUP BY ph\n"
+        "),"
+        f"{scrub_out_cte('', 'mins')}"
+        f"{_SCRUB_FINAL_SELECT.format(src='o')}"
+    ),
     doc="Incremental passage scrub (batch doc_id%5=4 vs base rest): "
     "the daily-drop deployment shape of q141 — base passages win by "
     "seniority via a -1 sentinel key (the base contributes only its "

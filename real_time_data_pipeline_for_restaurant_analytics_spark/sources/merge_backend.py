@@ -208,11 +208,14 @@ class BucketPrunedMergeBackend:
         self.n_buckets = int(n_buckets)
         self.bucket_sql = bucket_sql
         self.lock_timeout_s = float(lock_timeout_s)
-        self._validate_or_write_spec()
-        # recovery mutates the table, so it is a writer-side operation:
-        # opening while another process is mid-merge must WAIT for its
-        # lock rather than "heal" the live transaction's manifest
+        # BOTH open-time steps run under the writer lock (review r8):
+        # the spec handshake reads-or-writes the sidecar (two racing
+        # constructors with different specs could otherwise both pass,
+        # last write winning), and recovery mutates the table (opening
+        # while another process is mid-merge must WAIT for its lock
+        # rather than "heal" the live transaction's manifest)
         with self._writer_lock():
+            self._validate_or_write_spec()
             self._recover_if_torn()
 
     def _lock_path(self) -> str:
@@ -245,17 +248,23 @@ class BucketPrunedMergeBackend:
                     try:
                         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                         break
-                    except OSError:
+                    # ONLY EWOULDBLOCK/EAGAIN means contention; any
+                    # other errno (ENOLCK, EIO, ...) is a real lock/IO
+                    # failure and must surface immediately with its
+                    # errno, not spin the timeout and blame a phantom
+                    # concurrent writer (review r8)
+                    except BlockingIOError as e:
                         if time.monotonic() >= deadline:
                             raise RuntimeError(
                                 f"BucketPrunedMergeBackend at {self.path}: "
                                 "another writer holds the table lock "
-                                f"(_writerlock) after {self.lock_timeout_s:.1f}s "
-                                "— concurrent merges are not supported "
-                                "(single-writer enforced via flock on "
-                                "POSIX-local filesystems; on NFS/object "
-                                "stores coordinate writers externally)."
-                            ) from None
+                                f"({self._lock_path()}) after "
+                                f"{self.lock_timeout_s:.1f}s — concurrent "
+                                "merges are not supported (single-writer "
+                                "enforced via flock on POSIX-local "
+                                "filesystems; on NFS/object stores "
+                                "coordinate writers externally)."
+                            ) from e
                         time.sleep(0.05)
                 yield
             finally:
@@ -568,18 +577,29 @@ class BucketPrunedMergeBackend:
                 "into [0, n_buckets)."
             )
 
-    def _write_slice(self, df: DataFrame, initial: bool) -> None:
-        """Stage the touched buckets to a scratch dir, write the
-        commit manifest, then swap each bucket directory into the
-        live table and discard the manifest. Staging (rather than
-        dynamic partition overwrite in place) sidesteps Spark's
-        overwrite-while-reading guard — the merge output's lineage
-        reads the same parquet path it replaces — and makes the
-        pruning contract literal: an untouched bucket's directory is
-        never listed, opened, or re-created. The manifest brackets
-        the only non-atomic span (the multi-bucket swap loop), so a
-        crash anywhere inside it is detected and healed on next open
-        (:meth:`_recover_if_torn`)."""
+    def _write_slice(self, df: DataFrame) -> None:
+        """Stage the touched buckets to a scratch dir, validate the
+        staged partition layout, write the commit manifest, then swap
+        each bucket directory into the live table and discard the
+        manifest. Staging (rather than dynamic partition overwrite in
+        place) sidesteps Spark's overwrite-while-reading guard — the
+        merge output's lineage reads the same parquet path it
+        replaces — and makes the pruning contract literal: an
+        untouched bucket's directory is never listed, opened, or
+        re-created. The manifest brackets the only non-atomic span
+        (the multi-bucket swap loop), so a crash anywhere inside it
+        is detected and healed on next open (:meth:`_recover_if_torn`).
+
+        The INITIAL load takes the exact same path (review r8): it
+        used to ``mode=overwrite`` the table dir directly, which wiped
+        the spec sidecar mid-critical-section and left an unbracketed
+        crash window in which a half-written table could be adopted on
+        reopen. Staged-everywhere means the table dir is never wiped,
+        the spec written at construction survives every write, a
+        validation failure discards only the staged dir (the live
+        table — or its absence — is untouched), and the initial load
+        is covered by the same manifest + recovery machinery as every
+        merge."""
         import os
         import shutil
         import uuid
@@ -587,27 +607,17 @@ class BucketPrunedMergeBackend:
         out = df.withColumn(self.BUCKET_COL, self._bucket_expr()).repartition(
             self.BUCKET_COL
         )
-        if initial:
-            out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(self.path)
-            # re-persist the spec BEFORE validating: mode=overwrite just
-            # deleted the eagerly-written sidecar, and raising while the
-            # spec is absent would let a reopen with a "corrected"
-            # bucket_sql adopt data bucketed by the OLD expression — the
-            # exact mis-co-location the sidecar exists to refuse. With
-            # the original spec back on disk first, a failed validation
-            # leaves a table that only the original spec can reopen.
-            self._write_spec()
-            entries = sorted(
-                e for e in os.listdir(self.path) if e.startswith(f"{self.BUCKET_COL}=")
-            )
-            self._validate_bucket_entries(entries, "the initial write")
-            return
         txid = uuid.uuid4().hex
         staged = os.path.join(self.path, f"_staged-{txid}")
         out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(staged)
         entries = sorted(
             e for e in os.listdir(staged) if e.startswith(f"{self.BUCKET_COL}=")
         )
+        try:
+            self._validate_bucket_entries(entries, "the staged write")
+        except ValueError:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
         mpath = self._write_manifest(txid, staged, entries)
         for entry in entries:
             self._swap_bucket(staged, entry)
@@ -644,12 +654,12 @@ class BucketPrunedMergeBackend:
             # clobbering) this merge
             self._recover_if_torn()
             if not self._exists():
-                self._write_slice(source, initial=True)
+                self._write_slice(source)
                 return self.snapshot()
             touched = self._touched_buckets(source)
             slice_df = self._read_slice(touched)
             out = merge_upsert(slice_df, source, key, attrs, modified_col, batch_ts)
-            self._write_slice(out, initial=False)
+            self._write_slice(out)
             return self.snapshot()
 
     def apply_scd2(self, batch: DataFrame, cfg: Scd2Config, batch_ts: Column) -> DataFrame:
@@ -658,12 +668,12 @@ class BucketPrunedMergeBackend:
             self._recover_if_torn()  # same pre-read healing as merge_upsert
             if not self._exists():
                 out = apply_scd2(None, batch, cfg, batch_ts)
-                self._write_slice(out, initial=True)
+                self._write_slice(out)
                 return self.snapshot()
             touched = self._touched_buckets(batch)
             slice_df = self._read_slice(touched)
             out = apply_scd2(slice_df, batch, cfg, batch_ts)
-            self._write_slice(out, initial=False)
+            self._write_slice(out)
             return self.snapshot()
 
 

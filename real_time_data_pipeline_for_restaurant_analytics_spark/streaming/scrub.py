@@ -43,7 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import PASSAGE_W, _passage_segments, _scrub_assemble
+from ..operators.dedup import (
+    PASSAGE_W,
+    _passage_segments,
+    _scrub_assemble,
+    _SCRUB_FINAL_SELECT,
+    scrub_out_cte,
+    scrub_seg_cte,
+)
 from ..catalog import load
 from ..registry import register
 
@@ -161,65 +168,21 @@ def scrub_stream(
 # by the driver contract; this one doesn't need the concession).
 # ---------------------------------------------------------------------------
 
-def _seg_cte(src_where: str, p: str, w: int) -> str:
-    """DuckDB CTE block segmenting a filtered documents slice exactly
-    like :func:`_passage_segments` (full w-word passages + exempt
-    tail; packed key; md5), with CTE names prefixed by ``p``."""
-    return f"""
-w{p} AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents {src_where}),
-seg{p} AS (
-  SELECT doc_id, i - 1 AS i,
-         array_to_string(ws[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ') AS seg,
-         FALSE AS is_tail
-  FROM w{p}, UNNEST(generate_series(1, len(ws) // {w})) AS t(i)
-  WHERE len(ws) >= {w}
-  UNION ALL
-  SELECT doc_id,
-         CASE WHEN len(ws) < {w} THEN 0 ELSE len(ws) // {w} END AS i,
-         array_to_string(
-           ws[CASE WHEN len(ws) < {w} THEN 1
-                   ELSE (len(ws) // {w})*{w} + 1 END : len(ws)], ' ') AS seg,
-         TRUE AS is_tail
-  FROM w{p}
-  WHERE len(ws) < {w} OR len(ws) % {w} <> 0
-),
-keyed{p} AS (SELECT doc_id, i, seg, is_tail,
-                    doc_id * 1048576 + i AS k, md5(seg) AS ph FROM seg{p})"""
-
-
-def _scrub_out_cte(p: str, mins: str) -> str:
-    """DuckDB CTE reassembling slice ``p`` against min-key frame
-    ``mins`` exactly like :func:`_scrub_assemble`."""
-    return f"""
-j{p} AS (SELECT keyed{p}.*, {mins}.mk FROM keyed{p} LEFT JOIN {mins} USING (ph)),
-o{p} AS (
-  SELECT doc_id,
-         CAST(SUM(CASE WHEN NOT is_tail THEN 1 ELSE 0 END) AS BIGINT) AS n_passages,
-         CAST(SUM(CASE WHEN NOT is_tail AND k <> mk THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-         COALESCE(string_agg(CASE WHEN is_tail OR k = mk THEN seg END,
-                             ' ' ORDER BY i), '') AS clean_text
-  FROM j{p} GROUP BY doc_id
-)"""
-
-
-_REPLAY_ORACLE = f"""
-WITH {_seg_cte("WHERE doc_id % 5 = 3", "a", PASSAGE_W).lstrip()},
-minsa AS (SELECT ph, MIN(k) AS mk FROM keyeda WHERE NOT is_tail GROUP BY ph),
-{_scrub_out_cte("a", "minsa").lstrip()},
-{_seg_cte("WHERE doc_id % 5 = 4", "b", PASSAGE_W).lstrip()},
-minsb AS (
-  SELECT ph, MIN(mk) AS mk FROM (
-    SELECT DISTINCT ph, CAST(-1 AS BIGINT) AS mk FROM keyeda WHERE NOT is_tail
-    UNION ALL
-    SELECT ph, MIN(k) AS mk FROM keyedb WHERE NOT is_tail GROUP BY ph
-  ) GROUP BY ph
-),
-{_scrub_out_cte("b", "minsb").lstrip()}
-SELECT doc_id, n_passages, n_removed, md5(clean_text) AS clean_md5,
-       CAST(length(clean_text) AS BIGINT) AS clean_chars
-FROM (SELECT * FROM oa UNION ALL SELECT * FROM ob)
-ORDER BY doc_id
-"""
+_REPLAY_ORACLE = (
+    f"WITH {scrub_seg_cte('WHERE doc_id % 5 = 3', 'a', PASSAGE_W).lstrip()},"
+    f"{scrub_seg_cte('WHERE doc_id % 5 = 4', 'b', PASSAGE_W)},\n"
+    "minsa AS (SELECT ph, MIN(k) AS mk FROM keyeda WHERE NOT is_tail GROUP BY ph),"
+    f"{scrub_out_cte('a', 'minsa')},\n"
+    "minsb AS (\n"
+    "  SELECT ph, MIN(mk) AS mk FROM (\n"
+    "    SELECT DISTINCT ph, CAST(-1 AS BIGINT) AS mk FROM keyeda WHERE NOT is_tail\n"
+    "    UNION ALL\n"
+    "    SELECT ph, MIN(k) AS mk FROM keyedb WHERE NOT is_tail GROUP BY ph\n"
+    "  ) GROUP BY ph\n"
+    "),"
+    f"{scrub_out_cte('b', 'minsb')}"
+    f"{_SCRUB_FINAL_SELECT.format(src='(SELECT * FROM oa UNION ALL SELECT * FROM ob)')}"
+)
 
 
 @register(
