@@ -23,12 +23,21 @@ from ..catalog import load
 from ..registry import register
 
 
+def hash_draw(id_col: str) -> Column:
+    """THE module's one deterministic draw: first 8 hex chars of
+    md5(id) as a BIGINT in [0, 2^32). Every sampler derives from this
+    single definition (review r8: three hand-maintained copies — one
+    of them a raw SQL string — had crept in; the determinism
+    guarantees require them bit-identical)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def hash_fraction(id_col: str) -> Column:
-    """Uniform [0,1) draw as a pure function of the id: first 8 hex
-    chars of md5 over 2^32. Engine-reproducible."""
-    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(4294967296.0)
+    """Uniform [0,1) draw as a pure function of the id:
+    :func:`hash_draw` over 2^32. Engine-reproducible."""
+    return hash_draw(id_col).cast("double") / F.lit(4294967296.0)
 
 
 def split_assign(
@@ -220,10 +229,9 @@ def corpus_shuffle_shards(
     ``ROW_NUMBER() OVER (ORDER BY hash)`` — the naive permutation —
     would funnel everything through one reducer.
     """
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
     w = Window.partitionBy("shard_id").orderBy(F.md5(F.col(id_col).cast("string")), id_col)
     return (
-        df.withColumn("shard_id", (h % n_shards).cast("bigint"))
+        df.withColumn("shard_id", (hash_draw(id_col) % n_shards).cast("bigint"))
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
     )
 
@@ -272,7 +280,10 @@ def resample_by_weight(
             if w_expr is None
             else w_expr.when(F.col(stratum_col) == name, branch)
         )
-    w_col = w_expr.otherwise(F.lit(1.0))
+    # empty weights = every stratum at the documented default of 1.0
+    # (review r8: None.otherwise would AttributeError on a generated
+    # empty mixture config)
+    w_col = w_expr.otherwise(F.lit(1.0)) if w_expr is not None else F.lit(1.0)
     n_copies = (
         F.floor(w_col) + F.when(hash_fraction(id_col) < w_col - F.floor(w_col), 1).otherwise(0)
     ).cast("int")
@@ -378,16 +389,37 @@ def mixture_allocation(
         )
     target = target.otherwise(F.lit(int(default_ppm))) if target is not None else F.lit(int(default_ppm))
     total = F.sum("n_tokens").over(Window.partitionBy())
+    # DOUBLE arithmetic in the oracle's exact operation order (review
+    # r8): the previous BIGINT products 1e6*n_tokens and target*total
+    # silently wrap past 2^63 at ~1e13 corpus tokens — the 100 TB scale
+    # this module targets — turning share/rate negative, and only in
+    # production (DuckDB's HUGEINT promotion means the oracle never
+    # sees it). The oracle already computes in double (the 1000000.0
+    # literals), so mirroring its expression order keeps the engines
+    # IEEE-754-identical at every scale while the products stay exact
+    # far past any real corpus (doubles are exact to 2^53 per factor
+    # and the quotient is a ratio of same-magnitude terms).
     return per.select(
         stratum_col,
         F.col("n_docs").cast("bigint").alias("n_docs"),
         "n_tokens",
-        F.floor(F.lit(1000000) * F.col("n_tokens") / total).cast("bigint").alias("share_ppm"),
+        F.floor(F.lit(1000000.0) * F.col("n_tokens") / total)
+        .cast("bigint")
+        .alias("share_ppm"),
         target.cast("bigint").alias("target_ppm"),
         F.least(
-            F.lit(1000000),
-            F.floor(target * total / F.lit(1000000) * F.lit(1000000) / F.col("n_tokens")),
-        ).cast("bigint").alias("sample_rate_ppm"),
+            F.lit(1000000).cast("bigint"),
+            F.floor(
+                # cast BEFORE the product: target*total as BIGINT is
+                # the wrapping term; both engines promote to double at
+                # the same position so the IEEE results stay identical
+                target.cast("double")
+                * total
+                / F.lit(1000000.0)
+                * F.lit(1000000.0)
+                / F.col("n_tokens")
+            ).cast("bigint"),
+        ).alias("sample_rate_ppm"),
     )
 
 
@@ -415,7 +447,7 @@ SELECT source,
        CAST(FLOOR(1000000.0 * n_tokens / total) AS BIGINT) AS share_ppm,
        CAST({_mix_target_sql()} AS BIGINT) AS target_ppm,
        least(1000000,
-             CAST(FLOOR(({_mix_target_sql()}) * total / 1000000.0 * 1000000.0 / n_tokens) AS BIGINT)
+             CAST(FLOOR(CAST({_mix_target_sql()} AS DOUBLE) * total / 1000000.0 * 1000000.0 / n_tokens) AS BIGINT)
        ) AS sample_rate_ppm
 FROM per, tot ORDER BY source
 """,
@@ -464,11 +496,12 @@ def weighted_priority_sample(
         .select(
             F.col(id_col),
             F.col(weight_col).cast("bigint").alias("weight"),
-            F.expr(
-                f"(CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10)"
-                f" AS BIGINT) * 1000000) DIV CAST({weight_col} AS BIGINT)"
-            ).alias("priority"),
+            # the draw comes from the shared helper; only the integer
+            # DIV (no Column-API operator) stays as SQL text
+            (hash_draw(id_col) * F.lit(1000000)).alias("_num"),
         )
+        .withColumn("priority", F.expr("_num DIV weight"))
+        .drop("_num")
         .orderBy("priority", id_col)
         .limit(k)
     )
@@ -521,7 +554,23 @@ def token_budget_sample(
     the rank order (the q137 lesson: the default RANGE frame would
     pool md5-tie peers). Token counts are whitespace tokens here; any
     token-count column can be supplied upstream. Returns the kept
-    docs with their rank and pre-start offset."""
+    docs with their token count and pre-doc start offset."""
+    return _token_budget_frame(docs, source_col, id_col, text_col).filter(
+        F.col("start_tokens") < F.lit(int(budget_tokens))
+    )
+
+
+def _token_budget_frame(
+    docs: DataFrame, source_col: str, id_col: str, text_col: str
+) -> DataFrame:
+    """The budget walk's SINGLE arithmetic source (review r8: the
+    operator and q143's audit carried verbatim copies of the salt,
+    window, and running sum — a change to either would silently
+    diverge from the other): every doc with its whitespace token count
+    and the ROWS-frame running total BEFORE it in the deterministic
+    md5('tok:'+id) rank order. The operator filters this frame; the
+    q143 audit aggregates it (it needs dropped-doc accounting, so it
+    cannot consume the filtered output)."""
     rnd = F.md5(F.concat(F.lit("tok:"), F.col(id_col).cast("string")))
     w = (
         Window.partitionBy(source_col)
@@ -529,10 +578,8 @@ def token_budget_sample(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    return (
-        docs.withColumn("n_tokens", n_tok)
-        .withColumn("start_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-        .filter(F.col("start_tokens") < F.lit(int(budget_tokens)))
+    return docs.withColumn("n_tokens", n_tok).withColumn(
+        "start_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens")
     )
 
 
@@ -569,19 +616,9 @@ def q143_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     kept_flag = F.col("start_tokens") < _TOKEN_BUDGET
     # the registered AUDIT needs dropped-doc accounting too, so it
-    # computes the same flags over ALL docs instead of calling the
-    # filtering operator (token_budget_sample itself is pinned by the
-    # unit test; identical window arithmetic)
-    rnd = F.md5(F.concat(F.lit("tok:"), F.col("doc_id").cast("string")))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(rnd, "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    all_docs = (
-        d.withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
-        .withColumn("start_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    )
+    # aggregates the UNFILTERED budget frame — the same arithmetic
+    # source the filtering operator consumes (_token_budget_frame)
+    all_docs = _token_budget_frame(d, "source", "doc_id", "text")
     return (
         all_docs.groupBy("source")
         .agg(

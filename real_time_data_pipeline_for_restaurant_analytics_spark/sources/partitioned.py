@@ -30,10 +30,30 @@ def write_date_partitioned(
     partition_col: str = "event_date",
     files_per_partition: int = 1,
 ) -> None:
-    """Write parquet partitioned by the date of `ts_col`."""
+    """Write parquet partitioned by the date of `ts_col`, at most
+    ``files_per_partition`` files per date directory.
+
+    Review r8: ``repartition(k, date)`` is NOT "k files per date" — k
+    is the TOTAL partition count, every row of a date hashes to the
+    same one (so each date always got exactly 1 file), and the default
+    k=1 funneled the entire write through a single task — the opposite
+    of the module's 100 TB promise. The correct shape salts WITHIN the
+    date: hash-partition by (date, xxhash64(*) % k), so each date's
+    rows spread over k task groups (k files per date dir, every file
+    ~date-volume/k) while the cluster keeps full write parallelism.
+    The salt column is dropped before the write (it is not part of the
+    table schema). The partition count is EXPLICIT — an advisory
+    ``repartition(cols...)`` is an AQE coalescing target, and coalesced
+    (date, salt) groups land in one task again, silently undoing the
+    salt."""
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    salted = df.withColumn(partition_col, F.to_date(F.col(ts_col))).withColumn(
+        "_fsalt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)),
+    )
     (
-        df.withColumn(partition_col, F.to_date(F.col(ts_col)))
-        .repartition(files_per_partition, F.col(partition_col))
+        salted.repartition(n_shuffle, F.col(partition_col), F.col("_fsalt"))
+        .drop("_fsalt")
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(path)

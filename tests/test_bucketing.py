@@ -40,3 +40,32 @@ def test_cobucketed_join_has_no_exchange(spark, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_write_one_sorted_file_per_bucket(spark, tmp_path):
+    """Review r8: without a pre-write repartition, every input
+    partition emits a file per bucket (n_input x n_buckets slivers)
+    and Spark only trusts per-bucket sortedness when a bucket holds
+    exactly ONE file — the sortBy would be silently discarded and
+    every downstream merge join would re-Sort. Pin the one-file-per-
+    bucket layout on a deliberately many-partition input."""
+    import os
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    df = spark.range(0, 2000).selectExpr("id AS k", "id % 7 AS v").repartition(16)
+    write_bucketed(df, "bw_onefile", "k", n_buckets=4)
+    try:
+        files = [
+            f
+            for f in os.listdir(os.path.join("spark-warehouse", "bw_onefile"))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        assert len(files) == 4, (
+            f"expected exactly one file per bucket, got {len(files)}: "
+            "multi-file buckets void the sortedness guarantee"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bw_onefile")

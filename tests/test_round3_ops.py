@@ -338,3 +338,46 @@ def test_bpe_train_merges_property_vs_python_reference(spark):
         assert got == _ref_bpe(freqs, 3)
 
     run()
+
+
+def test_resample_by_weight_empty_weights_defaults_to_one(spark):
+    """Review r8: an empty mixture config means 'keep everything at
+    weight 1.0', not AttributeError on None.otherwise."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+        resample_by_weight,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "doc_id long, bucket string"
+    )
+    out = resample_by_weight(df, "doc_id", "bucket", {}).collect()
+    assert sorted((r.doc_id, r.epoch) for r in out) == [(1, 0), (2, 0), (3, 0)]
+
+
+def test_mixture_allocation_no_overflow_at_corpus_scale(spark):
+    """Review r8: 1e6*n_tokens and target*total wrapped past 2^63 at
+    ~1e13 corpus tokens (the target scale), flipping share/rate
+    negative IN PRODUCTION ONLY (DuckDB promotes to HUGEINT, so the
+    oracle never saw it). Token counts are just column values, so the
+    overflow regime is testable with three rows."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.sampling import (
+        mixture_allocation,
+    )
+
+    big = 7 * 10**12  # 7T tokens per stratum -> total 21T
+    df = spark.createDataFrame(
+        [("a", big), ("b", big), ("c", big)], "source string, n_toks long"
+    )
+    rows = mixture_allocation(
+        df, "source", "n_toks", {"a": 100000, "b": 500000}, default_ppm=1000000
+    ).collect()
+    by = {r.source: r for r in rows}
+    for r in rows:
+        assert 0 <= r.share_ppm <= 1000000, r
+        assert 0 <= r.sample_rate_ppm <= 1000000, r
+    # each stratum holds 1/3 of tokens
+    assert abs(by["a"].share_ppm - 333333) <= 1
+    # target 100k ppm of 21T = 2.1T tokens from a 7T stratum -> 300k ppm
+    assert abs(by["a"].sample_rate_ppm - 300000) <= 1
+    assert abs(by["b"].sample_rate_ppm - 1000000) <= 1  # capped
+    assert by["c"].sample_rate_ppm == 1000000  # default keeps all
