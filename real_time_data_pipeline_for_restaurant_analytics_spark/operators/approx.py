@@ -109,6 +109,19 @@ def _cms_bucket(row_j: int, key: "F.Column") -> "F.Column":
     )
 
 
+def _cms_cells(key: Column) -> Column:
+    """The depth probe cells of one key — the ONE definition both the
+    sketch build and the heavy-hitter probes use (review r8: two
+    verbatim copies; a salt/shape change missed in one would silently
+    break the probe-to-sketch join into no-matches rather than error)."""
+    return F.array(
+        *[
+            F.struct(F.lit(j).alias("row_j"), _cms_bucket(j, key).alias("bucket"))
+            for j in range(_CMS_DEPTH)
+        ]
+    )
+
+
 def cms_sketch(df: DataFrame, key_col: str) -> DataFrame:
     """Count-min sketch of ``key_col`` frequencies, from scratch: a
     depth×width grid of counters, each row counting under an
@@ -121,15 +134,8 @@ def cms_sketch(df: DataFrame, key_col: str) -> DataFrame:
     mergeable by cell-wise SUM, which is exactly what the partial agg
     does. Point estimates read MIN over the depth rows (each row only
     overestimates, by collisions), the classic CM guarantee."""
-    key = F.col(key_col)
-    cells = F.array(
-        *[
-            F.struct(F.lit(j).alias("row_j"), _cms_bucket(j, key).alias("bucket"))
-            for j in range(_CMS_DEPTH)
-        ]
-    )
     return (
-        df.select(F.explode(cells).alias("c"))
+        df.select(F.explode(_cms_cells(F.col(key_col))).alias("c"))
         .groupBy(F.col("c.row_j").alias("row_j"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -147,16 +153,7 @@ def cms_estimate_heavy_hitters(events: DataFrame, top_n: int = 10) -> DataFrame:
     probes = cand.select(
         "user_id",
         "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row_j"), _cms_bucket(j, F.col("user_id")).alias("bucket")
-                    )
-                    for j in range(_CMS_DEPTH)
-                ]
-            )
-        ).alias("p"),
+        F.explode(_cms_cells(F.col("user_id"))).alias("p"),
     ).select("user_id", "exact_n", F.col("p.row_j").alias("row_j"), F.col("p.bucket").alias("bucket"))
     est = (
         F.broadcast(probes)

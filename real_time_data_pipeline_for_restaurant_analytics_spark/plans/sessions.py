@@ -26,8 +26,7 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL THEN 1
-              WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
-                   - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800 THEN 1
+              WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1
               ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

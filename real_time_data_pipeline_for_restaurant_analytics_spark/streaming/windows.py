@@ -95,11 +95,28 @@ def _make_session_fn(gap_ms: int, ts_col: str):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         """Gap-based sessionizer. Sessions that are CLOSED BY EVENT
-        TIME (the next event is > gap after the previous) are emitted
+        TIME (the next session starts > gap after they end) are emitted
         in the same micro-batch — arrival batching can't merge distinct
-        event-time sessions. Only the trailing open session sits in
+        event-time sessions. Only the LATEST session sits open in
         state, closed by the processing-time timeout when the stream
-        goes quiet for the gap."""
+        goes quiet for the gap.
+
+        Late data (review r8): the old fold condition
+        ``t - last <= gap`` was unbounded below, so a straggler
+        arbitrarily far BEFORE the open session merged into it,
+        emitting a session with an internal super-gap hole. Now the
+        batch's points plus the open-session interval are
+        INTERVAL-MERGED in event-time order (two items merge iff the
+        next starts within gap of the previous end — exactly the
+        batch twin's rule), the latest merged interval stays open, and
+        every earlier one is closed by event-time evidence. Remaining
+        boundary, documented: stragglers older than the open session
+        that arrive in DIFFERENT micro-batches emit as separate
+        sessions even if a full replay would merge them with each
+        other — keep the watermark <= gap when that matters. Rows with
+        NULL event time are ignored (NaT has no place on a timeline;
+        the old int64 cast raised or fabricated a year-1677 session).
+        """
         if state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
@@ -107,23 +124,28 @@ def _make_session_fn(gap_ms: int, ts_col: str):
             return
         rows = pd.concat(list(pdfs))
         ts_us = (
-            rows[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            rows[ts_col]
+            .dropna()
+            .astype("datetime64[ns]")
+            .astype("int64")
+            // 1000
         ).sort_values()
-        start_us = last_us = n = None
+        items: list[tuple[int, int, int]] = [(int(t), int(t), 1) for t in ts_us]
         if state.exists:
-            start_us, last_us, n = state.get
-        closed: list[tuple[int, int, int]] = []
-        for t in ts_us:
-            t = int(t)
-            if start_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                # late events (t < last) fold into the open session
-                start_us, last_us, n = min(start_us, t), max(last_us, t), n + 1
+            items.append(tuple(state.get))
+        if not items:
+            yield _emit(key, [])
+            return
+        items.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, n in items:
+            if merged and s - merged[-1][1] <= gap_us:
+                ls, le, ln = merged[-1]
+                merged[-1] = (ls, max(le, e), ln + n)
             else:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
-        state.update((start_us, last_us, n))
+                merged.append((s, e, n))
+        *closed, open_sess = merged
+        state.update(open_sess)
         state.setTimeoutDuration(gap_ms)
         yield _emit(key, closed)
 
@@ -184,10 +206,19 @@ def sessionize_batch(
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap = F.lag(ts_col).over(w)
+    # MICROSECOND gap comparison (review r8): unix_timestamp truncates
+    # to whole seconds, so a 1800.5 s gap compared as 1800 kept one
+    # session while the streaming twin (which always compared exact
+    # microseconds) split — on the real events data every timestamp is
+    # sub-second. Both twins and the q31 oracle now compare at the
+    # engines' native microsecond resolution.
     new_session = (
         F.when(gap.isNull(), 1)
         .when(
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(gap) > gap_minutes * 60, 1
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(gap.cast("timestamp"))
+            > gap_minutes * 60 * 1_000_000,
+            1,
         )
         .otherwise(0)
     )

@@ -36,7 +36,8 @@ def test_parse_warc_multi_record_and_skips_non_response():
         + build_warc_response("http://a/1", "2024-05-01T00:00:00Z", html1)
         + build_warc_response("http://a/2", "2024-05-01T00:00:01Z", html2)
     )
-    recs = parse_warc(archive)
+    recs, n_bad = parse_warc(archive)
+    assert n_bad == 0
     assert [r["url"] for r in recs] == ["http://a/1", "http://a/2"]
     assert all(r["http_status"] == 200 for r in recs)
     assert recs[0]["body"] == html1 and recs[1]["body"] == html2
@@ -49,7 +50,8 @@ def test_parse_warc_payload_containing_warc_magic():
     evil = b"<html><body><p>quoting WARC/1.0\r\n\r\nheaders inside</p></body></html>"
     archive = build_warc_response("http://a/e", "2024-05-01T00:00:00Z", evil) \
         + build_warc_response("http://a/f", "2024-05-01T00:00:00Z", b"<p>ok</p>")
-    recs = parse_warc(archive)
+    recs, n_bad = parse_warc(archive)
+    assert n_bad == 0
     assert len(recs) == 2
     assert recs[0]["body"] == evil
     assert recs[1]["url"] == "http://a/f"
@@ -110,7 +112,8 @@ def test_warc_round_trip_property():
             build_warc_response(f"http://x/{i}", "2024-05-01T00:00:00Z", b)
             for i, b in enumerate(bs)
         )
-        recs = parse_warc(archive)
+        recs, n_bad = parse_warc(archive)
+        assert n_bad == 0
         assert [r["body"] for r in recs] == bs
         assert [r["url"] for r in recs] == [f"http://x/{i}" for i in range(len(bs))]
 
@@ -128,8 +131,56 @@ def test_extract_html_body_non_ascii_and_literal_close_tag():
     assert extract_html_body(html) == tricky
 
     archive = build_warc_response("http://a/u", "2024-05-01T00:00:00Z", html)
-    recs = parse_warc(archive)
+    recs, n_bad = parse_warc(archive)
+    assert n_bad == 0
     assert recs[0]["body"] == html
     assert len(html) > len(html.decode())  # non-ASCII: bytes != chars
     # the records frame reports octets (what Content-Length walked)
     assert len(recs[0]["body"]) == len(html)
+
+
+def test_parse_warc_gzip_and_malformed_robustness():
+    """Review r8: gzipped archives (the real .warc.gz Common Crawl
+    shape) must decompress instead of silently yielding zero records;
+    a non-WARC payload raises loudly; a truncated record is COUNTED
+    and the records before it survive; a double-spaced status line
+    parses instead of crashing."""
+    import gzip
+
+    import pytest
+
+    a = build_warc_response("http://a", "2024-01-01T00:00:00Z", b"<p>one</p>")
+    b = build_warc_response("http://b", "2024-01-01T00:00:01Z", b"<p>two</p>")
+
+    recs, n_bad = parse_warc(gzip.compress(a + b))
+    assert [r["url"] for r in recs] == ["http://a", "http://b"] and n_bad == 0
+
+    with pytest.raises(ValueError, match="not a WARC"):
+        parse_warc(b"PK\x03\x04 definitely a zip")
+
+    truncated = a + b[: len(b) // 2]
+    recs, n_bad = parse_warc(truncated)
+    assert [r["url"] for r in recs] == ["http://a"], (
+        "records before the corruption must survive"
+    )
+    assert n_bad == 1, "the truncated record must be counted, not raised"
+
+    weird = a.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1  200 OK")  # double space
+    recs, n_bad = parse_warc(weird)
+    assert n_bad == 0 and recs[0]["http_status"] == 200
+
+
+def test_warc_malformed_counts_frame(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.sources.corpus import (
+        warc_malformed_counts,
+    )
+
+    a = build_warc_response("http://a", "2024-01-01T00:00:00Z", b"<p>x</p>")
+    b = build_warc_response("http://b", "2024-01-01T00:00:01Z", b"<p>y</p>")
+    good = a + b
+    bad = a + b[: len(b) - 10]
+    df = spark.createDataFrame([(good,), (bad,)], "warc binary")
+    got = sorted(
+        (r.n_records, r.n_malformed) for r in warc_malformed_counts(df).collect()
+    )
+    assert got == [(1, 1), (2, 0)]

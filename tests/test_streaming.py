@@ -496,3 +496,72 @@ def test_streaming_incremental_scrub_matches_batch_and_is_exactly_once(
     )
     assert replayed == got2, "replay of a committed batch must be byte-stable"
     assert spark.read.parquet(out_dir).count() == 6
+
+
+def test_sessionize_streaming_late_event_does_not_bridge_super_gap(spark, tmp_path):
+    """Review r8: the old fold condition 't - last <= gap' was
+    unbounded below, so a straggler arbitrarily far BEFORE the open
+    session merged into it, emitting a session with an internal
+    super-gap hole. With interval-merging, the late 09:00 event (60min
+    before a 30min-gap session starting at 10:00) must close as its
+    OWN session, exactly like the batch twin."""
+    import json
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.streaming.windows import (
+        sessionize,
+        sessionize_batch,
+    )
+
+    landing = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def _drop(fname, rows):
+        with open(os.path.join(landing, fname), "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    # batch 1: the open session 10:00 + 10:05
+    _drop("b1.json", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00")])
+    import time
+
+    time.sleep(1.1)
+    # batch 2: a 09:00 straggler (inside any 2h watermark) plus a
+    # 11:00 event that closes everything before it by event time
+    _drop("b2.json", [(1, "2024-01-01 09:00:00"), (1, "2024-01-01 11:00:00")])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+    )
+    out = sessionize(stream, gap_ms=30 * 60 * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    )
+    # closed by event time: the straggler session and the 10:00-10:05
+    # session (the 11:00 event stays open in state)
+    assert got == [
+        ("2024-01-01 09:00:00", "2024-01-01 09:00:00", 1),
+        ("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2),
+    ], got
+    # and the batch twin agrees on the same rows
+    df = spark.createDataFrame(
+        [(1, t) for t in ("2024-01-01 10:00:00", "2024-01-01 10:05:00",
+                          "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = sorted(
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize_batch(df).collect()
+    )
+    assert batch == got + [("2024-01-01 11:00:00", "2024-01-01 11:00:00", 1)]
