@@ -60,7 +60,10 @@ def snapshot_diff(
     in_new = F.col("_in_new").isNotNull()
     changed = F.lit(False)  # empty value_cols = pure existence diff
     for c in value_cols:
-        changed = changed | (F.col(f"old_{c}") != F.col(f"new_{c}"))
+        # NULL-SAFE inequality (review r8): the docstring promises
+        # null-safe value comparison, but `!=` evaluates NULL vs value
+        # to NULL → 'unchanged' with contradictory old/new columns
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     return j.select(
         *[F.col(k) for k in key],
         F.when(~in_old, F.lit("insert"))

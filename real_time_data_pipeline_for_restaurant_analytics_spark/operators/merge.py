@@ -45,8 +45,18 @@ def _null_safe_any_diff(left: str, right: str, attrs: list[str]) -> Column:
 
 def latest_per_key(df: DataFrame, key: list[str], order_by: list[Column]) -> DataFrame:
     """Batch dedup (C6): keep one row per business key, latest by
-    order_by (descending-priority columns supplied by the caller)."""
-    w = Window.partitionBy(*key).orderBy(*order_by)
+    order_by (descending-priority columns supplied by the caller).
+
+    A deterministic all-column hash rides as the FINAL tie-break
+    (review r8): with a constant fallback order (no created_col) or
+    ties on the ordering column, row_number previously picked
+    whichever row the shuffle delivered first — rerun-unstable, and
+    under the SCD2 change guard a flipped winner fabricates a spurious
+    close-out + version. The hash makes the pick value-determined
+    (identical duplicate rows tie harmlessly — either is the same
+    row)."""
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy(*key).orderBy(*order_by, tiebreak)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
@@ -83,16 +93,24 @@ def merge_upsert(
     if target is None:
         return source
     cols = target.columns
-    t = target.alias("t")
-    s = source.alias("s")
+    src_cols = source.columns
+    # presence via lit(True) MARKER columns, never key nullability
+    # (review r8): the join condition is eqNullSafe precisely so NULL
+    # business keys match (the EQUAL_NULL contract merge_backend
+    # documents and tests), but `t.key.isNotNull()` reads a NULL-key
+    # TARGET row as "not matched" and wipes its attributes with the
+    # absent source side — the marker is null exactly when the join
+    # side is absent, for any key value.
+    t = target.withColumn("__t_mark", F.lit(True)).alias("t")
+    s = source.withColumn("__s_mark", F.lit(True)).alias("s")
     key_match = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key]
     cond = key_match[0]
     for c in key_match[1:]:
         cond = cond & c
     joined = t.join(s, cond, "full_outer")
 
-    in_target = F.col(f"t.{key[0]}").isNotNull()
-    in_source = F.col(f"s.{key[0]}").isNotNull()
+    in_target = F.col("t.__t_mark").isNotNull()
+    in_source = F.col("s.__s_mark").isNotNull()
     changed = _null_safe_any_diff("t", "s", attrs)
 
     out_cols = []
@@ -104,7 +122,7 @@ def merge_upsert(
                 .when(in_source & changed, batch_ts)
                 .otherwise(F.col(f"t.{c}"))
             )
-        elif c in source.columns:
+        elif c in src_cols:
             expr = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
         else:
             expr = F.col(f"t.{c}")
@@ -172,15 +190,20 @@ def apply_scd2(
 
     dim_cols = dim.columns
     historical = dim.filter(~F.col("is_current"))
-    current = dim.filter(F.col("is_current")).alias("t")
-    s = batch.alias("s")
+    # lit(True) markers for presence, not key nullability (review r8):
+    # a NULL-key current row otherwise fell out of BOTH kept_current
+    # (filter(in_dim)) and inserts — silently and permanently dropped
+    # from the rewritten snapshot, despite the eqNullSafe join existing
+    # to support exactly that key.
+    current = dim.filter(F.col("is_current")).withColumn("__t_mark", F.lit(True)).alias("t")
+    s = batch.withColumn("__s_mark", F.lit(True)).alias("s")
     cond = F.col(f"t.{key[0]}").eqNullSafe(F.col(f"s.{key[0]}"))
     for k in key[1:]:
         cond = cond & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
     joined = current.join(s, cond, "full_outer")
 
-    in_dim = F.col(f"t.{key[0]}").isNotNull()
-    in_batch = F.col(f"s.{key[0]}").isNotNull()
+    in_dim = F.col("t.__t_mark").isNotNull()
+    in_batch = F.col("s.__s_mark").isNotNull()
     changed = _null_safe_any_diff("t", "s", attrs)
 
     # Surviving current rows: unmatched, or matched-with-identical-attrs
@@ -188,7 +211,11 @@ def apply_scd2(
     kept_current = joined.filter(in_dim).select(
         *[
             (
-                F.when(in_batch & changed, batch_ts).otherwise(F.col("t.eff_end_date"))
+                # cast like the inserts branch: a non-timestamp
+                # batch_ts literal must not type-skew the unionByName
+                F.when(in_batch & changed, batch_ts.cast("timestamp")).otherwise(
+                    F.col("t.eff_end_date")
+                )
                 if c == "eff_end_date"
                 else F.when(in_batch & changed, F.lit(False)).otherwise(F.col("t.is_current"))
                 if c == "is_current"
@@ -240,15 +267,17 @@ def change_feed(prev: DataFrame | None, curr: DataFrame, key: list[str]) -> Data
             "metadata_isupdate", F.lit(False)
         )
     cols = curr.columns
-    p = prev.alias("p")
-    c = curr.alias("c")
+    # markers, not key nullability (review r8): NULL-key inserts,
+    # deletes, and updates were invisible to every feed consumer
+    p = prev.withColumn("__p_mark", F.lit(True)).alias("p")
+    c = curr.withColumn("__c_mark", F.lit(True)).alias("c")
     cond = F.col(f"p.{key[0]}").eqNullSafe(F.col(f"c.{key[0]}"))
     for k in key[1:]:
         cond = cond & F.col(f"p.{k}").eqNullSafe(F.col(f"c.{k}"))
     attrs = [a for a in cols if a not in key]
     joined = p.join(c, cond, "full_outer")
-    in_prev = F.col(f"p.{key[0]}").isNotNull()
-    in_curr = F.col(f"c.{key[0]}").isNotNull()
+    in_prev = F.col("p.__p_mark").isNotNull()
+    in_curr = F.col("c.__c_mark").isNotNull()
     changed = _null_safe_any_diff("p", "c", attrs) if attrs else F.lit(False)
 
     inserts = joined.filter(in_curr & ~in_prev).select(
@@ -289,15 +318,23 @@ def apply_deletes(
     One left-semi-shaped join on the key; closed versions pass through
     untouched.
     """
+    # eqNullSafe match like the rest of the module (review r8): a
+    # NULL-key delete must close the NULL-key current version — the
+    # name-based `on=key` join uses null-unsafe equality, leaving that
+    # version current forever (and the documented GDPR-forgetting hook
+    # keyed off the close-out never fires)
     marked = deleted_keys.select(
-        *[F.col(k) for k in key], F.lit(True).alias("_deleted")
-    ).dropDuplicates(key)
-    joined = dim.join(marked, on=key, how="left")
+        *[F.col(k).alias(f"__dk_{k}") for k in key], F.lit(True).alias("_deleted")
+    ).dropDuplicates([f"__dk_{k}" for k in key])
+    cond = F.col(key[0]).eqNullSafe(F.col(f"__dk_{key[0]}"))
+    for k in key[1:]:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+    joined = dim.join(marked, cond, "left")
     hit = F.col("_deleted").isNotNull() & F.col("is_current")
     return joined.select(
         *[
             (
-                F.when(hit, batch_ts).otherwise(F.col(c)).alias(c)
+                F.when(hit, batch_ts.cast("timestamp")).otherwise(F.col(c)).alias(c)
                 if c == "eff_end_date"
                 else F.when(hit, F.lit(False)).otherwise(F.col(c)).alias(c)
                 if c == "is_current"

@@ -12,7 +12,15 @@ the versioning math value-for-value:
 - q17: SCD1 "latest snapshot" — what the clean table holds after
   replaying all change records.
 - q18: SCD2 "full version history" — eff_start/eff_end/is_current
-  exactly as the dim would hold after replaying the history in order.
+  as the dim would hold after replaying the history in order,
+  UNGUARDED: every change record opens a new version even when the
+  tracked attributes are identical to the previous one (the LEAD
+  formulation has no change guard). ``apply_scd2`` additionally
+  applies the reference's guarded-merge no-op branch, so a history
+  with repeated-identical attributes yields FEWER versions there —
+  q18 verifies the validity-interval algebra (eff_start/eff_end
+  chaining, is_current), q17/the golden SCD fixtures verify the
+  guard. (Review r8: the old text overclaimed "same semantics".)
 
 Treating `events` as the change feed: user_id = business key,
 ts = change timestamp, (event_type, value) = tracked attributes.

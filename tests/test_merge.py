@@ -117,3 +117,89 @@ def test_apply_deletes_closes_current_versions(spark):
     # idempotent: deleting an already-closed key changes nothing
     dim3 = apply_deletes(dim2, deleted, ["id"], F.lit("2024-05-03 00:00:00").cast("timestamp"))
     assert sorted(map(tuple, dim3.collect())) == sorted(map(tuple, dim2.collect()))
+
+
+def test_null_business_keys_survive_all_merge_ops(spark):
+    """Review r8: presence was read off key nullability, so NULL
+    business keys — the exact case the eqNullSafe joins exist for —
+    were wiped (merge_upsert), dropped (apply_scd2), invisible
+    (change_feed), or never closed (apply_deletes)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge import (
+        Scd2Config,
+        apply_deletes,
+        apply_scd2,
+        change_feed,
+        merge_upsert,
+    )
+
+    # merge_upsert: target-only NULL-key row keeps its attributes
+    target = spark.createDataFrame([(None, "keep"), (1, "a")], "id long, v string")
+    source = spark.createDataFrame([(1, "a2")], "id long, v string")
+    got = {r.id: r.v for r in merge_upsert(target, source, ["id"], ["v"]).collect()}
+    assert got == {None: "keep", 1: "a2"}
+
+    # apply_scd2: NULL-key current row survives an unrelated batch, and
+    # a NULL-key batch change versions it properly
+    cfg = Scd2Config(key=["id"], attrs=["v"])
+    ts1 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ts2 = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    dim = apply_scd2(None, target, cfg, ts1)
+    dim2 = apply_scd2(dim, source, cfg, ts2)  # batch without the NULL key
+    nk = dim2.filter("id IS NULL").collect()
+    assert len(nk) == 1 and nk[0].v == "keep" and nk[0].is_current
+    dim3 = apply_scd2(
+        dim2, spark.createDataFrame([(None, "v2")], "id long, v string"), cfg, ts2
+    )
+    nk3 = sorted((r.v, r.is_current) for r in dim3.filter("id IS NULL").collect())
+    assert nk3 == [("keep", False), ("v2", True)]
+
+    # change_feed: NULL-key update emits the DELETE/INSERT pair
+    prev = spark.createDataFrame([(None, "a")], "id long, v string")
+    curr = spark.createDataFrame([(None, "b")], "id long, v string")
+    feed = sorted(
+        (r.action, r.metadata_isupdate, r.v)
+        for r in change_feed(prev, curr, ["id"]).collect()
+    )
+    assert feed == [("DELETE", True, "a"), ("INSERT", True, "b")]
+
+    # apply_deletes: a NULL-key delete closes the NULL-key version
+    deleted = spark.createDataFrame([(None,)], "id long")
+    closed = apply_deletes(dim3, deleted, ["id"], ts2)
+    assert closed.filter("id IS NULL AND is_current").count() == 0
+    assert closed.filter("id IS NULL").count() == 2  # history preserved
+
+
+def test_latest_per_key_deterministic_on_ties(spark):
+    """Review r8: with a constant fallback order (or created_col
+    ties), the dedup winner was shuffle-order-dependent. The
+    all-column hash tie-break makes it value-determined: the same
+    input picks the same row on every run and partitioning."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge import (
+        latest_per_key,
+    )
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "x")]
+    runs = set()
+    for n_parts in (1, 3, 7):
+        df = spark.createDataFrame(rows, "id long, v string").repartition(n_parts)
+        got = tuple(
+            sorted(
+                (r.id, r.v)
+                for r in latest_per_key(df, ["id"], [F.lit(1)]).collect()
+            )
+        )
+        runs.add(got)
+    assert len(runs) == 1, f"dedup winner must not depend on partitioning: {runs}"
+
+
+def test_snapshot_diff_null_vs_value_is_update(spark):
+    """Review r8: the docstring promises null-safe value comparison,
+    but != classified NULL-vs-5 as 'unchanged'."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(1, None), (2, 7)], "id long, n long")
+    new = spark.createDataFrame([(1, 5), (2, 7)], "id long, n long")
+    got = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"], ["n"]).collect()}
+    assert got == {1: "update", 2: "unchanged"}
