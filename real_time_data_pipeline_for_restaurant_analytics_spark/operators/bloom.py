@@ -60,8 +60,44 @@ def _canon(key_sql: str) -> str:
     would produce FALSE NEGATIVES: silently dropped matching rows
     (review r8). Hashing the string form makes build and probe agree
     for any integer/string key widths at the cost of one in-codegen
-    cast per row."""
+    cast per row. Fractional keys are REJECTED before this point
+    (:func:`_assert_bloomable_key`): an int 5 casts to '5' while a
+    double 5.0 casts to '5.0', so a float/decimal-vs-int key pair
+    would still false-negative rows the exact join's implicit numeric
+    cast matches (ADVICE r9)."""
     return f"CAST({key_sql} AS STRING)"
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _assert_bloomable_key(df: DataFrame, key: str, side: str) -> None:
+    """Fail LOUDLY on key dtypes whose string canonicalization is not
+    value-stable across the numeric tower. Integral widths all render
+    as plain digits ('5'); scale-0 decimals do too; strings are
+    themselves; date/timestamp render one canonical form per type.
+    float/double/decimal(p, s>0) render fractional text ('5.0',
+    '5.00') that never equals the integral rendering, so a mixed
+    build/probe pair silently prunes matching rows — a correctness
+    bug, not a perf one. The exact semi-join would have matched them
+    via implicit numeric cast; refusing the Bloom path is the only
+    safe answer (ADVICE r9)."""
+    name = df.select(F.expr(key)).schema[0].dataType.simpleString()
+    ok = (
+        name in _INTEGRAL_TYPES
+        or name in ("string", "date")
+        or name.startswith("timestamp")
+        or (name.startswith("decimal(") and name.endswith(",0)"))
+    )
+    if not ok:
+        raise TypeError(
+            f"bloom {side} key {key!r} has dtype {name}: fractional "
+            "(float/double/decimal with scale>0) keys do not "
+            "canonicalize stably to strings, so the Bloom pre-filter "
+            "could silently drop rows the exact join matches. Cast "
+            "the key to an integral/string type first, or use the "
+            "plain semi-join."
+        )
 
 
 def _positions(key_col: str, num_bits: int) -> list[Column]:
@@ -85,6 +121,7 @@ def build_key_bloom(dim: DataFrame, dim_key: str, num_bits: int = DEFAULT_NUM_BI
     into a num_bits/64-word mask (a scalar "build" step, like fetching
     IVF centroids)."""
     assert num_bits % 64 == 0
+    _assert_bloomable_key(dim, dim_key, "build")
     pos = (
         dim.select(F.explode(F.array(*_positions(dim_key, num_bits))).alias("p"))
         .distinct()
@@ -104,6 +141,7 @@ def bloom_prune(
     shiftrightunsigned — pure integer expressions that stay inside
     whole-stage codegen, evaluated before any exchange. No false
     negatives ⇒ safe before any exact join."""
+    _assert_bloomable_key(fact, fact_key, "probe")
     from .similarity import sql_bigint_array
 
     # one SQL string, not len(words) Py4J F.lit round trips (driver-side

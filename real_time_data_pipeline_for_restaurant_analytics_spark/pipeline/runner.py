@@ -139,10 +139,14 @@ def run_entity(
     # r8: the stage layer is the COPY-INTO analogue the ledger calls
     # exactly-once, and a mark-crash retry was permanently duplicating
     # it). A MODIFIED file has a new fingerprint → a new partition, so
-    # legitimate reloads still append a new version.
+    # legitimate reloads still append a new version. The fingerprint
+    # is the DECISION-TIME one the ledger captured (ADVICE r9): a
+    # second stat here could see content appended since unprocessed()
+    # decided, tagging the partition with a fingerprint mark() never
+    # records — the retry-overwrite key and the ledger would diverge.
     import hashlib
 
-    fp = FileLedger.fingerprint(file_path)
+    fp = ledger.pending_fingerprint(file_path)
     ingest_tag = hashlib.md5(
         f"{fp['path']}|{fp['size']}|{fp['mtime']}".encode()
     ).hexdigest()

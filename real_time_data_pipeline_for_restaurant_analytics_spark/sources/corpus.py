@@ -92,9 +92,10 @@ def parse_warc(payload: bytes) -> tuple[list[dict], int]:
     """REAL WARC/1.0 parse: walk records by Content-Length (the only
     correct way — payloads may contain anything, including the string
     ``WARC/1.0``), split each response's HTTP headers from its body,
-    return ``([{url, date, http_status, body_bytes}], n_malformed)``
-    for response records. Non-response records (warcinfo, request,
-    metadata) are walked over correctly and skipped.
+    return ``([{url, date, http_status, body_bytes}],
+    unparsed_bytes)`` for response records. Non-response records
+    (warcinfo, request, metadata) are walked over correctly and
+    skipped.
 
     Robustness (review r8):
 
@@ -105,12 +106,18 @@ def parse_warc(payload: bytes) -> tuple[list[dict], int]:
       advertises;
     - a payload that starts with neither marker raises loudly (it is
       not a WARC file, not "trailing padding");
-    - a truncated/malformed record stops the walk of THIS payload and
-      is COUNTED instead of raising — Content-Length framing cannot
-      resync past a corrupt length, so the records before the
-      corruption are kept and the caller surfaces ``n_malformed``
-      (the JSONL path's count-alert-keep-loading discipline; one bad
-      transfer among millions must not abort the load)."""
+    - a truncated/malformed record stops the walk of THIS payload
+      instead of raising — Content-Length framing cannot resync past a
+      corrupt length, so the records before the corruption are kept
+      and the caller surfaces the damage (the JSONL path's
+      count-alert-keep-loading discipline; one bad transfer among
+      millions must not abort the load). Because resync is impossible,
+      a per-record *count* of malformed records cannot exist (ADVICE
+      r9: it could only ever be 0 or 1); the honest magnitude signal
+      is ``unparsed_bytes`` — bytes from the corrupt record's start to
+      the end of the (decompressed) payload, 0 for a clean parse. One
+      bad trailing record reports a small number; a mostly-corrupt
+      archive reports most of its size."""
     import gzip
 
     if payload[:2] == b"\x1f\x8b":
@@ -121,7 +128,7 @@ def parse_warc(payload: bytes) -> tuple[list[dict], int]:
             f"(leading bytes {payload[:8]!r}) — not a WARC archive."
         )
     out: list[dict] = []
-    n_malformed = 0
+    unparsed = 0
     pos = 0
     n = len(payload)
     while pos < n:
@@ -157,12 +164,12 @@ def parse_warc(payload: bytes) -> tuple[list[dict], int]:
         except (ValueError, KeyError):
             # unrecoverable within this payload: Content-Length framing
             # has no resync point past a corrupt record
-            n_malformed += 1
+            unparsed = n - pos
             break
         pos = hdr_end + 4 + clen
         while payload[pos : pos + 2] == _CRLF:
             pos += 2
-    return out, n_malformed
+    return out, unparsed
 
 
 def extract_html_body(html: bytes) -> str:
@@ -191,7 +198,7 @@ def warc_records_frame(warc_df: DataFrame) -> DataFrame:
             rows = {k: [] for k in
                     ("url", "date", "http_status", "n_body_bytes", "body_md5", "text")}
             for p in pdf["warc"]:
-                records, _n_malformed = parse_warc(bytes(p))
+                records, _unparsed = parse_warc(bytes(p))
                 for r in records:
                     rows["url"].append(r["url"])
                     rows["date"].append(r["date"])
@@ -209,22 +216,44 @@ def warc_records_frame(warc_df: DataFrame) -> DataFrame:
 
 
 def warc_malformed_counts(warc_df: DataFrame) -> DataFrame:
-    """Per-payload malformed-record counts — the alerting side channel
-    of :func:`warc_records_frame` (count them, alert, keep loading):
-    one row per WARC payload with the records recovered before the
-    first unrecoverable corruption and the number of truncated/
-    malformed records hit."""
+    """Per-payload corruption audit — the alerting side channel of
+    :func:`warc_records_frame` (detect, alert, keep loading): one row
+    per WARC payload with the records recovered before the first
+    unrecoverable corruption, a ``corrupt`` flag, and the magnitude as
+    ``unparsed_bytes`` / ``total_bytes``. Content-Length framing
+    cannot resync past a corrupt record, so a malformed-record COUNT
+    is unknowable (ADVICE r9) — bytes consumed vs total is the honest
+    signal: one bad trailing record ≈ small fraction, a mostly-corrupt
+    archive ≈ most of its size."""
+
+    import gzip
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs, bad = [], []
+            recs, flag, bad, tot = [], [], [], []
             for p in pdf["warc"]:
-                records, n_malformed = parse_warc(bytes(p))
+                b = bytes(p)
+                records, unparsed = parse_warc(b)
                 recs.append(len(records))
-                bad.append(n_malformed)
-            yield pd.DataFrame({"n_records": recs, "n_malformed": bad})
+                flag.append(unparsed > 0)
+                bad.append(unparsed)
+                # unparsed_bytes counts DECOMPRESSED bytes, so the
+                # denominator must too or a .gz ratio could exceed 1
+                tot.append(len(gzip.decompress(b) if b[:2] == b"\x1f\x8b" else b))
+            yield pd.DataFrame(
+                {
+                    "n_records": recs,
+                    "corrupt": flag,
+                    "unparsed_bytes": bad,
+                    "total_bytes": tot,
+                }
+            )
 
-    return warc_df.mapInPandas(run, schema="n_records bigint, n_malformed bigint")
+    return warc_df.mapInPandas(
+        run,
+        schema="n_records bigint, corrupt boolean, "
+        "unparsed_bytes bigint, total_bytes bigint",
+    )
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:

@@ -57,6 +57,16 @@ class FileLedger:
                 self._pending[fp["path"]] = fp
         return out
 
+    def pending_fingerprint(self, path: str) -> dict:
+        """The fingerprint captured when :meth:`unprocessed` DECIDED to
+        load ``path`` (fresh stat only for a path that never went
+        through unprocessed). run_entity keys its stage partition by
+        THIS fingerprint so the ingest tag and the ledger entry can
+        never diverge: re-statting there would tag rows with a
+        fingerprint of content appended AFTER the decision, splitting
+        the retry-overwrite key from what mark() records (ADVICE r9)."""
+        return dict(self._pending.get(os.path.abspath(path)) or self.fingerprint(path))
+
     def mark(self, paths: list[str]) -> None:
         """Record the fingerprints taken when ``unprocessed`` DECIDED
         to load these paths (falling back to a fresh stat only for a

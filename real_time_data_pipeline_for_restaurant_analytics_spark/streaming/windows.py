@@ -201,9 +201,16 @@ def sessionize_batch(
     """Batch twin of ``sessionize``: gap-based sessions with window
     functions (lag → new-session flag → running session id). Pure
     JVM-side plan; used for backfill and as the oracle for the
-    streaming operator."""
+    streaming operator.
+
+    NULL event times are dropped, matching the streaming twin's
+    'NaT has no place on a timeline' rule (ADVICE r9): without the
+    filter a NULL ts row evaluates the gap predicate to NULL →
+    otherwise(0) and silently folds into the prior session, so the
+    two twins diverged on exactly the rows neither can place."""
     from pyspark.sql import Window
 
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap = F.lag(ts_col).over(w)
     # MICROSECOND gap comparison (review r8): unix_timestamp truncates

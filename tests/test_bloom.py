@@ -47,3 +47,26 @@ def test_empty_dim_prunes_everything(spark):
     words = build_key_bloom(dim, "k", num_bits=6400)
     fact = spark.range(0, 100).withColumnRenamed("id", "fk")
     assert bloom_prune(fact, "fk", words, num_bits=6400).count() == 0
+
+
+def test_fractional_keys_fail_loudly(spark):
+    """ADVICE r9: an int key 5 canonicalizes to '5' but a double 5.0
+    to '5.0', so a float/decimal build or probe side would silently
+    false-negative rows the exact join matches — the operator must
+    refuse instead."""
+    import pytest
+
+    ints = spark.range(0, 10).withColumnRenamed("id", "k")
+    dbls = spark.range(0, 10).select(F.col("id").cast("double").alias("k"))
+    decs = spark.range(0, 10).select(F.col("id").cast("decimal(10,2)").alias("k"))
+
+    with pytest.raises(TypeError, match="double"):
+        build_key_bloom(dbls, "k", num_bits=6400)
+    words = build_key_bloom(ints, "k", num_bits=6400)
+    with pytest.raises(TypeError, match="double"):
+        bloom_prune(dbls.withColumnRenamed("k", "fk"), "fk", words, num_bits=6400)
+    with pytest.raises(TypeError, match="decimal"):
+        bloom_semi_join(decs.withColumnRenamed("k", "fk"), ints, "fk", "k")
+    # scale-0 decimals render as plain digits — compatible with ints
+    dec0 = spark.range(0, 10).select(F.col("id").cast("decimal(20,0)").alias("fk"))
+    assert bloom_semi_join(dec0, ints, "fk", "k", num_bits=6400).count() == 10

@@ -159,11 +159,14 @@ def test_parse_warc_gzip_and_malformed_robustness():
         parse_warc(b"PK\x03\x04 definitely a zip")
 
     truncated = a + b[: len(b) // 2]
-    recs, n_bad = parse_warc(truncated)
+    recs, unparsed = parse_warc(truncated)
     assert [r["url"] for r in recs] == ["http://a"], (
         "records before the corruption must survive"
     )
-    assert n_bad == 1, "the truncated record must be counted, not raised"
+    # ADVICE r9: the damage signal is BYTES left unparsed (the corrupt
+    # record's start to payload end), not a record count that framing
+    # cannot actually compute past the first corruption
+    assert unparsed == len(b) // 2, "unparsed tail must be byte-exact"
 
     weird = a.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1  200 OK")  # double space
     recs, n_bad = parse_warc(weird)
@@ -181,6 +184,12 @@ def test_warc_malformed_counts_frame(spark):
     bad = a + b[: len(b) - 10]
     df = spark.createDataFrame([(good,), (bad,)], "warc binary")
     got = sorted(
-        (r.n_records, r.n_malformed) for r in warc_malformed_counts(df).collect()
+        (r.n_records, r.corrupt, r.unparsed_bytes, r.total_bytes)
+        for r in warc_malformed_counts(df).collect()
     )
-    assert got == [(1, 1), (2, 0)]
+    # clean archive: 2 records, nothing unparsed; truncated archive:
+    # the surviving record plus a byte-exact unparsed tail (ADVICE r9)
+    assert got == [
+        (1, True, len(b) - 10, len(bad)),
+        (2, False, 0, len(good)),
+    ]

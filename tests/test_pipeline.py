@@ -232,6 +232,38 @@ def test_ledger_marks_decision_time_fingerprint(tmp_path):
     assert led.unprocessed([str(src)]) == []
 
 
+def test_pending_fingerprint_is_decision_time(tmp_path):
+    """ADVICE r9: run_entity keys the stage partition by the ledger's
+    DECISION-TIME fingerprint, not a second stat — a file appended
+    between unprocessed() and the stage write must yield the SAME
+    ingest tag that mark() records, or retry-overwrite keying and the
+    ledger diverge."""
+    import os
+    import time
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.sources.ledger import (
+        FileLedger,
+    )
+
+    src = tmp_path / "day.csv"
+    src.write_text("h\n1\n")
+    led = FileLedger(str(tmp_path / "ledger.jsonl"))
+    led.unprocessed([str(src)])
+    decision_fp = led.pending_fingerprint(str(src))
+    time.sleep(0.01)
+    with open(src, "a") as f:
+        f.write("2\n")
+    os.utime(src)
+    # the decision-time fingerprint must be STABLE across the append...
+    assert led.pending_fingerprint(str(src)) == decision_fp
+    # ...and exactly what mark() writes to the ledger
+    led.mark([str(src)])
+    (entry,) = led.history()
+    assert (entry["size"], entry["mtime"]) == (decision_fp["size"], decision_fp["mtime"])
+    # a fresh stat at this point would have disagreed
+    assert FileLedger.fingerprint(str(src))["size"] != decision_fp["size"]
+
+
 def test_stage_append_is_crash_retry_idempotent(spark, tmp_path):
     """Review r8: a crash between the stage append and ledger.mark made
     the retry re-append the whole file — permanent stage duplicates in

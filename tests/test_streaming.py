@@ -109,6 +109,31 @@ def test_sessionize_batch_gap_split(spark):
     assert per_user[2] == [("2024-05-01 09:00:00", 1)]
 
 
+def test_sessionize_batch_drops_null_ts_like_streaming_twin(spark):
+    """ADVICE r9 twin-parity: the streaming sessionizer drops NULL
+    event times ('NaT has no place on a timeline'); the batch twin
+    must too — previously a NULL ts evaluated the gap predicate to
+    NULL → otherwise(0) and silently folded into the prior session,
+    inflating its n_events."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-05-01 10:00:00"),
+            (1, None),
+            (1, "2024-05-01 10:10:00"),
+            (3, None),  # a user with ONLY null timestamps: no session
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = sessionize_batch(df).collect()
+    assert {r.user_id for r in sessions} == {1}
+    (s,) = sessions
+    assert (str(s.session_start), str(s.session_end), s.n_events) == (
+        "2024-05-01 10:00:00",
+        "2024-05-01 10:10:00",
+        2,
+    )
+
+
 def test_sessionize_streaming_stateful(spark, tmp_path):
     """applyInPandasWithState: sessions separated by an EVENT-TIME gap
     inside one micro-batch split immediately (batch-twin semantics —
