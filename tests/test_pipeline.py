@@ -352,3 +352,40 @@ def test_snapshot_write_keeps_previous_and_locks(spark, tmp_path):
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
+
+
+def test_q145_replay_version_structure(spark):
+    """q145 (round-9): the two-day pipeline replay's SCD2 outcome per
+    key class — changed keys get a closed v1 (eff_end = day 2) plus a
+    current v2 (eff_start = day 2); the identical no-op key must NOT
+    version; day-2 brand-new keys first-insert with eff_start =
+    created_ts (the v3 `order_proc.sql:300` semantics → day offset
+    -31). The DuckDB oracle hash-checks every row; this pins the
+    intended shape in one readable place."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    rows = (
+        all_queries()["q145_pipeline_replay"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    loc_dim: dict[int, list] = {}
+    for r in rows:
+        if r.entity == "location" and r.layer == "dim":
+            loc_dim.setdefault(int(r.key_str), []).append(r)
+    assert loc_dim, "no location dim rows"
+    for k, versions in loc_dim.items():
+        versions.sort(key=lambda r: r.eff_start_day)
+        if k % 10 in (0, 1, 2):  # changed on day 2
+            assert len(versions) == 2, (k, versions)
+            v1, v2 = versions
+            assert (v1.eff_start_day, v1.eff_end_day, v1.is_current) == (-31, 1, False)
+            assert (v2.eff_start_day, v2.eff_end_day, v2.is_current) == (1, 9999, True)
+        else:  # no-op (3), absent (4-8), or day-2 first insert (9)
+            assert len(versions) == 1, (k, versions)
+            (v,) = versions
+            assert (v.eff_start_day, v.eff_end_day, v.is_current) == (-31, 9999, True)
+    # both day-populations present: day-1-only keys and day-2-new keys
+    assert any(k % 10 == 9 for k in loc_dim) and any(k % 10 == 4 for k in loc_dim)
