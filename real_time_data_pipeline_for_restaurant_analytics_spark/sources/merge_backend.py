@@ -152,23 +152,47 @@ class BucketPrunedMergeBackend:
     ``os.replace`` steps, so healing always converges to exactly the
     pre-merge or post-merge table — never a mix within one bucket.
 
-    Single writer, ENFORCED (round-8): every mutating span — a merge,
-    and the recovery pass that may heal one — runs under an exclusive
-    ``flock`` on the SIBLING file ``<path>.writerlock`` (outside the
-    table dir on purpose: the initial load's ``mode=overwrite`` wipes
-    the directory, and an in-dir lock file would be deleted mid-
-    critical-section, letting a second writer lock a fresh inode while
-    the first still holds the old one), so a second writer (or an
-    opener, whose recovery could otherwise "heal" a LIVE transaction's
-    manifest mid-flight) waits up to ``lock_timeout_s`` and then fails
-    LOUDLY instead of interleaving swaps. Advisory-lock caveat,
-    documented: flock is reliable on POSIX-local filesystems; on NFS
-    it depends on the server, and object stores have no flock — there,
-    coordinate writers externally. What Delta/Iceberg would still add
-    is multi-writer OPTIMISTIC concurrency (conflicting commits retry
-    instead of waiting); this backend proves the pruning geometry plus
-    crash consistency run on plain parquet, and is what the SCALE
-    measurement compares against snapshot rewrite.
+    Multi-writer OPTIMISTIC concurrency (round-9, verdict item 3).
+    The expensive part of a merge — slice read, merge transform,
+    staged write — runs with NO lock held. Commits serialize through
+    a tiny transaction log (``_txlog/v<NNNNNNNN>.json``, one entry per
+    committed merge listing its txid and touched buckets; the entry is
+    created with ``os.link``, an atomic fail-if-exists CAS):
+
+      1. snapshot the table version v0, compute + stage (unlocked);
+      2. under the commit lock: heal any torn merge, re-read the
+         version v1, and CHECK FOR CONFLICTS — any commit in (v0, v1]
+         whose touched buckets intersect ours (a merge only reads and
+         rewrites its own buckets, so bucket-disjoint commits compose;
+         an intersecting one means our slice is stale). A pruned log
+         entry counts as a conflict — absence of proof is a conflict;
+      3. no conflict → swap the staged buckets in and append txlog
+         entry v1+1 (the durable commit point); conflict → discard the
+         staged dir and RETRY the whole merge from the new table state
+         (bounded by ``max_commit_retries``, then fail loudly).
+
+    Two concurrent writers therefore BOTH succeed, serialized by the
+    log — the loser recomputes against the winner's output instead of
+    erroring out of the flock. The ``<path>.writerlock`` flock now
+    guards only the short heal+CAS+swap span (and each live staged dir
+    carries a ``_staged-<txid>.lock`` flock as a liveness marker, so
+    recovery can distinguish a dead writer's staging garbage from a
+    live writer's in-flight work). A racing writer whose unlocked
+    slice read is torn by a concurrent swap either fails the stage
+    (FileNotFound → retried like a conflict) or produces a stale
+    result the CAS rejects — never a silent lost update.
+
+    Remaining boundary, documented: the commit protocol's atomicity
+    rests on POSIX rename/link semantics and advisory flock — sound on
+    local/NFSv4 filesystems; on object stores (no atomic rename, no
+    flock) you'd swap the log for a conditional-PUT, which is exactly
+    the seam Delta/Iceberg fill. Concurrent READERS racing a swap may
+    also observe a bucket mid-replace (retry the read); snapshot
+    isolation for readers needs immutable-file versioning — the other
+    half of a table format. This backend proves the pruning geometry,
+    crash consistency, and optimistic multi-writer commit run on plain
+    parquet, and is what the SCALE measurement compares against
+    snapshot rewrite.
     """
 
     BUCKET_COL = "_mb"
@@ -181,6 +205,7 @@ class BucketPrunedMergeBackend:
         n_buckets: int = 64,
         bucket_sql: str | None = None,
         lock_timeout_s: float = 60.0,
+        max_commit_retries: int = 5,
     ):
         """``bucket_sql`` (optional) overrides the default hash
         bucketing with any deterministic SQL expression over the KEY
@@ -208,6 +233,7 @@ class BucketPrunedMergeBackend:
         self.n_buckets = int(n_buckets)
         self.bucket_sql = bucket_sql
         self.lock_timeout_s = float(lock_timeout_s)
+        self.max_commit_retries = int(max_commit_retries)
         # BOTH open-time steps run under the writer lock (review r8):
         # the spec handshake reads-or-writes the sidecar (two racing
         # constructors with different specs could otherwise both pass,
@@ -257,13 +283,14 @@ class BucketPrunedMergeBackend:
                         if time.monotonic() >= deadline:
                             raise RuntimeError(
                                 f"BucketPrunedMergeBackend at {self.path}: "
-                                "another writer holds the table lock "
-                                f"({self._lock_path()}) after "
-                                f"{self.lock_timeout_s:.1f}s — concurrent "
-                                "merges are not supported (single-writer "
-                                "enforced via flock on POSIX-local "
-                                "filesystems; on NFS/object stores "
-                                "coordinate writers externally)."
+                                "another writer has held the commit lock "
+                                f"({self._lock_path()}) for over "
+                                f"{self.lock_timeout_s:.1f}s. The lock only "
+                                "brackets the short heal+CAS+swap span — "
+                                "concurrent merges overlap outside it and "
+                                "retry on conflict — so a timeout means a "
+                                "hung or dead-but-lock-holding process, not "
+                                "normal contention."
                             ) from e
                         time.sleep(0.05)
                 yield
@@ -380,6 +407,133 @@ class BucketPrunedMergeBackend:
             .drop(self.BUCKET_COL)
         )
 
+    # -- transaction log (optimistic concurrency, round-9) -------------------
+    _TXLOG_KEEP = 200  # retained entries; older conflicts can't be proven
+    # disjoint, so a writer whose base version fell off the log retries
+
+    def _txlog_dir(self) -> str:
+        import os
+
+        return os.path.join(self.path, "_txlog")
+
+    def _txlog_path(self, version: int) -> str:
+        import os
+
+        return os.path.join(self._txlog_dir(), f"v{version:08d}.json")
+
+    def _current_version(self) -> int:
+        """Highest committed version (0 = empty/fresh table). One
+        directory listing — the read side of the CAS."""
+        import os
+
+        d = self._txlog_dir()
+        if not os.path.isdir(d):
+            return 0
+        vs = [
+            int(e[1:-5])
+            for e in os.listdir(d)
+            if e.startswith("v") and e.endswith(".json")
+        ]
+        return max(vs, default=0)
+
+    def _txlog_entry(self, version: int) -> dict | None:
+        import json
+
+        try:
+            with open(self._txlog_path(version)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None  # pruned or unreadable → caller treats as conflict
+
+    def _append_txlog(self, version: int, txid: str, entries: list[str]) -> None:
+        """The durable commit point: create ``_txlog/v<version>.json``
+        via ``os.link`` — atomic fail-if-exists, so two writers can
+        never both claim a version (belt: the commit lock already
+        serializes this; suspenders: EEXIST surfaces as a loud error
+        instead of a silent overwrite). Prunes entries older than
+        ``_TXLOG_KEEP`` behind the head."""
+        import json
+        import os
+
+        d = self._txlog_dir()
+        os.makedirs(d, exist_ok=True)
+        final = self._txlog_path(version)
+        tmp = final + f".{txid}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "txid": txid, "buckets": entries}, f)
+        try:
+            os.link(tmp, final)  # CAS: EEXIST if another txid landed here
+        finally:
+            os.remove(tmp)
+        floor = version - self._TXLOG_KEEP
+        if floor > 0:
+            for e in os.listdir(d):
+                if e.startswith("v") and e.endswith(".json") and int(e[1:-5]) <= floor:
+                    try:
+                        os.remove(os.path.join(d, e))
+                    except OSError:
+                        pass
+
+    def _conflicts(self, v0: int, v1: int, entries: list[str]) -> bool:
+        """True iff some commit in (v0, v1] may overlap our touched
+        buckets. A merge reads and rewrites ONLY its own buckets, so
+        bucket-disjoint commits compose; an intersecting (or
+        unprovable: pruned/unreadable log entry) one means our staged
+        output was computed from a stale slice."""
+        if v1 == v0:
+            return False
+        mine = set(entries)
+        for v in range(v0 + 1, v1 + 1):
+            e = self._txlog_entry(v)
+            if e is None or mine & set(e.get("buckets", ())):
+                return True
+        return False
+
+    # -- staged-dir liveness markers ------------------------------------------
+    def _staged_lock_path(self, txid: str) -> str:
+        import os
+
+        return os.path.join(self.path, f"_staged-{txid}.lock")
+
+    def _acquire_staged_lock(self, txid: str) -> int:
+        """flock a per-transaction liveness file BEFORE creating the
+        staged dir: recovery's orphan sweep probes this lock to tell a
+        LIVE writer's in-flight staging (lock held → skip) from a dead
+        writer's garbage (lock free → reclaim). The fd is held across
+        the unlocked compute span and released at commit/abort; a
+        crashed process releases it implicitly."""
+        import fcntl
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        fd = os.open(self._staged_lock_path(txid), os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(fd, fcntl.LOCK_EX)  # fresh uuid — never contended
+        return fd
+
+    def _release_staged_lock(self, txid: str, fd: int) -> None:
+        import os
+
+        try:
+            os.remove(self._staged_lock_path(txid))
+        except OSError:
+            pass
+        os.close(fd)
+
+    @staticmethod
+    def _is_read_tear(exc: BaseException) -> bool:
+        """A concurrent swap can tear an UNLOCKED slice read: files
+        listed at plan time vanish before a task opens them, or the
+        listing catches a bucket mid-replace. Those surface as
+        file-not-found / unable-to-infer errors — retryable exactly
+        like a CAS conflict (the retry re-reads the post-swap table)."""
+        s = str(exc)
+        return (
+            "FileNotFoundException" in s
+            or "FILE_NOT_FOUND" in s
+            or "PATH_NOT_FOUND" in s
+            or "UNABLE_TO_INFER_SCHEMA" in s
+        )
+
     # -- commit manifest / crash recovery ------------------------------------
     def _manifest_paths(self) -> list[str]:
         import glob
@@ -414,12 +568,17 @@ class BucketPrunedMergeBackend:
             json.dumps(inv, sort_keys=True).encode()
         ).hexdigest()
 
-    def _write_manifest(self, txid: str, staged: str, entries: list[str]) -> str:
+    def _write_manifest(
+        self, txid: str, staged: str, entries: list[str], version: int
+    ) -> str:
         """Atomically persist the commit manifest BEFORE the first
         bucket swap: the staged dir name plus, per touched bucket, the
-        staged file inventory and its checksum. A leftover manifest is
+        staged file inventory and its checksum, plus the VERSION this
+        commit will take in the transaction log. A leftover manifest is
         the torn-merge detector; its inventory is what recovery trusts
-        when deciding roll-forward vs roll-back."""
+        when deciding roll-forward vs roll-back, and its version is
+        what recovery appends to the log so a healed transaction stays
+        visible to every later writer's conflict check."""
         import json
         import os
 
@@ -431,7 +590,12 @@ class BucketPrunedMergeBackend:
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"txid": txid, "staged": os.path.basename(staged), "buckets": buckets},
+                {
+                    "txid": txid,
+                    "staged": os.path.basename(staged),
+                    "buckets": buckets,
+                    "version": version,
+                },
                 f,
             )
         os.replace(tmp, mpath)
@@ -486,11 +650,18 @@ class BucketPrunedMergeBackend:
         - staged copy gone → the bucket already landed; clear any
           leftover trash.
 
-        After all manifests heal, orphan ``_staged-*`` / ``_trash-*``
-        dirs with no manifest are pre-commit garbage (a crash before
-        the manifest write leaves the live table fully consistent)
-        and are removed — under the documented single-writer
-        assumption they can never belong to a concurrent merge."""
+        After a manifest's buckets heal, its VERSION is appended to the
+        transaction log if missing (the healed commit must stay visible
+        to later writers' conflict checks — a crash window between the
+        last swap and the log append would otherwise hide it) and any
+        dead ``_staged-<txid>.lock`` is cleared.
+
+        Orphan ``_staged-*`` / ``_trash-*`` dirs with no manifest are
+        pre-commit garbage (a crash before the manifest write leaves
+        the live table fully consistent) — but under optimistic
+        concurrency a staged dir may also belong to a LIVE writer mid-
+        compute, so the sweep probes each dir's ``_staged-<txid>.lock``
+        flock first: held → live writer, skip; free → dead, reclaim."""
         import json
         import os
         import shutil
@@ -535,16 +706,73 @@ class BucketPrunedMergeBackend:
                     shutil.rmtree(trash)  # bucket landed; clear leftovers
             if os.path.exists(staged):
                 shutil.rmtree(staged)
+            # make the healed commit durable in the txlog BEFORE the
+            # manifest goes away (idempotent: skip if the crashed
+            # writer already appended it). Appending even when some
+            # buckets rolled back is safe — a conflict false-positive
+            # costs the next writer one retry, never correctness.
+            version = man.get("version")
+            if version is not None and not os.path.exists(self._txlog_path(version)):
+                self._append_txlog(int(version), man["txid"], sorted(man["buckets"]))
             os.remove(mpath)
+            # the crashed writer's liveness marker (it can't release it)
+            dead_lock = self._staged_lock_path(man["txid"])
+            if os.path.exists(dead_lock):
+                os.remove(dead_lock)
         for e in os.listdir(self.path):
-            if e.startswith(("_staged-", "_trash-")):
-                shutil.rmtree(os.path.join(self.path, e), ignore_errors=True)
+            p = os.path.join(self.path, e)
+            if e.startswith("_staged-") and os.path.isdir(p):
+                # live writer mid-compute, or a dead one's garbage?
+                # probe the liveness flock (non-blocking) to decide.
+                txid = e[len("_staged-"):]
+                if self._probe_staged_dead(txid):
+                    shutil.rmtree(p, ignore_errors=True)
+                    try:
+                        os.remove(self._staged_lock_path(txid))
+                    except OSError:
+                        pass
+            elif e.startswith("_staged-") and e.endswith(".lock"):
+                # marker without its dir: dead leftover iff lockable
+                txid = e[len("_staged-"):-len(".lock")]
+                if not os.path.isdir(
+                    os.path.join(self.path, f"_staged-{txid}")
+                ) and self._probe_staged_dead(txid):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+            elif e.startswith("_trash-"):
+                # trash is only ever created under the commit lock —
+                # an orphan (no manifest) is always reclaimable
+                shutil.rmtree(p, ignore_errors=True)
             elif e.startswith("_commit-") and e.endswith(".json.tmp"):
                 # a crash inside the manifest's own tmp->final replace
                 # leaves an inert half-written tmp file (the glob only
                 # honors *.json, so it can never be mistaken for a
                 # manifest) — clear it with the other pre-commit garbage
-                os.remove(os.path.join(self.path, e))
+                os.remove(p)
+
+    def _probe_staged_dead(self, txid: str) -> bool:
+        """True iff no live process holds the transaction's staged
+        liveness flock (EWOULDBLOCK → live writer; lock acquired →
+        owner is gone). Probing never blocks."""
+        import fcntl
+        import os
+
+        lp = self._staged_lock_path(txid)
+        try:
+            fd = os.open(lp, os.O_RDWR)
+        except FileNotFoundError:
+            return True  # no marker at all → pre-upgrade garbage
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                return False
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            return True
+        finally:
+            os.close(fd)
 
     def _validate_bucket_entries(self, entries: list[str], where: str) -> None:
         """Directory-name validation of a written partition layout
@@ -577,29 +805,19 @@ class BucketPrunedMergeBackend:
                 "into [0, n_buckets)."
             )
 
-    def _write_slice(self, df: DataFrame) -> None:
-        """Stage the touched buckets to a scratch dir, validate the
-        staged partition layout, write the commit manifest, then swap
-        each bucket directory into the live table and discard the
-        manifest. Staging (rather than dynamic partition overwrite in
-        place) sidesteps Spark's overwrite-while-reading guard — the
-        merge output's lineage reads the same parquet path it
-        replaces — and makes the pruning contract literal: an
+    def _stage_write(self, df: DataFrame) -> tuple[str, str, list[str], int]:
+        """UNLOCKED half of a commit: stage the touched buckets to a
+        scratch dir under a fresh txid and validate the staged
+        partition layout. Staging (rather than dynamic partition
+        overwrite in place) sidesteps Spark's overwrite-while-reading
+        guard — the merge output's lineage reads the same parquet path
+        it replaces — and makes the pruning contract literal: an
         untouched bucket's directory is never listed, opened, or
-        re-created. The manifest brackets the only non-atomic span
-        (the multi-bucket swap loop), so a crash anywhere inside it
-        is detected and healed on next open (:meth:`_recover_if_torn`).
-
-        The INITIAL load takes the exact same path (review r8): it
-        used to ``mode=overwrite`` the table dir directly, which wiped
-        the spec sidecar mid-critical-section and left an unbracketed
-        crash window in which a half-written table could be adopted on
-        reopen. Staged-everywhere means the table dir is never wiped,
-        the spec written at construction survives every write, a
-        validation failure discards only the staged dir (the live
-        table — or its absence — is untouched), and the initial load
-        is covered by the same manifest + recovery machinery as every
-        merge."""
+        re-created. The per-transaction liveness flock is acquired
+        BEFORE the staged dir exists, so recovery can never mistake
+        this in-flight staging for dead garbage. Returns
+        ``(txid, staged_dir, entries, lock_fd)``; on failure nothing
+        is left behind."""
         import os
         import shutil
         import uuid
@@ -608,24 +826,57 @@ class BucketPrunedMergeBackend:
             self.BUCKET_COL
         )
         txid = uuid.uuid4().hex
+        fd = self._acquire_staged_lock(txid)
         staged = os.path.join(self.path, f"_staged-{txid}")
-        out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(staged)
-        entries = sorted(
-            e for e in os.listdir(staged) if e.startswith(f"{self.BUCKET_COL}=")
-        )
         try:
+            out.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(staged)
+            entries = sorted(
+                e for e in os.listdir(staged) if e.startswith(f"{self.BUCKET_COL}=")
+            )
             self._validate_bucket_entries(entries, "the staged write")
-        except ValueError:
+        except BaseException:
             shutil.rmtree(staged, ignore_errors=True)
+            self._release_staged_lock(txid, fd)
             raise
-        mpath = self._write_manifest(txid, staged, entries)
-        for entry in entries:
-            self._swap_bucket(staged, entry)
-        # staged is only discarded once every bucket swapped in clean,
-        # and the manifest only after staged is gone — so a leftover
-        # manifest ALWAYS means recovery has work or cleanup to do
+        return txid, staged, entries, fd
+
+    def _commit_staged(
+        self, txid: str, staged: str, entries: list[str], fd: int, version: int
+    ) -> None:
+        """LOCKED half of a commit (caller holds the commit lock and
+        has passed the conflict check): manifest → bucket swaps →
+        txlog append (the durable commit point) → manifest removal →
+        liveness release. Staged is only discarded once every bucket
+        swapped in clean, and the manifest only after the txlog entry
+        exists — so a leftover manifest ALWAYS means recovery has work
+        or cleanup (including the log append) to do.
+
+        The INITIAL load takes this exact same path (review r8): the
+        table dir is never wiped, the spec written at construction
+        survives every write, and the initial load is covered by the
+        same manifest + recovery machinery as every merge."""
+        import os
+        import shutil
+
+        try:
+            mpath = self._write_manifest(txid, staged, entries, version)
+            for entry in entries:
+                self._swap_bucket(staged, entry)
+            shutil.rmtree(staged, ignore_errors=True)
+            self._append_txlog(version, txid, entries)
+            os.remove(mpath)
+        finally:
+            # release the liveness marker on every exit: a crash-path
+            # exception leaves staged+manifest for recovery, which
+            # must see the transaction as DEAD to be allowed to heal it
+            self._release_staged_lock(txid, fd)
+
+    def _abort_staged(self, txid: str, staged: str, fd: int) -> None:
+        """Discard a staged transaction that lost the commit race."""
+        import shutil
+
         shutil.rmtree(staged, ignore_errors=True)
-        os.remove(mpath)
+        self._release_staged_lock(txid, fd)
 
     def _check_key(self, key: list[str], op: str) -> None:
         if list(key) != self.key:
@@ -637,6 +888,60 @@ class BucketPrunedMergeBackend:
             )
 
     # -- merges -------------------------------------------------------------
+    def _optimistic_merge(self, batch: DataFrame, transform) -> DataFrame:
+        """The optimistic commit loop shared by both merge flavors:
+
+        1. under the commit lock: heal any torn merge (a same-process
+           retry after a crashed swap must not read a half-swapped
+           table), snapshot the version v0 and existence;
+        2. UNLOCKED: compute the merge from the touched-bucket slice
+           and stage it (the expensive span — Spark jobs run with no
+           lock held, so writers overlap);
+        3. under the commit lock again: heal, re-read the version, and
+           CAS — conflict (an intersecting commit landed in (v0, v1],
+           the table sprang into existence under an initial load, or
+           the slice read was torn by a racing swap) → discard the
+           staged dir and retry from the NEW table state; clean → swap
+           + txlog append.
+
+        ``transform(slice_df_or_None) -> DataFrame`` is the pure merge
+        from operators/merge.py, closed over the batch."""
+        import shutil  # noqa: F401  (used via _abort_staged)
+
+        attempts = self.max_commit_retries + 1
+        for _ in range(attempts):
+            with self._writer_lock():
+                self._recover_if_torn()
+                v0 = self._current_version()
+                existed = self._exists()
+            try:
+                if existed:
+                    touched = self._touched_buckets(batch)
+                    out = transform(self._read_slice(touched))
+                else:
+                    out = transform(None)
+                txid, staged, entries, fd = self._stage_write(out)
+            except ValueError:
+                raise  # bucket-layout validation: a real error, never a race
+            except Exception as e:
+                if self._is_read_tear(e):
+                    continue  # a racing swap tore our unlocked read — retry
+                raise
+            with self._writer_lock():
+                self._recover_if_torn()
+                v1 = self._current_version()
+                if (existed != self._exists()) or self._conflicts(v0, v1, entries):
+                    self._abort_staged(txid, staged, fd)
+                    continue  # recompute against the winner's output
+                self._commit_staged(txid, staged, entries, fd, v1 + 1)
+                return self.snapshot()
+        raise RuntimeError(
+            f"BucketPrunedMergeBackend at {self.path}: lost the commit race "
+            f"{attempts} consecutive times — a hot writer is continuously "
+            "landing commits on the same buckets; raise max_commit_retries "
+            "or coordinate the writers."
+        )
+
     def merge_upsert(
         self,
         source: DataFrame,
@@ -646,35 +951,16 @@ class BucketPrunedMergeBackend:
         batch_ts: Column | None = None,
     ) -> DataFrame:
         self._check_key(key, "merge_upsert")
-        with self._writer_lock():
-            # heal any torn merge BEFORE reading the slice: a
-            # same-process retry after a crashed swap must not read a
-            # half-swapped table, and completing the old transaction
-            # first keeps its manifest from outliving (and later
-            # clobbering) this merge
-            self._recover_if_torn()
-            if not self._exists():
-                self._write_slice(source)
-                return self.snapshot()
-            touched = self._touched_buckets(source)
-            slice_df = self._read_slice(touched)
-            out = merge_upsert(slice_df, source, key, attrs, modified_col, batch_ts)
-            self._write_slice(out)
-            return self.snapshot()
+        return self._optimistic_merge(
+            source,
+            lambda s: merge_upsert(s, source, key, attrs, modified_col, batch_ts),
+        )
 
     def apply_scd2(self, batch: DataFrame, cfg: Scd2Config, batch_ts: Column) -> DataFrame:
         self._check_key(cfg.key, "apply_scd2")
-        with self._writer_lock():
-            self._recover_if_torn()  # same pre-read healing as merge_upsert
-            if not self._exists():
-                out = apply_scd2(None, batch, cfg, batch_ts)
-                self._write_slice(out)
-                return self.snapshot()
-            touched = self._touched_buckets(batch)
-            slice_df = self._read_slice(touched)
-            out = apply_scd2(slice_df, batch, cfg, batch_ts)
-            self._write_slice(out)
-            return self.snapshot()
+        return self._optimistic_merge(
+            batch, lambda s: apply_scd2(s, batch, cfg, batch_ts)
+        )
 
 
 class DeltaMergeBackend:

@@ -446,12 +446,14 @@ def test_torn_merge_healed_crash_after_last_swap(spark, tmp_path, monkeypatch):
     assert _leftovers(be2.path) == []
 
 
-def test_single_writer_lock_enforced(spark, tmp_path):
-    """Round-8: the single-writer boundary is ENFORCED, not assumed —
-    a second writer (or opener, whose recovery could heal a LIVE
-    transaction) fails loudly while the flock is held, and proceeds
-    once it is released. flock is per open-file-description, so the
-    conflict reproduces within one process."""
+def test_commit_lock_timeout_fails_loudly(spark, tmp_path):
+    """The commit lock brackets only the short heal+CAS+swap span
+    (round-9: merges themselves overlap and retry optimistically), so
+    a writer that cannot acquire it within lock_timeout_s is facing a
+    hung or dead-but-lock-holding process — it fails loudly instead of
+    waiting forever, and proceeds once the lock is released. flock is
+    per open-file-description, so the conflict reproduces within one
+    process."""
     import fcntl
     import os
 
@@ -677,3 +679,221 @@ def test_bucketed_swap_failure_never_loses_a_bucket(spark, tmp_path, monkeypatch
     # plain retry heals the torn state
     out = be.merge_upsert(batch, ["id"], ["v"])
     assert {r.v for r in out.collect()} == {"new"}
+
+
+# -- optimistic multi-writer concurrency (round-9, verdict item 3) ----------
+
+
+def _stage_interceptor(victim, intruder_fn):
+    """Wrap the victim backend's _stage_write so that, ONCE, a
+    competing commit lands AFTER the victim staged its (now stale)
+    output and BEFORE its CAS — the canonical lost-update schedule."""
+    real = BucketPrunedMergeBackend._stage_write
+    state = {"fired": False, "stages": 0}
+
+    def wrapped(self, df):
+        out = real(self, df)
+        state["stages"] += 1
+        if self is victim and not state["fired"]:
+            state["fired"] = True
+            intruder_fn()
+        return out
+
+    return wrapped, state
+
+
+def test_optimistic_commit_conflict_retries_and_converges(spark, tmp_path, monkeypatch):
+    """Round-9: two writers on the SAME buckets both succeed — the
+    loser's CAS detects the intersecting commit in (v0, v1], discards
+    its stale staged output, and recomputes against the winner's
+    table. Serial order A-then-B ⇒ B's values win; nothing lost."""
+    path = str(tmp_path / "dim")
+    be_b = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+    be_b.merge_upsert(
+        spark.createDataFrame([(i, "old") for i in range(16)], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    be_a = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+
+    def intruder():
+        be_a.merge_upsert(
+            spark.createDataFrame([(i, "a") for i in range(16)], "id long, v string"),
+            ["id"],
+            ["v"],
+        )
+
+    wrapped, state = _stage_interceptor(be_b, intruder)
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_stage_write", wrapped)
+    out = be_b.merge_upsert(
+        spark.createDataFrame([(i, "b") for i in range(16)], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    monkeypatch.undo()
+
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {i: "b" for i in range(16)}, (
+        "the retried merge must apply on TOP of the intruder's commit"
+    )
+    # stale stage + intruder's stage + retried stage
+    assert state["stages"] == 3, "the conflict must force exactly one recompute"
+    assert be_b._current_version() == 3  # init, intruder, retried commit
+    assert _leftovers(path) == []
+
+
+def test_optimistic_commit_disjoint_buckets_compose_without_retry(
+    spark, tmp_path, monkeypatch
+):
+    """Bucket-disjoint commits are NOT conflicts: a merge reads and
+    rewrites only its own buckets, so the CAS admits the staged output
+    computed before the disjoint commit landed — real concurrency, not
+    global serialization."""
+    path = str(tmp_path / "dim")
+    # id is the bucket: ids 0/1 live in different buckets by construction
+    be_b = BucketPrunedMergeBackend(
+        spark, path, key=["id"], n_buckets=4, bucket_sql="cast(pmod(id, 4) as int)"
+    )
+    be_b.merge_upsert(
+        spark.createDataFrame([(0, "old"), (1, "old")], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    be_a = BucketPrunedMergeBackend(
+        spark, path, key=["id"], n_buckets=4, bucket_sql="cast(pmod(id, 4) as int)"
+    )
+
+    def intruder():
+        be_a.merge_upsert(
+            spark.createDataFrame([(0, "a"), (4, "a")], "id long, v string"),
+            ["id"],
+            ["v"],
+        )
+
+    wrapped, state = _stage_interceptor(be_b, intruder)
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_stage_write", wrapped)
+    out = be_b.merge_upsert(
+        spark.createDataFrame([(1, "b"), (5, "b")], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    monkeypatch.undo()
+
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {0: "a", 4: "a", 1: "b", 5: "b"}, "both commits must land"
+    assert state["stages"] == 2, (
+        "disjoint buckets must commit WITHOUT a recompute (no retry)"
+    )
+    assert be_b._current_version() == 3
+    assert _leftovers(path) == []
+
+
+def test_optimistic_commit_threaded_writers_all_succeed(spark, tmp_path):
+    """Three writers racing from real threads (barrier-aligned so
+    their unlocked compute spans overlap) all succeed; the table ends
+    with every writer's rows and one txlog entry per commit."""
+    import threading
+
+    path = str(tmp_path / "dim")
+    be0 = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+    be0.merge_upsert(
+        spark.createDataFrame([(i, "old") for i in range(24)], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    barrier = threading.Barrier(3, timeout=120)
+    errors: list[BaseException] = []
+
+    def writer(tag: str, lo: int):
+        try:
+            be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=8)
+            batch = spark.createDataFrame(
+                [(i, tag) for i in range(lo, lo + 8)], "id long, v string"
+            )
+            barrier.wait()
+            be.merge_upsert(batch, ["id"], ["v"])
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(tag, lo))
+        for tag, lo in (("t0", 0), ("t1", 8), ("t2", 16))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"every writer must succeed: {errors}"
+    got = {r.id: r.v for r in be0.snapshot().collect()}
+    want = {i: f"t{i // 8}" for i in range(24)}
+    assert got == want, "no writer's commit may be lost"
+    assert be0._current_version() == 4  # init + three writers
+    assert _leftovers(path) == []
+
+
+def test_optimistic_commit_retry_exhaustion_fails_loudly(spark, tmp_path, monkeypatch):
+    """A writer that loses the race more than max_commit_retries times
+    raises instead of spinning forever."""
+    path = str(tmp_path / "dim")
+    be = BucketPrunedMergeBackend(
+        spark, path, key=["id"], n_buckets=4, max_commit_retries=0
+    )
+    be.merge_upsert(
+        spark.createDataFrame([(1, "old")], "id long, v string"), ["id"], ["v"]
+    )
+    rival = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+    real = BucketPrunedMergeBackend._stage_write
+    tick = {"n": 0}
+
+    def always_scooped(self, df):
+        out = real(self, df)
+        if self is be:
+            tick["n"] += 1
+            rival.merge_upsert(
+                spark.createDataFrame(
+                    [(1, f"rival{tick['n']}")], "id long, v string"
+                ),
+                ["id"],
+                ["v"],
+            )
+        return out
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_stage_write", always_scooped)
+    with pytest.raises(RuntimeError, match="lost the commit race"):
+        be.merge_upsert(
+            spark.createDataFrame([(1, "mine")], "id long, v string"), ["id"], ["v"]
+        )
+    monkeypatch.undo()
+    # the loser left nothing behind and the rival's commit is intact
+    assert _leftovers(path) == []
+    assert {r.v for r in be.snapshot().collect()} == {"rival1"}
+
+
+def test_recovery_sweep_spares_live_staged_dirs(spark, tmp_path):
+    """The orphan sweep must distinguish a LIVE writer's in-flight
+    staging (liveness flock held → spared) from a dead writer's
+    garbage (flock free → reclaimed)."""
+    import os
+
+    path = str(tmp_path / "dim")
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+    be.merge_upsert(
+        spark.createDataFrame([(1, "a")], "id long, v string"), ["id"], ["v"]
+    )
+    # simulate a live writer mid-compute: liveness flock held on a
+    # staged dir (flock is per open-file-description, so holding it
+    # from the test excludes the recovery probe within one process)
+    txid = "feedfacefeedface"
+    fd = be._acquire_staged_lock(txid)
+    live_staged = os.path.join(path, f"_staged-{txid}")
+    os.makedirs(live_staged)
+    # and a dead writer's garbage: staged dir whose lock nobody holds
+    dead = os.path.join(path, "_staged-deadbeefdeadbeef")
+    os.makedirs(dead)
+    open(be._staged_lock_path("deadbeefdeadbeef"), "w").close()
+
+    BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)  # runs recovery
+    assert os.path.isdir(live_staged), "a live writer's staging was reclaimed"
+    assert not os.path.exists(dead), "a dead writer's staging must be swept"
+    be._release_staged_lock(txid, fd)
+    os.rmdir(live_staged)
