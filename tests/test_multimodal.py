@@ -28,8 +28,11 @@ def test_codec_round_trips():
 
 
 def test_compressed_formats_fail_loudly():
-    with pytest.raises(NotImplementedError, match="codec"):
+    # PNG left the seam in round 9 (real decode) — a PNG-signature
+    # payload with garbage chunks now fails as CORRUPT, not as a seam
+    with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+    # entropy-coded formats remain the documented loud boundary
     with pytest.raises(NotImplementedError, match="codec"):
         decode_image(b"\xff\xd8\xff\xe0JFIF....")
 
@@ -145,3 +148,100 @@ def test_ahash64_and_phash_dedup_pairs(spark):
     assert not any(3 in p for p in got)  # unrelated image never pairs
     # and the codec really ran: round-trip sanity
     assert np.array_equal(decode_image(encode_ppm(base)), base)
+
+
+# -- PNG: the first compressed codec behind the seam (round-9) --------------
+
+
+def test_png_round_trip_all_filters():
+    """encode_png cycles the filter type per scanline, so any image
+    with >= 5 rows exercises None/Sub/Up/Average/Paeth; the decode
+    must reproduce every pixel byte-exactly."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        synth_pixels,
+    )
+
+    for doc_id in (0, 1, 7, 12, 123, 10_007):
+        pix = synth_pixels(doc_id)
+        assert pix.shape[0] >= 4 and pix.shape[1] >= 4
+        payload = encode_png(pix)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        out = decode_png(payload)
+        assert (out == pix).all(), f"doc {doc_id}: PNG round trip diverged"
+        # and through the format-sniffing front door
+        assert (decode_image(payload) == pix).all()
+
+
+def test_png_round_trip_property():
+    """Property: ANY uint8 RGB array round-trips — catches filter/
+    unfilter asymmetries the structured grid might mask (e.g. the
+    Paeth tie-break order)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def run(h, w, seed):
+        rng = np.random.RandomState(seed)
+        pix = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(pix)) == pix).all()
+
+    run()
+
+
+def test_png_corruption_and_unsupported_variants_fail_loudly():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(np.zeros((6, 5, 3), dtype=np.uint8)))
+    # flip one byte inside IDAT: the chunk CRC must catch it
+    idat_at = bytes(payload).index(b"IDAT")
+    payload[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+    # truncated chunk
+    good = encode_png(np.zeros((6, 5, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[: len(good) // 2])
+
+    # unsupported variant (16-bit depth) is the documented loud seam
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="16"):
+        decode_png(sig + chunk)
+
+    # non-PNG bytes through the sniffing front door still name the seam
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
