@@ -220,34 +220,47 @@ def encode_png(pix: "np.ndarray") -> bytes:
 
     h, w, c = pix.shape
     assert c == 3
-    raw = pix.astype(np.int16)  # headroom for the filter arithmetic
+    stride = w * 3
+    raw = pix.astype(np.uint8).tobytes()
+    zero = bytes(stride)
     lines = []
+    # plain-bytes arithmetic, not per-element numpy indexing: the
+    # filter recurrences are byte-sequential, and bytearray/int ops are
+    # ~5-10x faster than numpy scalar access in that shape (measured,
+    # SCALE_r09 — this loop is the whole cost of the PNG codec)
     for y in range(h):
         ftype = y % 5
-        cur = raw[y].reshape(-1)  # w*3 ints
-        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
-        up = raw[y - 1].reshape(-1) if y > 0 else np.zeros(w * 3, np.int16)
-        upleft = (
-            np.concatenate([np.zeros(3, np.int16), up[:-3]])
-            if y > 0
-            else np.zeros(w * 3, np.int16)
-        )
+        cur = raw[y * stride : (y + 1) * stride]
+        up = raw[(y - 1) * stride : y * stride] if y > 0 else zero
         if ftype == 0:
-            out = cur
+            body = cur
         elif ftype == 1:
-            out = cur - left
+            out = bytearray(stride)
+            for i in range(stride):
+                out[i] = (cur[i] - (cur[i - 3] if i >= 3 else 0)) & 0xFF
+            body = bytes(out)
         elif ftype == 2:
-            out = cur - up
+            body = bytes((a - b) & 0xFF for a, b in zip(cur, up))
         elif ftype == 3:
-            out = cur - (left + up) // 2
+            out = bytearray(stride)
+            for i in range(stride):
+                left = cur[i - 3] if i >= 3 else 0
+                out[i] = (cur[i] - (left + up[i]) // 2) & 0xFF
+            body = bytes(out)
         else:
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, up, upleft)),
-                dtype=np.int16,
-                count=w * 3,
-            )
-            out = cur - pred
-        lines.append(bytes([ftype]) + (out % 256).astype(np.uint8).tobytes())
+            out = bytearray(stride)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = up[i]
+                cc = up[i - 3] if i >= 3 else 0
+                p = a + b - cc
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - cc if p >= cc else cc - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[i] = (cur[i] - pred) & 0xFF
+            body = bytes(out)
+        lines.append(bytes([ftype]) + body)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -306,33 +319,49 @@ def decode_png(payload: bytes) -> "np.ndarray":
     flat = zlib.decompress(idat)
     if len(flat) != h * (stride + 1):
         raise ValueError("PNG IDAT inflated to the wrong scanline volume")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    # plain-bytes unfilter recurrences (see encode_png): bytearray/int
+    # arithmetic beats per-element numpy access ~5-10x on this shape
+    recon_all = bytearray(h * stride)
+    zero = bytes(stride)
     for y in range(h):
-        ftype = flat[y * (stride + 1)]
-        line = np.frombuffer(
-            flat, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int16)
-        prior = out[y - 1].astype(np.int16) if y > 0 else np.zeros(stride, np.int16)
+        base = y * (stride + 1)
+        ftype = flat[base]
+        line = flat[base + 1 : base + 1 + stride]
+        prior = bytes(recon_all[(y - 1) * stride : y * stride]) if y > 0 else zero
+        off = y * stride
         if ftype == 0:
-            recon = line
-        elif ftype == 2:  # Up: no intra-line recurrence — vectorized
-            recon = (line + prior) % 256
-        elif ftype in (1, 3, 4):
-            recon = np.zeros(stride, dtype=np.int16)
+            recon_all[off : off + stride] = line
+        elif ftype == 2:  # Up: no intra-line recurrence
+            recon_all[off : off + stride] = bytes(
+                (a + b) & 0xFF for a, b in zip(line, prior)
+            )
+        elif ftype == 1:
+            rec = bytearray(stride)
             for i in range(stride):
-                left = recon[i - 3] if i >= 3 else 0
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + int(prior[i])) // 2
-                else:
-                    upleft = int(prior[i - 3]) if i >= 3 else 0
-                    pred = _paeth(int(left), int(prior[i]), upleft)
-                recon[i] = (int(line[i]) + pred) % 256
+                rec[i] = (line[i] + (rec[i - 3] if i >= 3 else 0)) & 0xFF
+            recon_all[off : off + stride] = rec
+        elif ftype == 3:
+            rec = bytearray(stride)
+            for i in range(stride):
+                left = rec[i - 3] if i >= 3 else 0
+                rec[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+            recon_all[off : off + stride] = rec
+        elif ftype == 4:
+            rec = bytearray(stride)
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0
+                b = prior[i]
+                cc = prior[i - 3] if i >= 3 else 0
+                p = a + b - cc
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - cc if p >= cc else cc - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[i] = (line[i] + pred) & 0xFF
+            recon_all[off : off + stride] = rec
         else:
             raise ValueError(f"PNG filter type {ftype} out of range")
-        out[y] = recon.astype(np.uint8)
-    return out.reshape(h, w, 3)
+    return np.frombuffer(bytes(recon_all), dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
