@@ -597,8 +597,10 @@ def synth_png_payloads(ids_df: DataFrame) -> DataFrame:
     "so one wrong byte anywhere in compress/filter/unfilter breaks the "
     "value hash. The remaining multimodal seam is entropy-coded "
     "formats only (JPEG/WebP/AVIF; FLAC/H.264 on the audio/video side). "
-    "Zero shuffles: payloads are synthesized, decoded, and reduced to "
-    "narrow typed metadata without leaving the partition.",
+    "Payloads are synthesized, decoded, and reduced to narrow typed "
+    "metadata without leaving the partition; the only exchange is the "
+    "final presentation sort of the 7-column stats frame (same shape "
+    "as q108).",
 )
 def q146_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
