@@ -137,6 +137,47 @@ def _menu_src(cust: DataFrame, day: int) -> DataFrame:
     )
 
 
+LOGIN_TYPES = ["App", "Web", "Social"]
+DEVICES = ["iOS", "Android", "Desktop"]
+_NULL = "\\N"  # the reference CSV format's null_if token (readers.py)
+
+
+def _login_src(cust: DataFrame, day: int) -> DataFrame:
+    """login_audit source rows (SCD1-only fact, C5): k%3 cycles the
+    device CASE's three branches (iOS→Apple, Android→Android,
+    Desktop+Chrome→Web / Desktop+NULL→Unknown by k%2), NULLs are the
+    format's literal ``\\N`` token, and the login timestamp varies
+    per key (hour/minute/second from k) so the P14/P15 date-part and
+    smart-key derivations are exercised across their ranges. Day-2
+    changed rows move to the next calendar day (every derived
+    enrichment column changes with them)."""
+    k = F.col("c_custkey")
+    m3 = k % 3
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        date = F.lit("2024-05-01")
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 9))
+        date = F.when(k % 10 == 3, "2024-05-01").otherwise(F.lit("2024-05-02"))
+    ts = F.concat(
+        date, F.lit(" "),
+        F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((k % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(((k * 7) % 60).cast("string"), 2, "0"),
+    )
+    return df.select(
+        k.cast("string").alias("loginid"),
+        (k % 500).cast("string").alias("customerid"),
+        _pick(LOGIN_TYPES, k, 3).alias("logintype"),
+        _pick(DEVICES, k, 3).alias("deviceinterface"),
+        F.when(m3 == 0, "iPhone").when(m3 == 1, "Pixel").otherwise(_NULL)
+        .alias("mobiledevicename"),
+        F.when((m3 == 2) & (k % 2 == 0), "Chrome").otherwise(F.lit(_NULL))
+        .alias("webinterface"),
+        ts.alias("lastlogin"),
+    )
+
+
 def _write_drop_csv(frame: DataFrame, dst: str, scratch: str) -> None:
     """One CSV FILE per entity per day (the `YYYY/M/D/<entity>.csv`
     contract, S8): write to a scratch dir, move the single part file
@@ -181,6 +222,32 @@ def _menu_digest() -> Column:
             (F.col("rating") * 10).cast("bigint").cast("string"),
             F.unix_micros(F.col("created_ts")).cast("string"),
             F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _login_digest() -> Column:
+    """Nullable fields ride with explicit '-' sentinels instead of the
+    concat_ws null-skip (two adjacent nullable columns could otherwise
+    alias each other's values into the same digest string)."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("customer_id").cast("string"),
+            F.col("login_type"),
+            F.col("device_interface"),
+            F.coalesce(F.col("mobile_device_name"), F.lit("-")),
+            F.coalesce(F.col("web_interface"), F.lit("-")),
+            F.unix_micros(F.col("last_login")).cast("string"),
+            F.col("device_category"),
+            F.col("is_mobile").cast("int").cast("string"),
+            F.col("device_os"),
+            F.col("login_hour").cast("string"),
+            F.col("login_day"),
+            F.col("login_month"),
+            F.col("login_year").cast("string"),
+            F.col("login_date_key").cast("string"),
+            F.col("login_time_key").cast("string"),
         )
     )
 
@@ -319,6 +386,56 @@ def _menu_clean_sql(src_cte: str) -> str:
   FROM {src_cte} WHERE menuid0 IS NOT NULL"""
 
 
+def _login_src_sql(day: int) -> str:
+    if day == 1:
+        filt, date = "k % 10 <> 9", "'2024-05-01'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 9)"
+        date = "CASE WHEN k % 10 = 3 THEN '2024-05-01' ELSE '2024-05-02' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS loginid0,
+       CAST(k % 500 AS VARCHAR) AS customerid0,
+       ({_sql_str_list(LOGIN_TYPES)})[CAST(k % 3 AS INT) + 1] AS logintype0,
+       ({_sql_str_list(DEVICES)})[CAST(k % 3 AS INT) + 1] AS deviceinterface0,
+       CASE WHEN k % 3 = 0 THEN 'iPhone' WHEN k % 3 = 1 THEN 'Pixel'
+            ELSE NULL END AS mobiledevicename0,
+       CASE WHEN k % 3 = 2 AND k % 2 = 0 THEN 'Chrome' ELSE NULL END AS webinterface0,
+       {date} || ' ' || lpad(CAST(k % 24 AS VARCHAR), 2, '0') || ':'
+              || lpad(CAST(k % 60 AS VARCHAR), 2, '0') || ':'
+              || lpad(CAST((k * 7) % 60 AS VARCHAR), 2, '0') AS lastlogin0
+  FROM ks WHERE {filt}"""
+
+
+def _login_clean_sql(src_cte: str) -> str:
+    """The P13 device CASE + P14 datetime parts + P15 smart keys in
+    SQL, mirroring _clean_login_audit (`login-audit_proc.sql:122-165`):
+    web branch requires non-null AND non-empty WebInterface; is_mobile
+    is device-or-named-handset."""
+    web_ok = "webinterface0 IS NOT NULL AND webinterface0 <> ''"
+    return f"""SELECT TRY_CAST(loginid0 AS BIGINT) AS login_id,
+       TRY_CAST(customerid0 AS BIGINT) AS customer_id,
+       logintype0 AS login_type,
+       deviceinterface0 AS device_interface,
+       mobiledevicename0 AS mobile_device_name,
+       webinterface0 AS web_interface,
+       CAST(lastlogin0 AS TIMESTAMP) AS last_login,
+       CASE WHEN deviceinterface0 = 'iOS' THEN 'Apple'
+            WHEN deviceinterface0 = 'Android' THEN 'Android'
+            WHEN {web_ok} THEN 'Web' ELSE 'Unknown' END AS device_category,
+       CASE WHEN deviceinterface0 IN ('iOS', 'Android')
+              OR mobiledevicename0 IS NOT NULL THEN TRUE
+            ELSE FALSE END AS is_mobile,
+       CASE WHEN deviceinterface0 = 'iOS' THEN 'iOS'
+            WHEN deviceinterface0 = 'Android' THEN 'Android'
+            WHEN {web_ok} THEN 'Web' ELSE 'Unknown' END AS device_os,
+       CAST(hour(CAST(lastlogin0 AS TIMESTAMP)) AS INT) AS login_hour,
+       strftime(CAST(lastlogin0 AS TIMESTAMP), '%a') AS login_day,
+       strftime(CAST(lastlogin0 AS TIMESTAMP), '%b') AS login_month,
+       CAST(year(CAST(lastlogin0 AS TIMESTAMP)) AS INT) AS login_year,
+       CAST(strftime(CAST(lastlogin0 AS TIMESTAMP), '%Y%m%d') AS BIGINT) AS login_date_key,
+       CAST(strftime(CAST(lastlogin0 AS TIMESTAMP), '%H%M%S') AS BIGINT) AS login_time_key
+  FROM {src_cte} WHERE loginid0 IS NOT NULL"""
+
+
 def _merge_replay_sql(e: str, key: str, cols: list[str]) -> str:
     """Generic two-merge CTE replay for one entity: SCD2 three-branch
     (close-out / new-version / first-insert-from-created, mirroring
@@ -411,6 +528,37 @@ _MENU_COLS = [
     "created_ts", "modified_ts",
 ]
 
+_LOGIN_DIGEST_SQL = (
+    "md5(concat_ws('|', CAST(customer_id AS VARCHAR), login_type, "
+    "device_interface, COALESCE(mobile_device_name, '-'), "
+    "COALESCE(web_interface, '-'), CAST(epoch_us(last_login) AS VARCHAR), "
+    "device_category, CAST(CAST(is_mobile AS INT) AS VARCHAR), device_os, "
+    "CAST(login_hour AS VARCHAR), login_day, login_month, "
+    "CAST(login_year AS VARCHAR), CAST(login_date_key AS VARCHAR), "
+    "CAST(login_time_key AS VARCHAR)))"
+)
+
+# login_audit is SCD1-only (C5): both its clean table and its
+# consumption FACT converge to the same prefer-source final state
+# (unique keys per day; the change guard is value-invisible), so the
+# oracle replays ONE final-state CTE and emits it under both layer
+# labels — the Spark side still reads the two PHYSICAL tables written
+# by two separate merge calls, so either path corrupting breaks the
+# hash independently.
+_LOGIN_FINAL_SQL = """la_final AS (
+  SELECT * FROM la_clean2
+  UNION ALL
+  SELECT * FROM la_clean1 t
+  WHERE t.login_id NOT IN (SELECT login_id FROM la_clean2)
+)"""
+
+_LOGIN_ROWS_SQL = f"""SELECT 'login_audit' AS entity, lyr.l AS layer,
+       CAST(login_id AS VARCHAR) AS key_str,
+       CAST({_NO_DATE} AS BIGINT) AS eff_start_day,
+       CAST({_NO_DATE} AS BIGINT) AS eff_end_day,
+       TRUE AS is_current, {_LOGIN_DIGEST_SQL} AS digest
+  FROM la_final, (SELECT unnest(['clean', 'fact']) AS l) lyr"""
+
 _REPLAY_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
 loc_src1 AS ({_loc_src_sql(1)}),
 loc_src2 AS ({_loc_src_sql(2)}),
@@ -421,11 +569,18 @@ menu_src1 AS ({_menu_src_sql(1)}),
 menu_src2 AS ({_menu_src_sql(2)}),
 menu_clean1 AS ({_menu_clean_sql('menu_src1')}),
 menu_clean2 AS ({_menu_clean_sql('menu_src2')}),
-{_merge_replay_sql('menu', 'menu_id', _MENU_COLS)}
+{_merge_replay_sql('menu', 'menu_id', _MENU_COLS)},
+la_src1 AS ({_login_src_sql(1)}),
+la_src2 AS ({_login_src_sql(2)}),
+la_clean1 AS ({_login_clean_sql('la_src1')}),
+la_clean2 AS ({_login_clean_sql('la_src2')}),
+{_LOGIN_FINAL_SQL}
 SELECT * FROM (
 {_digest_rows_sql('loc', 'location', 'location_id', _LOC_DIGEST_SQL)}
 UNION ALL
 {_digest_rows_sql('menu', 'menu', 'menu_id', _MENU_DIGEST_SQL)}
+UNION ALL
+{_LOGIN_ROWS_SQL}
 ) ORDER BY entity, layer, key_str, eff_start_day"""
 
 
@@ -435,10 +590,13 @@ UNION ALL
     doc="The three-layer batch pipeline replayed end to end and fully "
     "oracled: a deterministic two-day CSV drop (day-1 full snapshot, "
     "day-2 delta with changed/no-op/new keys) derived from the "
-    "customer table runs through the REAL run_all fan-out for the "
-    "location (geography-enrichment SCD2) and menu (cast-heavy SCD2) "
-    "entities — stage ledger, clean SCD1 upsert, SCD2 three-branch dim "
-    "merge — then the warehouse is read back as canonical digest rows "
+    "customer table runs through the REAL run_all fan-out for THREE "
+    "entities — location (geography-enrichment SCD2), menu (cast-heavy "
+    "SCD2), and login_audit (SCD1-only fact with the P13 device CASE + "
+    "P14/P15 datetime enrichment, NULLs via the format's null_if "
+    "token) — stage ledger, clean SCD1 upsert, SCD2 three-branch dim "
+    "merge, SCD1 fact merge — then the warehouse is read back as "
+    "canonical digest rows "
     "(eff dates as day offsets, payload md5 over canonicalized attrs) "
     "and hash-checked against a DuckDB oracle replaying both merges as "
     "CTEs. Day-2 is then re-run and must be a ledger no-op (asserted "
@@ -466,6 +624,11 @@ def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             entity_file(ddir, ENTITIES["menu"].source_file_stem),
             work,
         )
+        _write_drop_csv(
+            _login_src(cust, day),
+            entity_file(ddir, ENTITIES["login_audit"].source_file_stem),
+            work,
+        )
 
     wh = Warehouse(os.path.join(work, "wh"))
     r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
@@ -474,10 +637,10 @@ def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                  collect_stats=False, checkpoint=True)
     for res, day in ((r1, 1), (r2, 2)):
         loaded = {r["entity"] for r in res if not r["skipped"]}
-        if loaded != {"location", "menu"}:
+        if loaded != {"location", "menu", "login_audit"}:
             raise RuntimeError(
                 f"q145_pipeline_replay: day-{day} fan-out loaded {loaded}, "
-                "expected exactly {'location', 'menu'}"
+                "expected exactly {'location', 'menu', 'login_audit'}"
             )
     # rerun idempotence: same files, ledger must skip every entity —
     # the different batch_ts would otherwise stamp visible SCD2 churn
@@ -499,5 +662,11 @@ def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "menu_id", _menu_digest()))
         .unionByName(_digest_rows(wh.clean("menu").read(spark), "menu", "clean",
                                   "menu_id", _menu_digest()))
+        .unionByName(_digest_rows(wh.clean("login_audit").read(spark),
+                                  "login_audit", "clean", "login_id",
+                                  _login_digest()))
+        .unionByName(_digest_rows(wh.dim("login_audit").read(spark),
+                                  "login_audit", "fact", "login_id",
+                                  _login_digest()))
     )
     return out.orderBy("entity", "layer", "key_str", "eff_start_day")
