@@ -897,3 +897,56 @@ def test_recovery_sweep_spares_live_staged_dirs(spark, tmp_path):
     assert not os.path.exists(dead), "a dead writer's staging must be swept"
     be._release_staged_lock(txid, fd)
     os.rmdir(live_staged)
+
+
+def test_optimistic_commit_scd2_conflict_retries(spark, tmp_path, monkeypatch):
+    """apply_scd2 goes through the same optimistic loop as
+    merge_upsert: an intersecting SCD1 commit landing mid-flight makes
+    the SCD2 writer recompute, and the final dim versions the
+    intruder's values (serial order intruder-then-scd2)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.merge import (
+        Scd2Config,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dim")
+    cfg = Scd2Config(key=["id"], attrs=["v"], created_col=None)
+    ts = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+    be.apply_scd2(
+        spark.createDataFrame([(i, "old") for i in range(8)], "id long, v string"),
+        cfg,
+        ts,
+    )
+    rival = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+
+    def intruder():
+        # an SCD2 close-out+new-version for every key, landing while
+        # the victim's (stale) batch is already staged
+        rival.apply_scd2(
+            spark.createDataFrame([(i, "mid") for i in range(8)], "id long, v string"),
+            cfg,
+            F.lit("2024-06-02 00:00:00").cast("timestamp"),
+        )
+
+    wrapped, state = _stage_interceptor(be, intruder)
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_stage_write", wrapped)
+    out = be.apply_scd2(
+        spark.createDataFrame([(i, "new") for i in range(8)], "id long, v string"),
+        cfg,
+        F.lit("2024-06-03 00:00:00").cast("timestamp"),
+    )
+    monkeypatch.undo()
+
+    rows = out.collect()
+    cur = {r.id: r.v for r in rows if r.is_current}
+    assert cur == {i: "new" for i in range(8)}, "retried SCD2 must apply last"
+    # full history survived the conflict retry: old (closed by mid),
+    # mid (closed by new), new (current) — 3 versions per key
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.id, set()).add(r.v)
+    assert all(vs == {"old", "mid", "new"} for vs in per_key.values()), per_key
+    assert state["stages"] == 3, "the stale SCD2 stage must be recomputed once"
+    assert be._current_version() == 3
+    assert _leftovers(path) == []
