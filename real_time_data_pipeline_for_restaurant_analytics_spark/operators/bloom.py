@@ -71,32 +71,62 @@ def _canon(key_sql: str) -> str:
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
-def _assert_bloomable_key(df: DataFrame, key: str, side: str) -> None:
-    """Fail LOUDLY on key dtypes whose string canonicalization is not
-    value-stable across the numeric tower. Integral widths all render
-    as plain digits ('5'); scale-0 decimals do too; strings are
-    themselves; date/timestamp render one canonical form per type.
-    float/double/decimal(p, s>0) render fractional text ('5.0',
-    '5.00') that never equals the integral rendering, so a mixed
-    build/probe pair silently prunes matching rows — a correctness
-    bug, not a perf one. The exact semi-join would have matched them
-    via implicit numeric cast; refusing the Bloom path is the only
-    safe answer (ADVICE r9)."""
+def _key_family(df: DataFrame, key: str) -> str:
+    """The key's string-canonicalization FAMILY: every dtype inside one
+    family renders equal values as equal strings ('5' for any integral
+    width or scale-0 decimal), while dtypes across families do not
+    (int 5 → '5' vs string '05'/' 5', DATE '2024-01-01' vs TIMESTAMP
+    '2024-01-01 00:00:00'). Fractional types have NO stable family
+    (5.0 → '5.0' never equals the integral '5') and raise."""
     name = df.select(F.expr(key)).schema[0].dataType.simpleString()
-    ok = (
-        name in _INTEGRAL_TYPES
-        or name in ("string", "date")
-        or name.startswith("timestamp")
-        or (name.startswith("decimal(") and name.endswith(",0)"))
+    if name in _INTEGRAL_TYPES or (name.startswith("decimal(") and name.endswith(",0)")):
+        return "integral"
+    if name == "string":
+        return "string"
+    if name == "date":
+        return "date"
+    if name.startswith("timestamp"):
+        return "timestamp"
+    raise TypeError(
+        f"bloom key {key!r} has dtype {name}: fractional "
+        "(float/double/decimal with scale>0) and complex keys do not "
+        "canonicalize stably to strings, so the Bloom pre-filter could "
+        "silently drop rows the exact join matches. Cast the key to an "
+        "integral/string type first, or use the plain semi-join."
     )
-    if not ok:
+
+
+def _assert_bloomable_key(df: DataFrame, key: str, side: str) -> None:
+    """Single-side guard (ADVICE r9): fail LOUDLY on dtypes with no
+    stable string form. The standalone build/prune halves can only see
+    their own side; callers composing them manually must keep build
+    and probe keys in the SAME family — :func:`bloom_semi_join`, which
+    holds both frames, enforces that cross-side check itself
+    (review r9)."""
+    try:
+        _key_family(df, key)
+    except TypeError as e:
+        raise TypeError(f"bloom {side} key: {e}") from None
+
+
+def _assert_same_family(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+) -> None:
+    """Cross-side guard (review r9): individually-fine dtypes from
+    DIFFERENT families (date vs timestamp, int vs string) still
+    canonicalize equal values to different strings — every matching
+    row would silently hash to different bit positions and be pruned
+    while the exact join (implicit cast) would have matched it."""
+    ff = _key_family(fact, fact_key)
+    df_ = _key_family(dim, dim_key)
+    if ff != df_:
         raise TypeError(
-            f"bloom {side} key {key!r} has dtype {name}: fractional "
-            "(float/double/decimal with scale>0) keys do not "
-            "canonicalize stably to strings, so the Bloom pre-filter "
-            "could silently drop rows the exact join matches. Cast "
-            "the key to an integral/string type first, or use the "
-            "plain semi-join."
+            f"bloom build/probe key families differ: probe {fact_key!r} "
+            f"is {ff}, build {dim_key!r} is {df_} — equal values "
+            "canonicalize to different strings across families (int 5 "
+            "vs string '05', date vs timestamp), so matching rows "
+            "would be silently pruned. Cast both keys to one family "
+            "first."
         )
 
 
@@ -182,6 +212,7 @@ def bloom_semi_join(
     saturates as the dim grows and the pre-filter degrades to pure
     overhead). The count is one extra dimension-sized job next to the
     dimension-sized build."""
+    _assert_same_family(fact, fact_key, dim, dim_key)
     if num_bits is None:
         num_bits = sized_num_bits(dim.select(dim_key).distinct().count())
     words = build_key_bloom(dim, dim_key, num_bits)

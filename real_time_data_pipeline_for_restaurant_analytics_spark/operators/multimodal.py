@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata (training-data-pipeline surface).
 
-Two decode tiers (round 5):
+Two decode tiers (round 5; PNG promoted in round 9):
 
-- **REAL codecs** for uncompressed raster formats — genuine P6 PPM and
-  24-bit BI_RGB BMP parsers/encoders built on numpy alone
-  (``decode_image``/``encode_ppm``/``encode_bmp`` below), running
-  inside the same Arrow-batched ``mapInPandas`` plumbing and
-  oracle-verified byte-for-byte (q108/q109).
-- **Stub seam** for compressed formats (JPEG/PNG need codec libs this
-  container lacks): ``decode_image`` raises NotImplementedError at
-  that boundary, and ``decode_image_stub`` keeps the original
-  clearly-marked fake for arbitrary binaries (q30/q37's payloads).
+- **REAL codecs** — genuine P6 PPM and 24-bit BI_RGB BMP parsers/
+  encoders built on numpy alone, plus (round 9) 8-bit truecolor PNG
+  with stdlib zlib inflate, CRC-verified chunks, and all five
+  integer-exact unfilter recurrences
+  (``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``
+  below), running inside the same Arrow-batched ``mapInPandas``
+  plumbing and oracle-verified byte-for-byte (q108/q109/q146).
+- **Stub seam** for ENTROPY-CODED formats (JPEG/WebP/AVIF need codec
+  libs this container lacks): ``decode_image`` raises
+  NotImplementedError at that boundary, and ``decode_image_stub``
+  keeps the original clearly-marked fake for arbitrary binaries
+  (q30/q37's payloads).
 
 Everything Spark-side is real and tested either way: the binary
 column schema, the mapInPandas UDF signatures, batch shapes, and the
@@ -150,13 +153,15 @@ def q30_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decode path (round 5). The stub above remains the honest seam for
-# COMPRESSED formats (JPEG/PNG need codec libs this container lacks), but
-# uncompressed raster formats are just headers + raw pixels — decodable
-# with numpy alone. This implements genuine PPM (P6) and BMP (24-bit
-# BI_RGB) codecs and runs them inside the same Arrow-batched mapInPandas
-# plumbing, so the "decode kernel" is no longer fake for formats that
-# don't require external libraries.
+# REAL decode path (round 5; PNG joined in round 9). The stub above
+# remains the honest seam for ENTROPY-CODED formats (JPEG/WebP need
+# codec libs this container lacks), but uncompressed raster formats are
+# just headers + raw pixels — decodable with numpy alone — and PNG's
+# compression is stdlib zlib + integer filter recurrences. This
+# implements genuine PPM (P6), BMP (24-bit BI_RGB), and PNG (8-bit
+# truecolor) codecs and runs them inside the same Arrow-batched
+# mapInPandas plumbing, so the "decode kernel" is no longer fake for
+# formats that don't require external libraries.
 #
 # The registered queries synthesize deterministic PPM images whose pixel
 # values are pure integer functions of (doc_id, x, y) — so a DuckDB
@@ -193,19 +198,6 @@ def encode_bmp(pix: "np.ndarray") -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-
-
-def _paeth(a: int, b: int, c: int) -> int:
-    """The PNG Paeth predictor (RFC 2083 §6.6): pick whichever of
-    left/up/up-left is closest to left+up-upleft, ties broken in that
-    order — integer-exact by definition."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
 
 
 def encode_png(pix: "np.ndarray") -> bytes:

@@ -19,14 +19,17 @@ q144 did for streaming: a DETERMINISTIC two-day drop replay —
                                skip; asserted in-query, a non-skip
                                raises)
 
-— through the real `run_all` fan-out (O2) for TWO entities, `location`
-(SCD2 + the full P3-P7 geography enrichment ladder) and `menu` (SCD2 +
-trim/boolean/decimal casts P8/P9), with the other eight entity files
-absent (the fan-out's skip path). The warehouse dims and clean tables
-are then read back as canonical digest rows and hash-checked against a
-DuckDB oracle that re-derives the same two CSV days from the
-`customer` table and replays BOTH merges as CTEs (clean SCD1 upsert +
-dim SCD2 three-branch), including the enrichment ladder in SQL.
+— through the real `run_all` fan-out (O2) for THREE entities:
+`location` (SCD2 + the full P3-P7 geography enrichment ladder), `menu`
+(SCD2 + trim/boolean/decimal casts P8/P9), and `login_audit` (the
+SCD1-only consumption FACT, C5, with the P13 device CASE, P14 datetime
+parts, and P15 smart keys; NULLs ride the format's `null_if` token) —
+with the other seven entity files absent (the fan-out's skip path).
+The warehouse dims/facts and clean tables are then read back as
+canonical digest rows and hash-checked against a DuckDB oracle that
+re-derives the same two CSV days from the `customer` table and replays
+every merge as CTEs (clean SCD1 upsert + dim SCD2 three-branch + SCD1
+fact), including the enrichment ladders in SQL.
 
 Determinism notes:
 - source rows derive per-key from `c_custkey` (k); each day has unique

@@ -29,6 +29,11 @@ WITH flagged AS (
               WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1
               ELSE 0 END AS is_new
   FROM events
+  -- NULL event times are dropped on BOTH sides (review r9: the Spark
+  -- twin filters them per the ADVICE r9 parity fix; without this the
+  -- oracle would fold a NULL ts into the prior session on any future
+  -- fixture that contains one)
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), numbered AS (
   SELECT user_id, ts,

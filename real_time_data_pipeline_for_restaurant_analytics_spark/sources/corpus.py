@@ -133,7 +133,15 @@ def parse_warc(payload: bytes) -> tuple[list[dict], int]:
     n = len(payload)
     while pos < n:
         if payload[pos : pos + 5] != b"WARC/":
-            break  # trailing padding
+            # review r9: only CRLF/NUL tail bytes are legitimate
+            # padding. Anything else here means a DESYNC — a
+            # numerically-valid-but-wrong Content-Length landed the
+            # walk mid-body — and the bytes from this point (possibly
+            # most of the archive, including further valid records)
+            # were never parsed. Report them, don't call them padding.
+            if payload[pos:].strip(b"\r\n\x00"):
+                unparsed = n - pos
+            break
         try:
             hdr_end = payload.index(_CRLF + _CRLF, pos)
             headers: dict[str, str] = {}
@@ -233,13 +241,17 @@ def warc_malformed_counts(warc_df: DataFrame) -> DataFrame:
             recs, flag, bad, tot = [], [], [], []
             for p in pdf["warc"]:
                 b = bytes(p)
-                records, unparsed = parse_warc(b)
+                # decompress ONCE here and hand parse_warc the inflated
+                # bytes (review r9: letting it re-sniff gzip doubled the
+                # inflate cost of every .gz segment just to measure the
+                # denominator). unparsed_bytes counts DECOMPRESSED
+                # bytes, so the denominator must too.
+                raw = gzip.decompress(b) if b[:2] == b"\x1f\x8b" else b
+                records, unparsed = parse_warc(raw)
                 recs.append(len(records))
                 flag.append(unparsed > 0)
                 bad.append(unparsed)
-                # unparsed_bytes counts DECOMPRESSED bytes, so the
-                # denominator must too or a .gz ratio could exceed 1
-                tot.append(len(gzip.decompress(b) if b[:2] == b"\x1f\x8b" else b))
+                tot.append(len(raw))
             yield pd.DataFrame(
                 {
                     "n_records": recs,

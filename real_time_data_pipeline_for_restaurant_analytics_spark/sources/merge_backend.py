@@ -501,14 +501,32 @@ class BucketPrunedMergeBackend:
         LIVE writer's in-flight staging (lock held → skip) from a dead
         writer's garbage (lock free → reclaim). The fd is held across
         the unlocked compute span and released at commit/abort; a
-        crashed process releases it implicitly."""
+        crashed process releases it implicitly.
+
+        Create-then-verify loop (review r9): between our os.open
+        creating the marker and our flock landing, another writer's
+        sweep can probe the not-yet-locked file, win the flock, and
+        UNLINK it — leaving us flocking an unlinked inode nobody can
+        see, so a later sweep would reclaim our live staged dir. After
+        locking, re-stat the PATH and confirm it still names our inode;
+        if not, start over with a fresh file (the standard lockfile
+        revalidation dance)."""
         import fcntl
         import os
 
         os.makedirs(self.path, exist_ok=True)
-        fd = os.open(self._staged_lock_path(txid), os.O_CREAT | os.O_RDWR, 0o644)
-        fcntl.flock(fd, fcntl.LOCK_EX)  # fresh uuid — never contended
-        return fd
+        lp = self._staged_lock_path(txid)
+        while True:
+            fd = os.open(lp, os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(fd, fcntl.LOCK_EX)  # fresh uuid — never contended
+            try:
+                st = os.stat(lp)
+            except FileNotFoundError:
+                os.close(fd)
+                continue  # swept between open and flock — recreate
+            if os.fstat(fd).st_ino == st.st_ino:
+                return fd
+            os.close(fd)
 
     def _release_staged_lock(self, txid: str, fd: int) -> None:
         import os

@@ -70,3 +70,30 @@ def test_fractional_keys_fail_loudly(spark):
     # scale-0 decimals render as plain digits — compatible with ints
     dec0 = spark.range(0, 10).select(F.col("id").cast("decimal(20,0)").alias("fk"))
     assert bloom_semi_join(dec0, ints, "fk", "k", num_bits=6400).count() == 10
+
+
+def test_cross_family_keys_fail_loudly(spark):
+    """Review r9: individually-valid dtypes from DIFFERENT
+    canonicalization families (int vs string, date vs timestamp) still
+    render equal values as different strings — bloom_semi_join, which
+    holds both frames, must refuse the pair."""
+    import pytest
+
+    ints = spark.range(0, 10).withColumnRenamed("id", "k")
+    strs = spark.range(0, 10).select(
+        F.lpad(F.col("id").cast("string"), 2, "0").alias("fk")  # '05' != '5'
+    )
+    with pytest.raises(TypeError, match="families differ"):
+        bloom_semi_join(strs, ints, "fk", "k")
+
+    dates = spark.sql(
+        "SELECT DATE '2024-01-01' + CAST(id AS INT) AS k FROM range(5)"
+    )
+    tss = spark.sql(
+        "SELECT CAST(DATE '2024-01-01' + CAST(id AS INT) AS TIMESTAMP) AS fk FROM range(5)"
+    )
+    with pytest.raises(TypeError, match="families differ"):
+        bloom_semi_join(tss, dates, "fk", "k")
+    # same-family pairs still work: date-date round trip keeps all rows
+    dfk = dates.withColumnRenamed("k", "fk")
+    assert bloom_semi_join(dfk, dates, "fk", "k", num_bits=6400).count() == 5

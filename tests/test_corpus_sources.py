@@ -168,7 +168,10 @@ def test_parse_warc_gzip_and_malformed_robustness():
     # cannot actually compute past the first corruption
     assert unparsed == len(b) // 2, "unparsed tail must be byte-exact"
 
-    weird = a.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1  200 OK")  # double space
+    # double-spaced status line — LENGTH-PRESERVING edit (review r9:
+    # growing the body without fixing Content-Length is a framing
+    # desync, which parse_warc now correctly reports as unparsed tail)
+    weird = a.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1  200 K")
     recs, n_bad = parse_warc(weird)
     assert n_bad == 0 and recs[0]["http_status"] == 200
 
@@ -193,3 +196,25 @@ def test_warc_malformed_counts_frame(spark):
         (1, True, len(b) - 10, len(bad)),
         (2, False, 0, len(good)),
     ]
+
+
+def test_parse_warc_desync_counts_unparsed_tail():
+    """Review r9: a numerically-valid-but-WRONG Content-Length desyncs
+    the walk onto non-WARC bytes mid-archive. That is corruption, not
+    'trailing padding' — the unparsed tail must be reported, including
+    the further (unreachable) valid records."""
+    a = build_warc_response("http://a", "2024-01-01T00:00:00Z", b"<p>one</p>")
+    b = build_warc_response("http://b", "2024-01-01T00:00:01Z", b"<p>two</p>")
+    # shrink a's Content-Length so the walk lands mid-body of a
+    needle = b"Content-Length: "
+    i = a.index(needle) + len(needle)
+    j = a.index(b"\r\n", i)
+    n_real = int(a[i:j])
+    bad_a = a[:i] + str(n_real - 20).encode() + a[j:]
+    recs, unparsed = parse_warc(bad_a + b)
+    assert unparsed > 0, "a desynced walk must not report a clean parse"
+    assert unparsed >= len(b), "the unreachable next record is part of the damage"
+
+    # genuine trailing CRLF/NUL padding is still not corruption
+    recs, unparsed = parse_warc(a + b"\r\n\r\n\x00\x00")
+    assert [r["url"] for r in recs] == ["http://a"] and unparsed == 0

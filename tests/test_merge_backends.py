@@ -950,3 +950,39 @@ def test_optimistic_commit_scd2_conflict_retries(spark, tmp_path, monkeypatch):
     assert state["stages"] == 3, "the stale SCD2 stage must be recomputed once"
     assert be._current_version() == 3
     assert _leftovers(path) == []
+
+
+def test_staged_lock_survives_sweep_unlink_race(spark, tmp_path, monkeypatch):
+    """Review r9: between a writer's os.open creating the liveness
+    marker and its flock landing, a recovery sweep can win the
+    uncontended flock and UNLINK the marker — the writer would then
+    hold a lock on an invisible inode and a later sweep would reclaim
+    its live staged dir. _acquire_staged_lock must detect the unlink
+    (path/fd inode mismatch) and re-create."""
+    import fcntl
+    import os
+
+    path = str(tmp_path / "dim")
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+    be.merge_upsert(
+        spark.createDataFrame([(1, "a")], "id long, v string"), ["id"], ["v"]
+    )
+    txid = "racedtxidracedtx"
+    real_flock = fcntl.flock
+    state = {"fired": False}
+
+    def sweeping_flock(fd, op):
+        # simulate the sweep winning the open→flock window exactly once
+        if not state["fired"] and op == (fcntl.LOCK_EX):
+            state["fired"] = True
+            os.remove(be._staged_lock_path(txid))
+        return real_flock(fd, op)
+
+    monkeypatch.setattr(fcntl, "flock", sweeping_flock)
+    fd = be._acquire_staged_lock(txid)
+    monkeypatch.undo()
+    assert state["fired"], "the injected race must have fired"
+    # the held fd names the CURRENT path inode → the probe sees it live
+    assert os.fstat(fd).st_ino == os.stat(be._staged_lock_path(txid)).st_ino
+    assert not be._probe_staged_dead(txid), "revalidated lock must read as live"
+    be._release_staged_lock(txid, fd)
