@@ -986,3 +986,79 @@ def test_staged_lock_survives_sweep_unlink_race(spark, tmp_path, monkeypatch):
     assert os.fstat(fd).st_ino == os.stat(be._staged_lock_path(txid)).st_ino
     assert not be._probe_staged_dead(txid), "revalidated lock must read as live"
     be._release_staged_lock(txid, fd)
+
+
+def test_optimistic_commit_cross_process_conflict(spark, tmp_path, monkeypatch):
+    """The in-process concurrency tests exercise flock's per-open-file-
+    description semantics; this one races a REAL second OS process
+    (its own JVM, its own SparkSession) against this one. The intruder
+    lands an intersecting commit while the victim's stale output is
+    already staged; the victim must see the intruder's txlog entry
+    FROM DISK, discard, recompute, and win serially — pinning that the
+    commit lock, the liveness flock, and the CAS all hold across
+    process boundaries, not just across fds."""
+    import subprocess
+    import sys
+    import textwrap
+
+    path = str(tmp_path / "dim")
+    be = BucketPrunedMergeBackend(spark, path, key=["id"], n_buckets=4)
+    be.merge_upsert(
+        spark.createDataFrame([(i, "old") for i in range(8)], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+
+    child = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+        from real_time_data_pipeline_for_restaurant_analytics_spark.session import get_spark
+        from real_time_data_pipeline_for_restaurant_analytics_spark.sources.merge_backend import (
+            BucketPrunedMergeBackend,
+        )
+        spark = get_spark(app_name="intruder", master="local[4]", shuffle_partitions=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        be = BucketPrunedMergeBackend(spark, {path!r}, key=["id"], n_buckets=4)
+        be.merge_upsert(
+            spark.createDataFrame([(i, "intruder") for i in range(8)], "id long, v string"),
+            ["id"],
+            ["v"],
+        )
+        print("INTRUDER_COMMITTED")
+        """
+    )
+
+    real = BucketPrunedMergeBackend._stage_write
+    state = {"stages": 0}
+
+    def wrapped(self, df):
+        out = real(self, df)
+        state["stages"] += 1
+        if state["stages"] == 1:
+            # victim's stale output is staged (liveness flock held by
+            # THIS process) — now a separate OS process commits
+            r = subprocess.run(
+                [sys.executable, "-c", child],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            assert "INTRUDER_COMMITTED" in r.stdout, r.stderr[-2000:]
+        return out
+
+    monkeypatch.setattr(BucketPrunedMergeBackend, "_stage_write", wrapped)
+    out = be.merge_upsert(
+        spark.createDataFrame([(i, "victim") for i in range(8)], "id long, v string"),
+        ["id"],
+        ["v"],
+    )
+    monkeypatch.undo()
+
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {i: "victim" for i in range(8)}, (
+        "the victim must retry on top of the cross-process intruder commit"
+    )
+    assert state["stages"] == 2, "the cross-process conflict must force one recompute"
+    assert be._current_version() == 3  # init + intruder + victim
+    assert _leftovers(path) == []
