@@ -71,27 +71,38 @@ def _canon(key_sql: str) -> str:
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 
+#: Atomic non-fractional dtypes OUTSIDE the merged integral family:
+#: each is its own single-dtype family (a same-dtype pair canonicalizes
+#: identically by construction — boolean 'true'='true', equal binary
+#: bytes render equal). timestamp and timestamp_ntz are DISTINCT
+#: families (ADVICE r10): their CAST-to-string forms agree only when
+#: the session timezone happens to make the ltz rendering match the
+#: ntz wall clock, so a mixed pair would silently prune matches under
+#: any other timezone.
+_SELF_FAMILIES = {"string", "date", "boolean", "binary", "timestamp", "timestamp_ntz"}
+
+
 def _key_family(df: DataFrame, key: str) -> str:
     """The key's string-canonicalization FAMILY: every dtype inside one
     family renders equal values as equal strings ('5' for any integral
     width or scale-0 decimal), while dtypes across families do not
     (int 5 → '5' vs string '05'/' 5', DATE '2024-01-01' vs TIMESTAMP
-    '2024-01-01 00:00:00'). Fractional types have NO stable family
-    (5.0 → '5.0' never equals the integral '5') and raise."""
+    '2024-01-01 00:00:00'). Fractional types raise EVEN same-dtype
+    (not just cross-family): SQL equality is value-based while the
+    string cast is representation-based — double -0.0 = 0.0 joins but
+    renders '-0.0' vs '0.0', a silent false negative no family rule
+    can repair."""
     name = df.select(F.expr(key)).schema[0].dataType.simpleString()
     if name in _INTEGRAL_TYPES or (name.startswith("decimal(") and name.endswith(",0)")):
         return "integral"
-    if name == "string":
-        return "string"
-    if name == "date":
-        return "date"
-    if name.startswith("timestamp"):
-        return "timestamp"
+    if name in _SELF_FAMILIES:
+        return name
     raise TypeError(
         f"bloom key {key!r} has dtype {name}: fractional "
-        "(float/double/decimal with scale>0) and complex keys do not "
-        "canonicalize stably to strings, so the Bloom pre-filter could "
-        "silently drop rows the exact join matches. Cast the key to an "
+        "(float/double/decimal with scale>0 — -0.0 = 0.0 joins but "
+        "renders '-0.0' vs '0.0') and complex keys do not canonicalize "
+        "stably to strings, so the Bloom pre-filter could silently "
+        "drop rows the exact join matches. Cast the key to an "
         "integral/string type first, or use the plain semi-join."
     )
 

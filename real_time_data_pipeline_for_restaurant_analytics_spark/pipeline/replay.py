@@ -11,7 +11,17 @@ q144 did for streaming: a DETERMINISTIC two-day drop replay —
   day 1  full snapshot        (keys k%10 ≠ 9)
   day 2  delta: changed rows  (k%10 ∈ {0,1,2} — new zip/price +
                                modified_ts), an identical no-op row
-                               (k%10 = 3, must NOT version), and
+                               (k%10 = 3, must NOT version), a
+                               modified_ts-ONLY row (k%10 = 4 —
+                               payload identical, only modified_ts
+                               moves; MUST version, because
+                               modified_ts is in the configured SCD2
+                               attr set — ADVICE r10: this key class
+                               forces the oracle's all-column
+                               IS DISTINCT FROM and the engine's attr
+                               list to AGREE on whether audit
+                               timestamps participate in versioning
+                               rather than coincide on it), and
                                brand-new keys (k%10 = 9, first insert
                                with eff_start = created_ts, the v3
                                `order_proc.sql:300` semantics)
@@ -101,7 +111,9 @@ def _location_src(cust: DataFrame, day: int) -> DataFrame:
         df = cust.filter(k % 10 != 9)
         zipcode, modified = zip_base, F.lit(_MOD1)
     else:
-        df = cust.filter((k % 10).isin(0, 1, 2, 3, 9))
+        # k%10==4: payload identical to day 1 (no zip bump), modified
+        # falls through to _MOD2 — the modified_ts-only key class
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
         zipcode = zip_base + F.when(_changed(k), 7).otherwise(0)
         modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
     return df.select(
@@ -122,7 +134,9 @@ def _menu_src(cust: DataFrame, day: int) -> DataFrame:
         df = cust.filter(k % 10 != 9)
         modified = F.lit(_MOD1)
     else:
-        df = cust.filter((k % 10).isin(0, 1, 2, 3, 9))
+        # k%10==4: same price/payload, only modified_ts moves (see
+        # _location_src — pins modified_ts in the versioned attr set)
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
         cents = F.when(_changed(k), ".75").otherwise(".25")
         modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
     return df.select(
@@ -300,7 +314,7 @@ def _loc_src_sql(day: int) -> str:
     if day == 1:
         filt, zip_extra, modified = "k % 10 <> 9", "", f"'{_MOD1}'"
     else:
-        filt = "k % 10 IN (0, 1, 2, 3, 9)"
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
         zip_extra = " + CASE WHEN k % 10 IN (0, 1, 2) THEN 7 ELSE 0 END"
         modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
     return f"""SELECT CAST(k AS VARCHAR) AS locationid0,
@@ -317,7 +331,7 @@ def _menu_src_sql(day: int) -> str:
     if day == 1:
         filt, cents, modified = "k % 10 <> 9", "'.25'", f"'{_MOD1}'"
     else:
-        filt = "k % 10 IN (0, 1, 2, 3, 9)"
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
         cents = "CASE WHEN k % 10 IN (0, 1, 2) THEN '.75' ELSE '.25' END"
         modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
     return f"""SELECT CAST(k AS VARCHAR) AS menuid0,
@@ -592,7 +606,10 @@ UNION ALL
     oracle=_REPLAY_ORACLE,
     doc="The three-layer batch pipeline replayed end to end and fully "
     "oracled: a deterministic two-day CSV drop (day-1 full snapshot, "
-    "day-2 delta with changed/no-op/new keys) derived from the "
+    "day-2 delta with changed/no-op/modified_ts-only/new keys — the "
+    "modified_ts-only class pins that audit timestamps participate in "
+    "SCD2 versioning on BOTH engine and oracle, ADVICE r10) derived "
+    "from the "
     "customer table runs through the REAL run_all fan-out for THREE "
     "entities — location (geography-enrichment SCD2), menu (cast-heavy "
     "SCD2), and login_audit (SCD1-only fact with the P13 device CASE + "
@@ -671,5 +688,260 @@ def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_digest_rows(wh.dim("login_audit").read(spark),
                                   "login_audit", "fact", "login_id",
                                   _login_digest()))
+    )
+    return out.orderBy("entity", "layer", "key_str", "eff_start_day")
+
+
+# ---------------------------------------------------------------------------
+# q147: the JSON-sourced entity under the same end-to-end oracle
+# (round-9 verdict item 1). delivery_agent is the reference's one JSON
+# stage source (`delivery_agent_proc.sql:98-154`): `$1:Field::text`
+# path extraction binds by case-insensitive NAME (S3), the drop
+# repeats rows so the C6 DISTINCT-before-merge guard is load-bearing,
+# and the dim is a regular SCD2. The fixture therefore:
+#
+#   - writes the JSON with CamelCase field names (DeliveryAgentID,
+#     Full_Name, ...) so the case-insensitive bind is exercised, and
+#     leaves gender ABSENT (not null-valued) on k%11==0 rows — the
+#     missing-field→NULL binding path;
+#   - duplicates every k%4==0 row IN THE FILE (both days); an
+#     in-query assertion proves the duplicates physically reached the
+#     stage layer, and the value hash proves exactly one row per key
+#     survived to clean/dim;
+#   - uses ISO-T timestamps (2024-05-01T10:00:00) — the parse_ts
+#     format ladder's second branch, cast identically by DuckDB;
+#   - day-2 carries the same changed / no-op / modified_ts-only / new
+#     key classes as q145, plus the rerun-idempotence ledger check.
+# ---------------------------------------------------------------------------
+
+VEHICLES = ["Bike", "Scooter", "Cycle"]
+GENDERS = ["M", "F", "Other"]
+_DA_CREATED = "2024-05-01T10:00:00"
+_DA_MOD1 = "2024-06-01T08:00:00"
+_DA_MOD2 = "2024-06-02T08:00:00"
+
+
+def _da_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    vehicle = _pick(VEHICLES, k, 3)
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        modified = F.lit(_DA_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+        vehicle = F.when(_changed(k), _pick(VEHICLES, k + 1, 3)).otherwise(vehicle)
+        modified = F.when(k % 10 == 3, _DA_MOD1).otherwise(F.lit(_DA_MOD2))
+
+    def sel(frame: DataFrame) -> DataFrame:
+        # CamelCase field names on purpose: read_stage_json binds the
+        # spec's lowercase source_columns case-insensitively (S3)
+        return frame.select(
+            k.cast("string").alias("DeliveryAgentID"),
+            F.concat(F.lit("  Agent "), k.cast("string"), F.lit(" ")).alias("Full_Name"),
+            F.concat(F.lit("a"), k.cast("string"), F.lit("@x.com")).alias("Email"),
+            (k + 1000000).cast("string").alias("Mobile_No"),
+            vehicle.alias("VehicleType"),
+            (k % 200).cast("string").alias("LocationID"),
+            F.when(k % 2 == 0, "Active").otherwise("Inactive").alias("Status"),
+            # NULL gender rows: the JSON writer OMITS null fields, so
+            # these rows physically lack the key — the absent-field
+            # binding path, not a literal null
+            F.when(k % 11 == 0, F.lit(None).cast("string"))
+            .otherwise(_pick(GENDERS, k, 3))
+            .alias("Gender"),
+            F.concat(
+                (k % 4 + 1).cast("string"), F.lit("."),
+                F.lpad((k % 100).cast("string"), 2, "0"),
+            ).alias("Rating"),
+            F.lit(_DA_CREATED).alias("CreatedDate"),
+            modified.alias("ModifiedDate"),
+        )
+
+    # the C6 fixture: every k%4==0 row appears TWICE in the drop file
+    return sel(df).unionByName(sel(df.filter(k % 4 == 0)))
+
+
+def _write_drop_json(frame: DataFrame, dst: str, scratch: str) -> None:
+    """One JSON FILE per entity per day (S8), same move as
+    :func:`_write_drop_csv` for the CSV legs."""
+    tmp = os.path.join(scratch, "w_" + uuid.uuid4().hex)
+    frame.coalesce(1).write.mode("overwrite").json(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _da_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("full_name"),
+            F.col("email"),
+            F.col("mobile_no"),
+            F.col("vehicle_type"),
+            F.col("location_id_fk").cast("string"),
+            F.col("status"),
+            F.coalesce(F.col("gender"), F.lit("-")),
+            (F.col("rating") * 100).cast("bigint").cast("string"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _da_src_sql(day: int) -> str:
+    vehicles = _sql_str_list(VEHICLES)
+    genders = _sql_str_list(GENDERS)
+    if day == 1:
+        filt = "k % 10 <> 9"
+        vehicle = f"({vehicles})[CAST(k % 3 AS INT) + 1]"
+        modified = f"'{_DA_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
+        vehicle = (
+            f"CASE WHEN k % 10 IN (0, 1, 2) THEN ({vehicles})[CAST((k + 1) % 3 AS INT) + 1] "
+            f"ELSE ({vehicles})[CAST(k % 3 AS INT) + 1] END"
+        )
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_DA_MOD1}' ELSE '{_DA_MOD2}' END"
+    one = f"""SELECT CAST(k AS VARCHAR) AS deliveryagentid0,
+       '  Agent ' || CAST(k AS VARCHAR) || ' ' AS full_name0,
+       'a' || CAST(k AS VARCHAR) || '@x.com' AS email0,
+       CAST(k + 1000000 AS VARCHAR) AS mobile_no0,
+       {vehicle} AS vehicletype0,
+       CAST(k % 200 AS VARCHAR) AS locationid0,
+       CASE WHEN k % 2 = 0 THEN 'Active' ELSE 'Inactive' END AS status0,
+       CASE WHEN k % 11 = 0 THEN NULL
+            ELSE ({genders})[CAST(k % 3 AS INT) + 1] END AS gender0,
+       CAST(k % 4 + 1 AS VARCHAR) || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS rating0,
+       '{_DA_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+    # the in-file duplicates (C6): DISTINCT in the clean CTE collapses
+    # them, mirroring dropDuplicates-before-merge
+    return f"{one}\nUNION ALL\n{one.replace(filt, filt + ' AND k % 4 = 0', 1)}"
+
+
+def _da_clean_sql(src_cte: str) -> str:
+    """The v3 JSON clean transform in SQL (`delivery_agent_proc
+    .sql:160-184`): DISTINCT mirrors the C6 dedup_source guard."""
+    return f"""SELECT DISTINCT TRY_CAST(deliveryagentid0 AS BIGINT) AS delivery_agent_id,
+       TRIM(full_name0) AS full_name,
+       email0 AS email,
+       mobile_no0 AS mobile_no,
+       vehicletype0 AS vehicle_type,
+       TRY_CAST(locationid0 AS BIGINT) AS location_id_fk,
+       status0 AS status,
+       gender0 AS gender,
+       TRY_CAST(rating0 AS DECIMAL(4,2)) AS rating,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE deliveryagentid0 IS NOT NULL"""
+
+
+_DA_COLS = [
+    "delivery_agent_id", "full_name", "email", "mobile_no", "vehicle_type",
+    "location_id_fk", "status", "gender", "rating", "created_ts", "modified_ts",
+]
+
+_DA_DIGEST_SQL = (
+    "md5(concat_ws('|', full_name, email, mobile_no, vehicle_type, "
+    "CAST(location_id_fk AS VARCHAR), status, COALESCE(gender, '-'), "
+    "CAST(CAST(rating * 100 AS BIGINT) AS VARCHAR), "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+
+_DA_REPLAY_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+da_src1 AS ({_da_src_sql(1)}),
+da_src2 AS ({_da_src_sql(2)}),
+da_clean1 AS ({_da_clean_sql('da_src1')}),
+da_clean2 AS ({_da_clean_sql('da_src2')}),
+{_merge_replay_sql('da', 'delivery_agent_id', _DA_COLS)}
+SELECT * FROM (
+{_digest_rows_sql('da', 'delivery_agent', 'delivery_agent_id', _DA_DIGEST_SQL)}
+) ORDER BY entity, layer, key_str, eff_start_day"""
+
+
+@register(
+    "q147_json_entity_replay",
+    oracle=_DA_REPLAY_ORACLE,
+    doc="The JSON stage-scan flavor under the q145 end-to-end oracle "
+    "(round-9 verdict item 1): a deterministic two-day delivery_agent "
+    "JSON drop — CamelCase field names bound case-insensitively (S3 "
+    "path extraction), absent-not-null gender fields, ISO-T "
+    "timestamps, and every k%4==0 row DUPLICATED in the file so the "
+    "C6 DISTINCT-before-merge guard is load-bearing — runs through "
+    "the REAL run_all fan-out (ledger, clean SCD1 upsert, SCD2 "
+    "three-branch dim) with the same changed/no-op/modified_ts-only/"
+    "new day-2 key classes as q145, then clean+dim are read back as "
+    "digest rows and hash-checked against a DuckDB oracle replaying "
+    "the dedup (DISTINCT) and both merges as CTEs. In-query "
+    "assertions pin that the duplicates physically reached the stage "
+    "layer and that a day-2 rerun is a ledger no-op. Reference: "
+    "`with procedures/delivery_agent_proc.sql:98-154`.",
+)
+def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.paths import entity_file
+    from .entities import ENTITIES
+    from .runner import Warehouse, run_all
+
+    spec = ENTITIES["delivery_agent"]
+    work = replay_workdir("json_replay")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
+                os.path.join(work, "drops", "2024", "6", "2"))
+    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
+        _write_drop_json(
+            _da_src(cust, day),
+            entity_file(ddir, spec.source_file_stem, spec.ext),
+            work,
+        )
+
+    wh = Warehouse(os.path.join(work, "wh"))
+    r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    for res, day in ((r1, 1), (r2, 2)):
+        loaded = {r["entity"] for r in res if not r["skipped"]}
+        if loaded != {"delivery_agent"}:
+            raise RuntimeError(
+                f"q147_json_entity_replay: day-{day} fan-out loaded "
+                f"{loaded}, expected exactly {{'delivery_agent'}}"
+            )
+    r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
+    if not_skipped:
+        raise RuntimeError(
+            f"q147_json_entity_replay: day-2 rerun re-processed "
+            f"{not_skipped} — the ledger's exactly-once contract is broken"
+        )
+
+    # the duplicates must have PHYSICALLY reached the stage layer —
+    # otherwise "dedup collapsed them" proves nothing about C6
+    k = F.col("c_custkey")
+    n1 = cust.filter(k % 10 != 9).count()
+    d1 = cust.filter((k % 10 != 9) & (k % 4 == 0)).count()
+    n2 = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9)).count()
+    d2 = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9) & (k % 4 == 0)).count()
+    staged = spark.read.parquet(
+        os.path.join(wh.stage_dir("delivery_agent"), "data")
+    ).count()
+    if staged != n1 + d1 + n2 + d2:
+        raise RuntimeError(
+            f"q147_json_entity_replay: stage layer holds {staged} rows, "
+            f"expected {n1 + d1 + n2 + d2} (sources WITH in-file "
+            "duplicates) — the duplicate rows never reached the stage, "
+            "so the dedup guard was not exercised"
+        )
+
+    out = (
+        _digest_rows(wh.dim("delivery_agent").read(spark), "delivery_agent",
+                     "dim", "delivery_agent_id", _da_digest())
+        .unionByName(_digest_rows(wh.clean("delivery_agent").read(spark),
+                                  "delivery_agent", "clean",
+                                  "delivery_agent_id", _da_digest()))
     )
     return out.orderBy("entity", "layer", "key_str", "eff_start_day")

@@ -475,8 +475,13 @@ class BucketPrunedMergeBackend:
                         pass
 
     def _conflicts(self, v0: int, v1: int, entries: list[str]) -> bool:
-        """True iff some commit in (v0, v1] may overlap our touched
-        buckets. A merge reads and rewrites ONLY its own buckets, so
+        """True iff some commit in (v0, v1] may overlap ``entries`` —
+        the caller passes the union of the buckets the transform READ
+        (``_touched_buckets``, captured before staging) and the buckets
+        it STAGED (ADVICE r10: the staged output alone under-reports
+        the read set for any transform that emits zero rows for a
+        touched bucket, which would let the CAS miss a real conflict).
+        A merge reads and rewrites only those buckets, so
         bucket-disjoint commits compose; an intersecting (or
         unprovable: pruned/unreadable log entry) one means our staged
         output was computed from a stale slice."""
@@ -537,20 +542,64 @@ class BucketPrunedMergeBackend:
             pass
         os.close(fd)
 
-    @staticmethod
-    def _is_read_tear(exc: BaseException) -> bool:
+    #: JVM exception classes that mean "a file the plan listed is
+    #: gone" — checked by CLASS NAME down the cause chain, not only by
+    #: rendered message (ADVICE r10: message text is version-brittle;
+    #: a Spark release rewording it would turn benign read tears under
+    #: concurrency into hard failures).
+    _TEAR_JVM_CLASSES = (
+        "java.io.FileNotFoundException",
+        "java.nio.file.NoSuchFileException",
+    )
+    #: Spark error classes / rendered-text markers, verified against
+    #: Spark 4.1 (the pinned sandbox version). Kept as the fallback for
+    #: exception shapes that carry no walkable JVM cause (e.g. pyspark
+    #: connect's rendered-only CapturedException).
+    _TEAR_TEXT_MARKERS = (
+        "FileNotFoundException",
+        "FILE_NOT_FOUND",
+        "PATH_NOT_FOUND",
+        "UNABLE_TO_INFER_SCHEMA",
+    )
+
+    @classmethod
+    def _is_read_tear(cls, exc: BaseException) -> bool:
         """A concurrent swap can tear an UNLOCKED slice read: files
         listed at plan time vanish before a task opens them, or the
         listing catches a bucket mid-replace. Those surface as
         file-not-found / unable-to-infer errors — retryable exactly
-        like a CAS conflict (the retry re-reads the post-swap table)."""
+        like a CAS conflict (the retry re-reads the post-swap table).
+
+        Classification walks the REAL evidence first: the Py4J
+        ``java_exception`` cause chain by class name, and PySpark's
+        ``getErrorClass()``. The rendered-message substring match
+        stays as a last resort (fail-safe direction either way: a
+        missed tear fails the merge loudly, never corrupts it)."""
+        # 1. Py4J-backed exceptions: walk getCause() by class name.
+        jt = getattr(exc, "java_exception", None)
+        hops = 0
+        while jt is not None and hops < 16:
+            try:
+                name = jt.getClass().getName()
+            except Exception:  # noqa: BLE001 — dead gateway: fall through
+                break
+            if name in cls._TEAR_JVM_CLASSES:
+                return True
+            jt = jt.getCause()
+            hops += 1
+        # 2. PySpark error-class API (CapturedException and kin).
+        get_cls = getattr(exc, "getErrorClass", None)
+        if callable(get_cls):
+            try:
+                ec = get_cls()
+            except Exception:  # noqa: BLE001
+                ec = None
+            if ec and any(m in ec for m in ("FILE_NOT_FOUND", "PATH_NOT_FOUND",
+                                            "UNABLE_TO_INFER_SCHEMA")):
+                return True
+        # 3. Rendered-text fallback.
         s = str(exc)
-        return (
-            "FileNotFoundException" in s
-            or "FILE_NOT_FOUND" in s
-            or "PATH_NOT_FOUND" in s
-            or "UNABLE_TO_INFER_SCHEMA" in s
-        )
+        return any(m in s for m in cls._TEAR_TEXT_MARKERS)
 
     # -- commit manifest / crash recovery ------------------------------------
     def _manifest_paths(self) -> list[str]:
@@ -936,8 +985,15 @@ class BucketPrunedMergeBackend:
                 if existed:
                     touched = self._touched_buckets(batch)
                     out = transform(self._read_slice(touched))
+                    # the READ set, captured before staging: the
+                    # conflict check must cover every bucket the slice
+                    # read, even one the transform emitted zero rows
+                    # for (ADVICE r10 — staged output alone would
+                    # under-report it and miss a real conflict)
+                    read_set = {f"{self.BUCKET_COL}={b}" for b in touched}
                 else:
                     out = transform(None)
+                    read_set = set()
                 txid, staged, entries, fd = self._stage_write(out)
             except ValueError:
                 raise  # bucket-layout validation: a real error, never a race
@@ -948,7 +1004,8 @@ class BucketPrunedMergeBackend:
             with self._writer_lock():
                 self._recover_if_torn()
                 v1 = self._current_version()
-                if (existed != self._exists()) or self._conflicts(v0, v1, entries):
+                conflict_set = sorted(read_set | set(entries))
+                if (existed != self._exists()) or self._conflicts(v0, v1, conflict_set):
                     self._abort_staged(txid, staged, fd)
                     continue  # recompute against the winner's output
                 self._commit_staged(txid, staged, entries, fd, v1 + 1)

@@ -97,3 +97,30 @@ def test_cross_family_keys_fail_loudly(spark):
     # same-family pairs still work: date-date round trip keeps all rows
     dfk = dates.withColumnRenamed("k", "fk")
     assert bloom_semi_join(dfk, dates, "fk", "k", num_bits=6400).count() == 5
+
+
+def test_same_dtype_pairs_outside_listed_families_prune(spark):
+    """ADVICE r10: a same-dtype pair outside the merged families
+    (boolean=boolean, binary=binary) canonicalizes identically by
+    construction — it must prune, not raise. timestamp vs
+    timestamp_ntz, previously folded into one family, now refuses the
+    pair: the ltz string rendering is session-timezone-dependent, so
+    equal instants can render differently and be silently pruned."""
+    import pytest
+
+    bools = spark.range(0, 10).select((F.col("id") % 2 == 0).alias("k"))
+    bfk = bools.withColumnRenamed("k", "fk")
+    assert bloom_semi_join(bfk, bools, "fk", "k", num_bits=6400).count() == 10
+
+    bins = spark.range(0, 10).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("k")
+    )
+    binfk = bins.withColumnRenamed("k", "fk")
+    assert bloom_semi_join(binfk, bins, "fk", "k", num_bits=6400).count() == 10
+
+    ltz = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS k FROM range(3)")
+    ntz = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS fk FROM range(3)"
+    )
+    with pytest.raises(TypeError, match="families differ"):
+        bloom_semi_join(ntz, ltz, "fk", "k")

@@ -378,14 +378,61 @@ def test_q145_replay_version_structure(spark):
     assert loc_dim, "no location dim rows"
     for k, versions in loc_dim.items():
         versions.sort(key=lambda r: r.eff_start_day)
-        if k % 10 in (0, 1, 2):  # changed on day 2
+        if k % 10 in (0, 1, 2, 4):
+            # changed on day 2 — including k%10==4, the
+            # modified_ts-ONLY class (ADVICE r10): audit timestamps
+            # are in the configured SCD2 attr set, so a row whose
+            # payload is identical but whose modified_ts moved MUST
+            # version exactly like a payload change
             assert len(versions) == 2, (k, versions)
             v1, v2 = versions
             assert (v1.eff_start_day, v1.eff_end_day, v1.is_current) == (-31, 1, False)
             assert (v2.eff_start_day, v2.eff_end_day, v2.is_current) == (1, 9999, True)
-        else:  # no-op (3), absent (4-8), or day-2 first insert (9)
+        else:  # no-op (3), absent (5-8), or day-2 first insert (9)
             assert len(versions) == 1, (k, versions)
             (v,) = versions
             assert (v.eff_start_day, v.eff_end_day, v.is_current) == (-31, 9999, True)
-    # both day-populations present: day-1-only keys and day-2-new keys
+    # all day-populations present: day-1-only keys, day-2-new keys,
+    # and the modified_ts-only class
     assert any(k % 10 == 9 for k in loc_dim) and any(k % 10 == 4 for k in loc_dim)
+    assert any(k % 10 == 5 for k in loc_dim)
+
+
+def test_q147_json_replay_structure_and_dedup(spark):
+    """q147 (round-10): the JSON-sourced entity replay's SCD2 shape per
+    key class (same classes as q145, including the modified_ts-only
+    one), plus the C6 contract: in-file duplicate rows (every k%4==0
+    row appears twice in the drop) collapse to exactly one clean row
+    per key. The DuckDB oracle hash-checks every value; this pins the
+    intended shape in one readable place."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    rows = (
+        all_queries()["q147_json_entity_replay"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    dim: dict[int, list] = {}
+    for r in rows:
+        if r.layer == "dim":
+            dim.setdefault(int(r.key_str), []).append(r)
+    assert dim, "no delivery_agent dim rows"
+    for k, versions in dim.items():
+        versions.sort(key=lambda r: r.eff_start_day)
+        if k % 10 in (0, 1, 2, 4):  # changed or modified_ts-only
+            assert len(versions) == 2, (k, versions)
+            v1, v2 = versions
+            assert (v1.eff_start_day, v1.eff_end_day, v1.is_current) == (-31, 1, False)
+            assert (v2.eff_start_day, v2.eff_end_day, v2.is_current) == (1, 9999, True)
+        else:
+            assert len(versions) == 1, (k, versions)
+            (v,) = versions
+            assert (v.eff_start_day, v.eff_end_day, v.is_current) == (-31, 9999, True)
+    # C6: the duplicated keys (k%4==0, physically twice in the file —
+    # asserted against the stage layer in-query) hold exactly one
+    # clean row each
+    clean = [int(r.key_str) for r in rows if r.layer == "clean"]
+    assert len(clean) == len(set(clean))
+    assert any(k % 4 == 0 for k in clean)
