@@ -1,0 +1,650 @@
+"""Baseline JPEG codec built on numpy + the stdlib — the entropy-coded
+image format behind the multimodal seam (round-10, verdict item 2).
+
+PNG (round 9) proved a COMPRESSED codec can be oracle-replayable when
+every decode step is deterministic. JPEG is the dominant real-corpus
+image format, and its baseline profile (ITU-T T.81 / ISO 10918-1,
+SOF0) is huffman entropy coding + dequantization + the 8x8 inverse
+DCT — all implementable exactly from the public spec:
+
+- **Decoder** (:func:`decode_jpeg`): real marker walk (SOI, APPn/COM
+  skipped by length, DQT, SOF0, DHT, SOS, EOI), canonical huffman
+  tables built from the stream's OWN DHT segments (never assumed),
+  a bit reader with 0xFF00 byte-unstuffing, per-component DC
+  prediction, zigzag de-scan, dequantization, and a float64
+  separable IDCT with final round+clamp. Baseline grayscale and
+  4:4:4 color (YCbCr, BT.601 de-correlation) are supported;
+  progressive (SOF2), chroma-subsampled, restart-interval, and
+  arithmetic-coded streams raise NotImplementedError — the honest
+  remaining boundary, now INSIDE the format.
+- **Encoder** (:func:`encode_jpeg`): the exact inverse pipeline
+  (level shift, forward DCT, quantization with the Annex-K-shaped
+  quality tables, zigzag, DC-diff + (run,size) huffman with ZRL/EOB,
+  byte stuffing). Huffman tables are emitted in DHT and may be ANY
+  valid canonical code — we emit flat tables (all 162 AC symbols at
+  8 bits, 12 DC symbols at 4 bits), which keeps the encoder small
+  while the decoder still runs its general DHT construction; a
+  pytest feeds it a non-flat table to pin generality.
+
+Oracle replayability (the q148 move): JPEG is lossy, so arbitrary
+pixels don't round-trip — but a block-constant-plus-single-AC fixture
+does, EXACTLY. For a block whose pixels are ``v + 3a*g(x)`` with
+``g = [1,-1,-1,1,1,-1,-1,1]`` (the u=4 DCT basis row scaled to
+integers) and even ``v``, the forward DCT lands on exactly two
+coefficients — DC ``8(v-128)`` (quantizes exactly: Q00=16) and
+AC(u=4,v=0) ``24a`` (quantizes exactly: Q[0][4]=24) — and the decode
+reproduces ``v + 3a*g(x)`` bit-for-bit (every intermediate is an
+exact small integer in float64). The huffman layer is fully exercised
+(varying DC diffs across blocks, a 13-zero AC run to the zigzag-14
+coefficient, EOB), and DuckDB replays the decoded-pixel arithmetic in
+closed form. Entropy-coding losslessness on ARBITRARY coefficients is
+pinned separately in pytest (encode→decode the scan of seeded random
+blocks, exact equality), as is the full-DCT path (decode(encode(x))
+within quantization error bounds).
+
+Scale: same contract as the other codecs — payload bytes are decoded
+exactly once inside Arrow-batched ``mapInPandas``, zero shuffles, and
+only narrow integer stats leave the stage. The per-byte huffman loop
+is interpreter-bound pure Python (the PNG lesson: that is the price
+of deterministic oracle replayability; it is embarrassingly parallel
+and linear in payload bytes).
+
+Reference anchor: the reference stores no images — this family is the
+LLM-training-data surface (SURVEY §6) where a 100 TB multimodal
+corpus is mostly JPEG.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Tables. Quantization: the ITU T.81 Annex K example tables (the de
+# facto "quality 50" tables every libjpeg derivative scales).
+# ---------------------------------------------------------------------------
+
+LUMA_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+CHROMA_Q = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The spec's zigzag scan as (y, x) pairs: anti-diagonals, even
+    diagonals walked bottom-left→top-right, odd ones the reverse."""
+    out = []
+    for d in range(15):
+        for i in range(d + 1):
+            y, x = (d - i, i) if d % 2 == 0 else (i, d - i)
+            if y < 8 and x < 8:
+                out.append((y, x))
+    return out
+
+
+ZIGZAG = _zigzag()  # ZIGZAG[k] = (y, x); k=0 is DC
+_ZZ_Y = np.array([y for y, _ in ZIGZAG])
+_ZZ_X = np.array([x for _, x in ZIGZAG])
+
+#: DCT-II basis A[u, x] = C(u) cos((2x+1)uπ/16); forward S = A s Aᵀ / 4,
+#: inverse s = Aᵀ S A / 4 — float64, exact to ~1e-13 on small-integer
+#: coefficient patterns, which is what makes the fixture replayable.
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Flat canonical huffman tables (see module docstring): DC sizes 0..11
+# at 4 bits each; AC's 162 (run,size) symbols at 8 bits each. Any
+# (bits, values) pair shipped in DHT is a valid JPEG table — the
+# decoder builds its codes from the stream, never from these.
+DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), the T.81 Annex C code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O with 0xFF00 stuffing
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1s per the spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                marker = self.data[self.pos]
+                self.pos += 1
+                if marker != 0x00:
+                    # RSTn would land here; the decoder rejects DRI
+                    # up front, so any marker mid-stream is corruption
+                    raise ValueError(
+                        f"unexpected marker 0xFF{marker:02X} inside entropy data"
+                    )
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in JPEG entropy stream")
+
+
+def _magnitude_bits(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a coefficient value, T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _extend(raw: int, size: int) -> int:
+    """Inverse of :func:`_magnitude_bits` (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _dqt_payload(tid: int, q: "np.ndarray") -> bytes:
+    zz = bytes(int(q[y, x]) for y, x in ZIGZAG)
+    return bytes([tid]) + zz
+
+
+def _dht_payload(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+
+def _fdct_quant(plane: "np.ndarray", q: "np.ndarray") -> "np.ndarray":
+    """(n_by, n_bx, 8, 8) quantized int coefficients for one component
+    plane whose dims are multiples of 8 (callers pad first)."""
+    h, w = plane.shape
+    blocks = (
+        plane.astype(np.float64)
+        .reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    coef = np.einsum("vy,nmyx,ux->nmvu", _A, blocks, _A) * 0.25
+    return np.round(coef / q).astype(np.int64)
+
+
+def _encode_scan(
+    comp_coefs: list["np.ndarray"],
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> bytes:
+    """Interleaved MCU entropy coding (4:4:4 — one block per component
+    per MCU), shared DC/AC tables, per-component DC prediction."""
+    w = _BitWriter()
+    n_by, n_bx = comp_coefs[0].shape[:2]
+    pred = [0] * len(comp_coefs)
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for ci, coefs in enumerate(comp_coefs):
+                blk = coefs[by, bx]
+                zz = blk[_ZZ_Y, _ZZ_X]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, raw = _magnitude_bits(diff)
+                w.put(*dc_codes[size])
+                if size:
+                    w.put(raw, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    if k > last_nz:
+                        break
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        w.put(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    size, raw = _magnitude_bits(v)
+                    w.put(*ac_codes[(run << 4) | size])
+                    w.put(raw, size)
+                    run = 0
+                if last_nz < 63:
+                    w.put(*ac_codes[0x00])  # EOB
+    return w.flush()
+
+
+def _rgb_to_ycbcr(pix: "np.ndarray") -> list["np.ndarray"]:
+    r, g, b = (pix[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
+
+
+def encode_jpeg(pix: "np.ndarray") -> bytes:
+    """REAL baseline JPEG writer: (h, w) uint8 → grayscale SOF0;
+    (h, w, 3) uint8 RGB → 4:4:4 YCbCr SOF0. Dims are padded to
+    multiples of 8 by edge replication (the standard move — SOF0
+    carries the true dims, the decoder crops)."""
+    if pix.ndim == 2:
+        planes = [pix]
+        qids = [0]
+        qtables = [LUMA_Q]
+    else:
+        planes = _rgb_to_ycbcr(pix)
+        qids = [0, 1, 1]
+        qtables = [LUMA_Q, CHROMA_Q]
+    h, w = planes[0].shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    coefs = [
+        _fdct_quant(p, (LUMA_Q if qid == 0 else CHROMA_Q))
+        for p, qid in zip(padded, qids)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for tid, q in enumerate(qtables):
+        out += _seg(0xDB, _dqt_payload(tid, q))  # DQT
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])  # id, 1x1 sampling, tq
+    out += _seg(0xC0, sof)  # SOF0: baseline
+    out += _seg(0xC4, _dht_payload(0, 0, DC_BITS, DC_VALS))  # DHT DC0
+    out += _seg(0xC4, _dht_payload(1, 0, AC_BITS, AC_VALS))  # DHT AC0
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # every component → DC0/AC0
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
+    out += _seg(0xDA, sos)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    out += _encode_scan(coefs, dc_codes, ac_codes)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """REAL baseline JPEG decode from the spec: marker walk, DHT/DQT
+    parsed from the stream, huffman + DC-prediction entropy decode
+    with 0xFF00 unstuffing, dequantize, zigzag de-scan, float64 IDCT,
+    round + clamp, crop to the SOF dims, BT.601 color de-correlation
+    for 3 components. Returns (h, w) uint8 for grayscale, (h, w, 3)
+    RGB for color. Progressive / subsampled / restart-interval /
+    arithmetic streams raise NotImplementedError (the remaining
+    in-format seam); corrupt or truncated streams raise ValueError."""
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG signature")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan_comps = None
+    data_at = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}, got 0x{payload[pos]:02X}")
+        marker = payload[pos + 1]
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X}: only baseline sequential "
+                "huffman (SOF0) is implemented — progressive/extended/"
+                "arithmetic streams are the remaining in-format seam"
+            )
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            at = 0
+            while at < len(seg):
+                prec, tid = seg[at] >> 4, seg[at] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                if at + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                q = np.zeros((8, 8), dtype=np.int64)
+                for k, (y, x) in enumerate(ZIGZAG):
+                    q[y, x] = seg[at + 1 + k]
+                qtables[tid] = q
+                at += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            at = 0
+            while at < len(seg):
+                cls, tid = seg[at] >> 4, seg[at] & 0x0F
+                bits = list(seg[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(seg[at + 17 : at + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT")
+                codes = _canonical_codes(bits, vals)
+                hufftables[(cls, tid)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                at += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit baseline JPEG")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (sampling factors != 1x1) — "
+                        "only grayscale and 4:4:4 are implemented"
+                    )
+                comps.append((cid, tq))
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            sof = (h, w, comps)
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", seg, 0)
+            if interval != 0:
+                raise NotImplementedError(
+                    "JPEG restart intervals (DRI) are not implemented"
+                )
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = [(seg[1 + 2 * i], seg[2 + 2 * i]) for i in range(ns)]
+            data_at = pos + 2 + length
+            break
+        pos += 2 + length
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG without SOF0/SOS")
+    h, w, comps = sof
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("multi-scan JPEG")
+
+    reader = _BitReader(payload[data_at:])
+    n_bx, n_by = -(-w // 8), -(-h // 8)
+    planes = [np.zeros((n_by * 8, n_bx * 8), dtype=np.float64) for _ in comps]
+    tables = []
+    for (cid, tq), (scid, tsel) in zip(comps, scan_comps):
+        if scid != cid:
+            raise ValueError("SOS component order != SOF order")
+        dc = hufftables.get((0, tsel >> 4))
+        ac = hufftables.get((1, tsel & 0x0F))
+        q = qtables.get(tq)
+        if dc is None or ac is None or q is None:
+            raise ValueError("JPEG scan references an undefined DQT/DHT table")
+        tables.append((dc, ac, q))
+    pred = [0] * len(comps)
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for ci, (dc, ac, q) in enumerate(tables):
+                zz = np.zeros(64, dtype=np.int64)
+                size = _decode_symbol(reader, dc)
+                if size > 11:
+                    raise ValueError("invalid DC size category")
+                pred[ci] += _extend(reader.bits(size), size)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _decode_symbol(reader, ac)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or size == 0:
+                        raise ValueError("AC coefficient index out of range")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                blk = np.zeros((8, 8), dtype=np.int64)
+                blk[_ZZ_Y, _ZZ_X] = zz
+                s = _A.T @ (blk * q).astype(np.float64) @ _A * 0.25
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = s + 128.0
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r, g, b)], axis=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# The q148 fixture: block-constant + u=4 AC pattern (module docstring)
+# ---------------------------------------------------------------------------
+
+#: g(x) = √2·cos((2x+1)π/4) — the u=4 basis row as exact integers
+_G = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+
+
+def synth_jpeg_pixels(doc_id: int) -> "np.ndarray":
+    """Deterministic grayscale image whose JPEG round-trip is EXACT:
+    w8 = 2 + id%3 / h8 = 2 + id%2 blocks of 8x8; block (bx, by) holds
+    ``v + 3a·g(x mod 8)`` with even ``v = 2((17bx + 31by + id) % 106)
+    + 20`` (DC quantizes exactly — Q00 = 16) and ``a = (bx + 2by + id)
+    % 5 - 2`` on the u=4 coefficient (24a, Q[0][4] = 24 — quantizes
+    exactly; the 3a·g pixel contribution is integer). Values stay in
+    [14, 236]: no clamping anywhere."""
+    w8 = 2 + doc_id % 3
+    h8 = 2 + doc_id % 2
+    bx = np.arange(w8)[None, :]
+    by = np.arange(h8)[:, None]
+    v = 2 * ((17 * bx + 31 * by + doc_id) % 106) + 20  # (h8, w8), even
+    a = (bx + 2 * by + doc_id) % 5 - 2  # (h8, w8) in [-2, 2]
+    # expand to pixels: base per block + the g pattern along x
+    base = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+    amp = np.repeat(np.repeat(3 * a, 8, axis=0), 8, axis=1)
+    gx = np.tile(_G, w8)[None, :]
+    return (base + amp * gx).astype(np.uint8)
+
+
+def synth_jpeg_payloads(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): REAL baseline JPEG bytes of the
+    exact-round-trip fixture."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg(synth_jpeg_pixels(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    from .multimodal import spread_ids
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_px bigint, sum_y bigint, sum_sq bigint"
+)
+
+
+def jpeg_decode_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL JPEG decode → integer luma statistics, Arrow-batched.
+    ``sum_sq`` is the stat that SEES the AC coefficients (the g
+    pattern cancels in a plain sum), so a wrong bit anywhere in the
+    huffman/dequant/IDCT chain breaks the hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_px", "sum_y", "sum_sq")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                pix = decode_jpeg(bytes(p)).astype(np.int64)
+                h, w = pix.shape
+                out["doc_id"].append(int(d))
+                out["width"].append(w); out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_y"].append(int(pix.sum()))
+                out["sum_sq"].append(int((pix * pix).sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+_JPEG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS w8,
+         2 + doc_id % 2 AS h8
+  FROM documents
+), blk AS (
+  SELECT d.doc_id, d.w8, d.h8,
+         2 * ((17 * bx.bx + 31 * by.by + d.doc_id) % 106) + 20 AS v,
+         (bx.bx + 2 * by.by + d.doc_id) % 5 - 2 AS a
+  FROM dims d,
+       (SELECT unnest(range(4)) AS bx) bx,
+       (SELECT unnest(range(3)) AS by) by
+  WHERE bx.bx < d.w8 AND by.by < d.h8
+)
+SELECT doc_id,
+       CAST(8 * w8 AS INT) AS width,
+       CAST(8 * h8 AS INT) AS height,
+       CAST(64 * w8 * h8 AS BIGINT) AS n_px,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_y,
+       CAST(SUM(64 * v * v + 576 * a * a) AS BIGINT) AS sum_sq
+FROM blk GROUP BY doc_id, w8, h8 ORDER BY doc_id
+"""
+
+
+@register(
+    "q148_jpeg_decode_stats",
+    oracle=_JPEG_ORACLE,
+    doc="REAL entropy-coded codec decode (round-10): deterministic "
+    "grayscale images are encoded as genuine baseline JPEG — float64 "
+    "forward DCT, Annex-K quantization, zigzag, DC-diff + (run,size) "
+    "huffman with a 13-zero run to the zigzag-14 coefficient, EOB, "
+    "0xFF00 byte stuffing — and decoded back from the spec alone "
+    "(marker walk, DHT tables parsed from the stream, bit-level "
+    "huffman decode, dequantize, IDCT, round+clamp) inside the same "
+    "Arrow-batched mapInPandas plumbing as q108/q146. The fixture's "
+    "block-constant + u=4-basis pixels make the lossy pipeline "
+    "integer-EXACT end to end (DC and the one AC coefficient quantize "
+    "without remainder), so DuckDB replays the decoded pixels in "
+    "closed form — sum_sq sees the AC term (576·a² per block), so one "
+    "wrong huffman bit or IDCT scale factor breaks the value hash. "
+    "Remaining multimodal seams: progressive/subsampled JPEG, WebP/"
+    "AVIF, FLAC/H.264. Payload bytes never shuffle — the exchanges "
+    "are the 8-byte ids fan-out (spread_ids, full decode parallelism "
+    "at any corpus split count) and the 6-column stats frame's "
+    "presentation sort.",
+)
+def q148_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return jpeg_decode_stats(synth_jpeg_payloads(d)).orderBy("doc_id")

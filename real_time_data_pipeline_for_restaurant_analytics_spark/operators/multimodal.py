@@ -10,11 +10,15 @@ Two decode tiers (round 5; PNG promoted in round 9):
   (``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``
   below), running inside the same Arrow-batched ``mapInPandas``
   plumbing and oracle-verified byte-for-byte (q108/q109/q146).
-- **Stub seam** for ENTROPY-CODED formats (JPEG/WebP/AVIF need codec
-  libs this container lacks): ``decode_image`` raises
-  NotImplementedError at that boundary, and ``decode_image_stub``
-  keeps the original clearly-marked fake for arbitrary binaries
-  (q30/q37's payloads).
+- **Baseline JPEG** (round 10) lives in its own module
+  (operators/jpeg.py): huffman entropy decode + IDCT from the spec,
+  dispatched from ``decode_image`` — the first ENTROPY-CODED format
+  decoded natively (q148).
+- **Stub seam** for the remaining formats (progressive/subsampled
+  JPEG, WebP/AVIF need codec libs this container lacks):
+  ``decode_image`` raises NotImplementedError at that boundary, and
+  ``decode_image_stub`` keeps the original clearly-marked fake for
+  arbitrary binaries (q30/q37's payloads).
 
 Everything Spark-side is real and tested either way: the binary
 column schema, the mapInPandas UDF signatures, batch shapes, and the
@@ -172,6 +176,24 @@ def q30_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 import numpy as np
 
 
+def spread_ids(ids_df: DataFrame) -> DataFrame:
+    """Fan the id column out to every core BEFORE payload synthesis /
+    decode (round-10, SCALE_r09 §3: at sf1.0 the documents table
+    arrives as 2 parquet splits, so the zero-shuffle decode pipelines
+    ran on 2/32 cores — the scan's byte-proportional split sizing is
+    exactly wrong for compute-per-row kernels). The exchange moves
+    ONLY the 8-byte ids (~1 MB at 150k docs) round-robin, with an
+    EXPLICIT numPartitions so AQE can't coalesce the tiny frame back
+    into few tasks (the advisory-repartition pitfall, round 8). Real
+    stored-payload corpora can't use this move (it would shuffle the
+    payload bytes); there the fix is sizing
+    ``spark.sql.files.maxPartitionBytes`` to the decode cost — this
+    helper is for the synthesize-from-ids fixture family, where the
+    pre-payload frame is free to move."""
+    n = ids_df.sparkSession.sparkContext.defaultParallelism
+    return ids_df.repartition(n)
+
+
 def encode_ppm(pix: "np.ndarray") -> bytes:
     """P6 binary PPM from an (h, w, 3) uint8 array."""
     h, w, c = pix.shape
@@ -283,11 +305,18 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raise NotImplementedError("not a PNG signature")
     pos, ihdr, idat = 8, None, b""
     while pos < len(payload):
+        # full-frame guard BEFORE any unpack (ADVICE r10): a payload
+        # cut inside the 12-byte length/tag/CRC framing must raise the
+        # same ValueError as one cut inside the data — callers classify
+        # corrupt-vs-seam by exception type, and a bare struct.error
+        # from unpack_from past the buffer end would misroute them
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk")
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch — corrupt payload")
@@ -360,9 +389,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """REAL decode of raster payloads to an (h, w, 3) uint8 RGB array.
     P6 PPM and 24-bit BI_RGB BMP are parsed from bytes (numpy only);
     8-bit truecolor PNG is inflated and unfiltered with the stdlib
-    (:func:`decode_png` — the first COMPRESSED codec behind this
-    seam); anything else raises NotImplementedError — the honest
-    boundary where entropy-coded codecs (PIL/libvips for JPEG/WebP)
+    (:func:`decode_png`); baseline JPEG (grayscale + 4:4:4 color) is
+    huffman-decoded and IDCT'd from the spec (operators/jpeg.py,
+    round 10 — the first ENTROPY-CODED codec behind this seam;
+    grayscale planes are replicated to RGB). Anything else raises
+    NotImplementedError — the honest boundary where the remaining
+    codecs (progressive/subsampled JPEG, WebP/AVIF via PIL/libvips)
     would plug in."""
     if payload[:2] == b"P6":
         parts = payload.split(b"\n", 3)
@@ -389,9 +421,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return np.stack(rows).reshape(abs(h), w, 3)[:, :, ::-1]
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        pix = decode_jpeg(payload)
+        return np.repeat(pix[:, :, None], 3, axis=2) if pix.ndim == 2 else pix
     raise NotImplementedError(
-        "entropy-coded/unknown format (JPEG/GIF/WebP/AVIF) — needs codec "
-        "libs (PIL/libvips); PPM/BMP/PNG decode natively, see "
+        "unknown format (GIF/WebP/AVIF) — needs codec libs (PIL/"
+        "libvips); PPM/BMP/PNG/baseline-JPEG decode natively, see "
         "decode_image_stub for the seam"
     )
 
@@ -431,7 +468,9 @@ def synth_image_payloads(ids_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
 
 
 DECODE_SCHEMA = (
@@ -573,7 +612,9 @@ def synth_png_payloads(ids_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
 
 
 @register(
@@ -588,9 +629,12 @@ def synth_png_payloads(ids_df: DataFrame) -> DataFrame:
     "plumbing as q108; the oracle replays the pixel arithmetic in SQL, "
     "so one wrong byte anywhere in compress/filter/unfilter breaks the "
     "value hash. The remaining multimodal seam is entropy-coded "
-    "formats only (JPEG/WebP/AVIF; FLAC/H.264 on the audio/video side). "
-    "Payloads are synthesized, decoded, and reduced to narrow typed "
-    "metadata without leaving the partition; the only exchange is the "
+    "formats only (progressive/subsampled JPEG, WebP/AVIF — baseline "
+    "JPEG joined in round 10, q148; FLAC/H.264 on the audio/video "
+    "side). Payloads are synthesized, decoded, and reduced to narrow "
+    "typed metadata without leaving their partition; the exchanges "
+    "are the 8-byte ids fan-out (spread_ids — realizes full decode "
+    "parallelism at any corpus split count, SCALE_r09 §3 fix) and the "
     "final presentation sort of the 7-column stats frame (same shape "
     "as q108).",
 )
@@ -694,7 +738,9 @@ def synth_audio_payloads(ids_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
 
 
 @register(
@@ -798,7 +844,9 @@ def synth_video_payloads(ids_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
 
 
 VIDEO_SCHEMA = (
@@ -907,7 +955,9 @@ def synth_near_dup_image_payloads(ids_df: DataFrame) -> DataFrame:
                 payloads.append(encode_ppm(pix))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return ids_df.select("doc_id").mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
 
 
 def image_phash_frame(binary_df: DataFrame) -> DataFrame:

@@ -86,10 +86,38 @@ def driver_sample_history(root: str = _ROOT) -> dict[str, tuple[int, bool]]:
     return hist
 
 
+def first_sample_rounds(root: str = _ROOT) -> dict[str, int]:
+    """``{query_name: first_round_sampled}`` from the driver's
+    CORRECTNESS artifacts — the companion of
+    :func:`driver_sample_history` (which keeps the LATEST round; the
+    tuple shape there is pinned by tests, so the first-round view is
+    its own map). Used to spot queries ADDED last round."""
+    first: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            if name not in first or rnd < first[name]:
+                first[name] = rnd
+    return first
+
+
 def rotation_order(
-    names: list[str], history: dict[str, tuple[int, bool]] | None = None
+    names: list[str],
+    history: dict[str, tuple[int, bool]] | None = None,
+    first_rounds: dict[str, int] | None = None,
 ) -> list[str]:
-    """Deterministic driver-sample rotation (round-7 verdict item 1).
+    """Deterministic driver-sample rotation (round-7 verdict item 1;
+    newest-keeps-a-standing-row added round-10, verdict item 6).
 
     The driver's per-round CORRECTNESS check takes the FIRST ~50
     entries of ``queries()`` in dict order, so the registry's
@@ -100,7 +128,12 @@ def rotation_order(
        defect awaiting hard re-confirmation — e.g. the round-1 hash
        failures q23/q24/q44/q47, fixed in round 2 but never resampled);
     2. queries never driver-sampled in any round (name order);
-    3. green queries, least-recently-sampled round first.
+    3. green queries FIRST sampled in the most recent round — i.e.
+       added last round: they keep a standing driver row for one more
+       round instead of immediately rotating to the back (a regression
+       in brand-new machinery is likelier than in ten-round-stable
+       code, and the old tail still gets ≥40 rotated slots);
+    4. remaining green queries, least-recently-sampled round first.
 
     Ties break by name, so the order is stable across calls and
     checkouts. Reference analog: the probe-SELECT verification habit
@@ -109,13 +142,36 @@ def rotation_order(
     """
     if history is None:
         history = driver_sample_history()
+        if first_rounds is None:
+            first_rounds = first_sample_rounds()
+    first_rounds = first_rounds or {}
+    latest = max((rnd for rnd, _ in history.values()), default=0)
+
+    def qnum(n: str) -> int:
+        m = re.match(r"q(\d+)", n)
+        return int(m.group(1)) if m else -1
+
+    # "Added last round" = first sampled in the latest round AND
+    # numbered past everything any EARLIER round sampled (query ids
+    # are assigned monotonically). The first-sample condition alone
+    # would misclassify an old query whose rotation slot merely came
+    # up late (the q80-q99 tail reached its first driver sample in
+    # r9 after eight rounds in the registry) and crowd out the
+    # rotated window.
+    max_prev_id = max(
+        (qnum(n) for n, r in first_rounds.items() if r < latest), default=-1
+    )
 
     def key(n: str) -> tuple[int, int, str]:
         entry = history.get(n)
         if entry is None:
             return (1, 0, n)
         rnd, green = entry
-        return (2, rnd, n) if green else (0, rnd, n)
+        if not green:
+            return (0, rnd, n)
+        if rnd == latest and first_rounds.get(n) == latest and qnum(n) > max_prev_id:
+            return (2, rnd, n)
+        return (3, rnd, n)
 
     return sorted(names, key=key)
 
@@ -132,6 +188,8 @@ def all_queries() -> dict[str, Query]:
         curation,
         dedup,
         dq,
+        flac,
+        jpeg,
         layout,
         multimodal,
         sampling,

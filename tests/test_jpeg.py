@@ -1,0 +1,182 @@
+"""Baseline JPEG codec invariants (round 10, operators/jpeg.py):
+entropy-layer losslessness on arbitrary coefficients, fixture
+exactness, bounded lossy error on general images, DHT generality
+(non-flat tables), and the loud seams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+    _A,
+    _ZZ_X,
+    _ZZ_Y,
+    AC_BITS,
+    AC_VALS,
+    DC_BITS,
+    DC_VALS,
+    LUMA_Q,
+    _canonical_codes,
+    _dht_payload,
+    _dqt_payload,
+    _encode_scan,
+    _seg,
+    decode_jpeg,
+    encode_jpeg,
+    synth_jpeg_pixels,
+)
+
+#: The ITU T.81 Annex K DC luminance table — a NON-flat bits
+#: distribution, used to prove the decoder's canonical-code builder
+#: handles arbitrary DHT segments, not just our flat encoder tables.
+K_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _assemble_jpeg(coefs: np.ndarray, h: int, w: int,
+                   dc_bits=DC_BITS, dc_vals=DC_VALS) -> bytes:
+    """Hand-assemble a 1-component baseline JPEG from QUANTIZED
+    coefficient blocks (n_by, n_bx, 8, 8) — bypasses the encoder's
+    DCT so the entropy layer is tested on arbitrary integers."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, _dqt_payload(0, LUMA_Q))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, _dht_payload(0, 0, dc_bits, dc_vals))
+    out += _seg(0xC4, _dht_payload(1, 0, AC_BITS, AC_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    out += _encode_scan(
+        [coefs], _canonical_codes(dc_bits, dc_vals), _canonical_codes(AC_BITS, AC_VALS)
+    )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _expected_pixels(coefs: np.ndarray) -> np.ndarray:
+    """Reference dequant+IDCT of quantized coefficient blocks."""
+    n_by, n_bx = coefs.shape[:2]
+    img = np.zeros((n_by * 8, n_bx * 8))
+    for by in range(n_by):
+        for bx in range(n_bx):
+            s = _A.T @ (coefs[by, bx] * LUMA_Q).astype(float) @ _A * 0.25
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = s + 128.0
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_entropy_layer_lossless_on_random_coefficients():
+    """Huffman + DC-diff + (run,size)/ZRL/EOB + byte stuffing is a
+    LOSSLESS layer: random quantized coefficients round-trip exactly
+    through encode_scan → decode (checked via the reference IDCT —
+    decoder and test share only the table constants)."""
+    rng = np.random.default_rng(42)
+    # sparse-ish blocks with long zero runs (exercises ZRL) and
+    # occasional dense ones; DC range wide enough for most size cats
+    coefs = np.zeros((3, 4, 8, 8), dtype=np.int64)
+    for by in range(3):
+        for bx in range(4):
+            blk = np.zeros(64, dtype=np.int64)
+            blk[0] = rng.integers(-400, 400)
+            n_ac = int(rng.integers(0, 12))
+            pos = rng.choice(np.arange(1, 64), size=n_ac, replace=False)
+            blk[pos] = rng.integers(-80, 80, size=n_ac)
+            b8 = np.zeros((8, 8), dtype=np.int64)
+            b8[_ZZ_Y, _ZZ_X] = blk
+            coefs[by, bx] = b8
+    dec = decode_jpeg(_assemble_jpeg(coefs, 24, 32))
+    assert (dec == _expected_pixels(coefs)).all()
+
+
+def test_decoder_handles_non_flat_dht_tables():
+    """The decoder builds codes from the stream's DHT — feed it the
+    Annex-K (non-flat) DC table to pin generality beyond our flat
+    encoder tables."""
+    coefs = np.zeros((1, 2, 8, 8), dtype=np.int64)
+    coefs[0, 0, 0, 0] = 37
+    coefs[0, 1, 0, 0] = -91
+    coefs[0, 1, 0, 4] = 5
+    dec = decode_jpeg(_assemble_jpeg(coefs, 8, 16, dc_bits=K_DC_BITS))
+    assert (dec == _expected_pixels(coefs)).all()
+
+
+def test_fixture_family_roundtrips_exactly():
+    """The q148 fixture: block-constant + u=4 pattern images survive
+    the FULL lossy pipeline (float DCT, quantization, huffman, IDCT)
+    bit-for-bit — the property the oracle replay rests on."""
+    for d in range(40):
+        pix = synth_jpeg_pixels(d)
+        assert (decode_jpeg(encode_jpeg(pix)) == pix).all(), d
+
+
+def test_general_images_bounded_error_and_crop():
+    rng = np.random.default_rng(7)
+    # smooth gradient: quantization error stays small
+    y, x = np.mgrid[0:16, 0:24]
+    smooth = ((y * 3 + x * 2) % 200 + 20).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(smooth))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 12
+    # non-multiple-of-8 dims: SOF carries true dims, decoder crops
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(img)).shape == (13, 21)
+
+
+def test_color_444_block_constant_tight_bound():
+    """4:4:4 color: constant-color blocks land DC-only, so the error
+    budget is DC quantization (≤ Q00/16 per channel) + two BT.601
+    roundings — ±3 overall."""
+    solid = np.zeros((16, 16, 3), dtype=np.uint8)
+    solid[:8, :, 0] = 200
+    solid[:, :8, 1] = 120
+    solid[:, :, 2] = 64
+    dec = decode_jpeg(encode_jpeg(solid))
+    assert dec.shape == (16, 16, 3)
+    assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 3
+
+
+def test_loud_seams_and_corruption():
+    good = encode_jpeg(synth_jpeg_pixels(3))
+    # progressive (SOF2) is the documented in-format seam
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(prog)
+    # truncations anywhere are ValueError (corrupt, not seam)
+    for cut in (len(good) // 3, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(good[:cut])
+    # chroma subsampling (2x2 sampling factors) is the seam
+    sof_at = good.index(b"\xff\xc0")
+    sub = bytearray(good)
+    sub[sof_at + 11] = 0x22  # component 1 sampling h=2,v=2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    # nonzero restart interval is the seam
+    dri = good[:2] + _seg(0xDD, struct.pack(">H", 4)) + good[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg(dri)
+    # not a JPEG at all
+    with pytest.raises(NotImplementedError, match="signature"):
+        decode_jpeg(b"GIF89a")
+
+
+def test_decode_image_dispatches_jpeg():
+    """The multimodal front door routes FFD8 to the real decoder and
+    replicates grayscale to RGB."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    pix = synth_jpeg_pixels(11)
+    rgb = decode_image(encode_jpeg(pix))
+    assert rgb.shape == (*pix.shape, 3)
+    assert (rgb[:, :, 0] == pix).all() and (rgb[:, :, 2] == pix).all()
+
+
+def test_q148_matches_oracle(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    from .oracle_check import compare
+
+    q = all_queries()["q148_jpeg_decode_stats"]
+    assert compare(spark, "q148", q.build, q.oracle, "/root/testdata/sf0.001") == []

@@ -32,9 +32,13 @@ def test_compressed_formats_fail_loudly():
     # payload with garbage chunks now fails as CORRUPT, not as a seam
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    # entropy-coded formats remain the documented loud boundary
-    with pytest.raises(NotImplementedError, match="codec"):
+    # baseline JPEG left the seam in round 10 (operators/jpeg.py) — a
+    # JPEG-signature payload with garbage now fails as CORRUPT
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0JFIF....")
+    # the remaining codec-library formats stay the documented boundary
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_nn_thumbnail_sampling_grid():
@@ -226,6 +230,14 @@ def test_png_corruption_and_unsupported_variants_fail_loudly():
     with pytest.raises(ValueError, match="truncated"):
         decode_png(good[: len(good) // 2])
 
+    # cuts INSIDE the 12-byte chunk framing (length header, tag, CRC)
+    # must raise the same ValueError, never a bare struct.error from
+    # unpack_from past the buffer end (ADVICE r10: callers classify
+    # corrupt-vs-seam by exception type)
+    for cut in (9, 12, 14, len(good) - 2, len(good) - 6):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(good[:cut])
+
     # unsupported variant (16-bit depth) is the documented loud seam
     sig = b"\x89PNG\r\n\x1a\n"
     ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
@@ -243,5 +255,29 @@ def test_png_corruption_and_unsupported_variants_fail_loudly():
         decode_image,
     )
 
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    with pytest.raises(NotImplementedError, match="WebP"):
+        decode_image(b"RIFFxxxxWEBP fake webp")
+    # a JPEG signature now routes to the REAL baseline decoder
+    # (round 10) — garbage after the signature is CORRUPTION
+    # (ValueError), no longer the codec seam
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_payload_synth_fans_out_to_all_cores(spark):
+    """Round-10 (SCALE_r09 §3 fix): the synthesize-from-ids payload
+    family must realize full decode parallelism regardless of how few
+    splits the ids arrived as — spread_ids repartitions the 8-byte id
+    frame to defaultParallelism with an explicit count (AQE must not
+    coalesce it back)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+        synth_jpeg_payloads,
+    )
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        synth_png_payloads,
+    )
+
+    ids = spark.range(0, 64).withColumnRenamed("id", "doc_id").coalesce(1)
+    n = spark.sparkContext.defaultParallelism
+    assert synth_png_payloads(ids).rdd.getNumPartitions() == n
+    assert synth_jpeg_payloads(ids).rdd.getNumPartitions() == n
