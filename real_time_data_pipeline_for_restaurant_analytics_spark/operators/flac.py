@@ -1,0 +1,536 @@
+"""FLAC codec (fixed-predictor subset) built on the stdlib — the
+entropy-coded AUDIO format behind the multimodal seam (round-10; the
+audio sibling of the q148 baseline-JPEG move).
+
+FLAC (RFC 9639 / the xiph format spec) is LOSSLESS: decoded samples
+equal the encoded PCM bit-for-bit, so — unlike JPEG — ANY
+deterministic signal is oracle-replayable with no fixture
+constraints. What makes it a real test of entropy-coded decoding:
+
+- **Decoder** (:func:`decode_flac`): 'fLaC' magic + STREAMINFO parse
+  (and skip of other metadata blocks), frame sync walk with CRC-8
+  header / CRC-16 frame verification, UTF-8-coded frame numbers,
+  subframe dispatch (CONSTANT / VERBATIM / FIXED orders 0-4), Rice
+  residual decoding (zigzag fold, unary quotient = '0'*q + '1',
+  4-bit params, 0b1111 escape to verbatim residuals, partition
+  orders), and a final MD5 check of the decoded PCM against the
+  STREAMINFO digest — an end-to-end integrity proof the format
+  itself ships. LPC subframes, mid/side stereo, and non-16-bit
+  depths raise NotImplementedError (the remaining in-format seam).
+- **Encoder** (:func:`encode_flac`): per block, tries CONSTANT and
+  fixed predictors of order 0-2, picks the cheapest by exact coded
+  size, rice-codes residuals with the per-partition optimal
+  parameter, and emits spec-correct CRCs and the true PCM MD5 —
+  so any third-party FLAC decoder accepts the output.
+
+Scale contract: identical to the other codecs — Arrow-batched
+``mapInPandas``, payload bytes touched once, zero payload shuffles,
+narrow integer stats out. The rice loops are interpreter-bound pure
+Python (the deterministic-replayability price, linear in samples and
+embarrassingly parallel).
+
+Reference anchor: none in the reference (it stores no media) — this
+is the LLM-training-data surface (SURVEY §6) where audio corpora are
+FLAC/WAV.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load
+from ..registry import register
+
+BLOCK_SIZE = 256  # small on purpose: multi-frame streams at fixture sizes
+
+#: fixed-predictor residual formulas, order 0..4 (RFC 9639 §9.2.2)
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — the frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — the frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            self.out.append((self._acc >> self._n) & 0xFF)
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one
+
+    def pad_to_byte(self) -> None:
+        if self._n:
+            self.put(0, 8 - self._n)
+
+    def bytes(self) -> bytes:
+        assert self._n == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.byte >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            # byte-at-a-time skip over all-zero spans
+            if self.bit == 0 and self.data[self.byte] == 0:
+                q += 8
+                self.byte += 1
+                continue
+            if (self.data[self.byte] >> (7 - self.bit)) & 1:
+                self.bit += 1
+                if self.bit == 8:
+                    self.bit = 0
+                    self.byte += 1
+                return q
+            q += 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u >> 1) + 1)
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style frame-number coding (values, not codepoint
+    rules)."""
+    if n < 0x80:
+        return bytes([n])
+    if n < 0x800:
+        return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    if n < 0x10000:
+        return bytes([0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)])
+    raise NotImplementedError("frame numbers beyond 16 bits")
+
+
+def _read_utf8_number(data: bytes, pos: int) -> tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    if b0 >> 5 == 0b110:
+        return ((b0 & 0x1F) << 6) | (data[pos + 1] & 0x3F), pos + 2
+    if b0 >> 4 == 0b1110:
+        return (
+            ((b0 & 0x0F) << 12)
+            | ((data[pos + 1] & 0x3F) << 6)
+            | (data[pos + 2] & 0x3F),
+            pos + 3,
+        )
+    raise ValueError("invalid UTF-8-coded frame number")
+
+
+def _best_rice_param(resid: list[int]) -> tuple[int, int]:
+    """(param, coded bits) minimizing the exact rice size; param 14
+    max (15 is the escape)."""
+    best_p, best_bits = 0, None
+    us = [_zigzag(r) for r in resid]
+    for p in range(15):
+        bits = sum((u >> p) + 1 + p for u in us)
+        if best_bits is None or bits < best_bits:
+            best_p, best_bits = p, bits
+        elif bits > best_bits * 2:
+            break  # strictly convex past the optimum; stop early
+    return best_p, best_bits if best_bits is not None else 0
+
+
+def _residuals(samples: list[int], order: int) -> list[int]:
+    coefs = _FIXED_COEFS[order]
+    return [
+        s - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
+        for i, s in enumerate(samples)
+        if i >= order
+    ] if order else list(samples)
+
+
+def encode_flac(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """REAL FLAC from an (n, channels) int16 array: STREAMINFO with
+    the true PCM MD5, fixed-blocksize frames, per-channel best-of
+    CONSTANT / fixed-predictor-order-{0,1,2} subframes, rice
+    residuals, real CRC-8/CRC-16."""
+    n, ch = samples.shape
+    if ch not in (1, 2):
+        raise NotImplementedError("only mono/stereo")
+    # PCM MD5 over interleaved little-endian samples (the spec's raw
+    # unencoded-audio digest — decoders verify decoded output with it)
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.put(BLOCK_SIZE, 16)  # min blocksize
+    si.put(BLOCK_SIZE, 16)  # max blocksize
+    si.put(0, 24)  # min framesize unknown
+    si.put(0, 24)  # max framesize unknown
+    si.put(sample_rate, 20)
+    si.put(ch - 1, 3)
+    si.put(15, 5)  # bits-per-sample - 1 = 15
+    si.put(n, 36)
+    body = si.bytes() + md5
+    out += bytes([0x80, 0, 0, len(body)]) + body  # last-block STREAMINFO
+
+    for fno, start in enumerate(range(0, n, BLOCK_SIZE)):
+        block = samples[start : start + BLOCK_SIZE]
+        bs = block.shape[0]
+        head = bytearray(b"\xff\xf8")  # sync + fixed blocking strategy
+        head.append(0x70)  # blocksize code 0b0111 (16-bit at end), rate code 0
+        head.append(((ch - 1) << 4) | (0b100 << 1))  # channels, 16-bit, reserved
+        head += _utf8_number(fno)
+        head += struct.pack(">H", bs - 1)
+        head.append(_crc8(bytes(head)))
+
+        w = _BitWriter()
+        for c in range(ch):
+            _write_subframe(w, [int(v) for v in block[:, c]])
+        w.pad_to_byte()
+        frame = bytes(head) + w.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+def _write_subframe(w: _BitWriter, chan: list[int]) -> None:
+    """Pick CONSTANT or the cheapest fixed order in {0,1,2} by exact
+    coded size, then emit header + warmup + rice residual."""
+    if all(v == chan[0] for v in chan):
+        w.put(0, 1)  # zero pad
+        w.put(0b000000, 6)  # CONSTANT
+        w.put(0, 1)  # no wasted bits
+        w.put(chan[0] & 0xFFFF, 16)
+        return
+    best = None
+    for order in (0, 1, 2):
+        if order >= len(chan):
+            break
+        resid = _residuals(chan, order)
+        p, bits = _best_rice_param(resid)
+        total = order * 16 + bits
+        if best is None or total < best[3]:
+            best = (order, resid, p, total)
+    order, resid, p, _ = best
+    w.put(0, 1)
+    w.put(0b001000 | order, 6)  # FIXED, order
+    w.put(0, 1)
+    for v in chan[:order]:  # warmup, verbatim
+        w.put(v & 0xFFFF, 16)
+    w.put(0b00, 2)  # rice method, 4-bit params
+    w.put(0, 4)  # partition order 0 → one partition
+    w.put(p, 4)
+    for r in resid:
+        u = _zigzag(r)
+        w.put_unary(u >> p)
+        if p:
+            w.put(u & ((1 << p) - 1), p)
+
+
+def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL FLAC decode → ((n, channels) int16, sample_rate), with
+    CRC-8/CRC-16 verification per frame and the STREAMINFO MD5
+    verified against the decoded PCM. Only the fixed-predictor subset
+    is implemented; LPC subframes and mid/side stereo raise
+    NotImplementedError."""
+    if payload[:4] != b"fLaC":
+        raise NotImplementedError("not a FLAC signature")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC without STREAMINFO")
+    r = _BitReader(streaminfo)
+    r.read(16)  # min blocksize
+    r.read(16)  # max blocksize
+    r.read(24)
+    r.read(24)
+    rate = r.read(20)
+    ch = r.read(3) + 1
+    bps = r.read(5) + 1
+    total = r.read(36)
+    md5_expect = streaminfo[18:34]
+    if bps != 16:
+        raise NotImplementedError("only 16-bit FLAC")
+
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    while pos < len(payload) and sum(len(c) for c in chans) < total * ch:
+        try:
+            pos = _decode_frame(payload, pos, ch, chans)
+        except (IndexError, struct.error) as e:
+            # a desynced rice stream (one flipped bit shifts every
+            # boundary after it) can run past the buffer before the
+            # CRC is reached — that is CORRUPTION, and must surface as
+            # the same ValueError the explicit checks raise (the PNG
+            # chunk-framing lesson, ADVICE r10)
+            raise ValueError("truncated or desynced FLAC frame") from e
+
+    if any(len(c) != total for c in chans):
+        raise ValueError("FLAC stream ended short of STREAMINFO total")
+    arr = np.stack([np.array(c, dtype=np.int64) for c in chans], axis=1)
+    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+        raise ValueError("decoded sample out of int16 range")
+    out = arr.astype(np.int16)
+    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("decoded PCM contradicts the STREAMINFO MD5")
+    return out, rate
+
+
+def _decode_frame(
+    payload: bytes, pos: int, ch: int, chans: list[list[int]]
+) -> int:
+    """Decode ONE frame starting at ``pos``; extend ``chans`` and
+    return the position after the frame CRC."""
+    frame_at = pos
+    if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
+        raise ValueError("lost FLAC frame sync")
+    bs_code = payload[pos + 2] >> 4
+    sr_code = payload[pos + 2] & 0x0F
+    chan_asgn = payload[pos + 3] >> 4
+    size_code = (payload[pos + 3] >> 1) & 0x07
+    if chan_asgn >= 8:
+        raise NotImplementedError("mid/side stereo FLAC")
+    if chan_asgn + 1 != ch:
+        raise ValueError("frame channel count != STREAMINFO")
+    if size_code not in (0b100,):
+        raise NotImplementedError("only 16-bit FLAC frames")
+    _, pos = _read_utf8_number(payload, pos + 4)
+    if bs_code == 0b0111:
+        bs = struct.unpack_from(">H", payload, pos)[0] + 1
+        pos += 2
+    elif bs_code == 0b0110:
+        bs = payload[pos] + 1
+        pos += 1
+    else:
+        raise NotImplementedError(f"blocksize code {bs_code:#06b}")
+    if sr_code != 0:
+        raise NotImplementedError("frame-local sample rate codes")
+    if payload[pos] != _crc8(payload[frame_at:pos]):
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+    pos += 1
+
+    br = _BitReader(payload, pos)
+    for c in range(ch):
+        chans[c].extend(_read_subframe(br, bs))
+    br.align()
+    pos = br.byte
+    if pos + 2 > len(payload):
+        raise ValueError("truncated FLAC frame CRC")
+    (crc,) = struct.unpack_from(">H", payload, pos)
+    if crc != _crc16(payload[frame_at:pos]):
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    return pos + 2
+
+
+def _read_subframe(br: _BitReader, bs: int) -> list[int]:
+    if br.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    stype = br.read(6)
+    if br.read(1) != 0:
+        raise NotImplementedError("wasted-bits subframes")
+    if stype == 0b000000:  # CONSTANT
+        return [br.read_signed(16)] * bs
+    if stype == 0b000001:  # VERBATIM
+        return [br.read_signed(16) for _ in range(bs)]
+    if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype & 0x07
+        warm = [br.read_signed(16) for _ in range(order)]
+        resid = _read_rice_residual(br, bs, order)
+        out = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for r in resid:
+            out.append(r + sum(c * out[-j - 1] for j, c in enumerate(coefs)))
+        return out
+    if stype >= 0b100000:
+        raise NotImplementedError("LPC subframes — the remaining FLAC seam")
+    raise ValueError(f"reserved subframe type {stype:#08b}")
+
+
+def _read_rice_residual(br: _BitReader, bs: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if bs % nparts:
+        raise ValueError("block size not divisible by partition count")
+    out: list[int] = []
+    for part in range(nparts):
+        count = bs // nparts - (order if part == 0 else 0)
+        p = br.read(pbits)
+        if p == escape:
+            raw_bits = br.read(5)
+            out.extend(br.read_signed(raw_bits) for _ in range(count))
+        else:
+            for _ in range(count):
+                u = (br.read_unary() << p) | (br.read(p) if p else 0)
+                out.append(_unzigzag(u))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q149: the registered query — same deterministic signal as q110's WAV
+# leg, so the (lossless) oracle is the same closed-form arithmetic;
+# the payload path is genuine FLAC with rice-coded residuals.
+# ---------------------------------------------------------------------------
+
+
+def synth_flac_payloads(ids_df: DataFrame) -> DataFrame:
+    from .multimodal import spread_ids, synth_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_flac(*synth_wav(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def flac_decode_stats(binary_df: DataFrame) -> DataFrame:
+    from .multimodal import AUDIO_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "n_channels", "sum_abs", "peak")}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_flac(bytes(p))
+                a = np.abs(s.astype(np.int64))
+                out["doc_id"].append(int(d)); out["sample_rate"].append(rate)
+                out["n_samples"].append(s.shape[0]); out["n_channels"].append(s.shape[1])
+                out["sum_abs"].append(int(a.sum())); out["peak"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "q149_flac_decode_stats",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         256 + 64 * (doc_id % 7) AS n,
+         CAST(1 + doc_id % 2 AS INT) AS ch
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples, ch AS n_channels,
+       CAST(list_sum(flatten(list_transform(range(n), i ->
+            list_transform(range(ch), c ->
+              abs((31 * doc_id + 17 * i + 7 * c) % 65536 - 32768))))) AS BIGINT)
+         AS sum_abs,
+       CAST(list_max(flatten(list_transform(range(n), i ->
+            list_transform(range(ch), c ->
+              abs((31 * doc_id + 17 * i + 7 * c) % 65536 - 32768))))) AS INT)
+         AS peak
+FROM base ORDER BY doc_id
+""",
+    doc="REAL entropy-coded AUDIO decode (round-10, the FLAC half of "
+    "the q148 move): the q110 deterministic PCM signal is encoded as "
+    "genuine FLAC — STREAMINFO with the true PCM MD5, multi-frame "
+    "fixed-blocksize stream, per-channel best-of CONSTANT/fixed-"
+    "predictor subframes, zigzag+rice residuals, spec CRC-8/CRC-16 — "
+    "and decoded back from the spec alone (frame sync walk, UTF-8 "
+    "frame numbers, rice with escape support, predictor "
+    "reconstruction, CRC and MD5 verification) inside the same "
+    "Arrow-batched mapInPandas plumbing. FLAC is lossless, so the "
+    "oracle is the same closed-form sample arithmetic as q110 — any "
+    "wrong bit in the rice/predictor/CRC chain breaks the hash (or "
+    "the in-stream MD5 first). Remaining in-format seams: LPC "
+    "subframes, mid/side stereo. Payload bytes never shuffle; the "
+    "exchanges are the ids fan-out and the presentation sort.",
+)
+def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return flac_decode_stats(synth_flac_payloads(d)).orderBy("doc_id")
