@@ -218,3 +218,38 @@ def test_minimal_fallback_payload_actually_exercised(monkeypatch):
     assert parsed["n_errors"] == 39
     assert parsed["partial"] is True
     assert abs(parsed["value"] - 1.5 * 39) < 0.01
+
+
+def test_rotation_newest_additions_keep_standing_row():
+    """Round-10 (verdict item 6): queries ADDED last round (first
+    sampled in the latest round AND numbered past everything earlier
+    rounds sampled) keep a standing slot right after the never-sampled
+    group — while an OLD query whose first driver sample merely came
+    up in the latest round (the q80-q99 tail in r9) rotates normally."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        rotation_order,
+    )
+
+    hist = {
+        "q144_old": (8, True),
+        "q090_tail": (9, True),  # old query, first sampled only in r9
+        "q145_new": (9, True),   # genuinely added in r9
+        "q001_stale": (2, True),
+        "q100_failed": (3, False),
+    }
+    first = {
+        "q144_old": 5,
+        "q090_tail": 9,
+        "q145_new": 9,
+        "q001_stale": 1,
+        "q100_failed": 3,
+    }
+    names = sorted(hist) + ["q999_never"]
+    assert rotation_order(names, hist, first) == [
+        "q100_failed",  # non-green leads
+        "q999_never",   # never sampled
+        "q145_new",     # newest addition keeps its standing row
+        "q001_stale",   # then stalest-green rotation
+        "q144_old",
+        "q090_tail",    # first==latest but id 90 <= 144 → old tail, rotates
+    ]
