@@ -15,8 +15,10 @@ constraints. What makes it a real test of entropy-coded decoding:
   4-bit params, 0b1111 escape to verbatim residuals, partition
   orders), and a final MD5 check of the decoded PCM against the
   STREAMINFO digest — an end-to-end integrity proof the format
-  itself ships. LPC subframes, mid/side stereo, and non-16-bit
-  depths raise NotImplementedError (the remaining in-format seam).
+  itself ships. LPC subframes decode too (real-world FLAC is
+  mostly LPC; coefficients travel in the stream). Mid/side stereo
+  and non-16-bit depths raise NotImplementedError (the remaining
+  in-format seam).
 - **Encoder** (:func:`encode_flac`): per block, tries CONSTANT and
   fixed predictors of order 0-2, picks the cheapest by exact coded
   size, rice-codes residuals with the per-partition optimal
@@ -297,8 +299,8 @@ def _write_subframe(w: _BitWriter, chan: list[int]) -> None:
 def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     """REAL FLAC decode → ((n, channels) int16, sample_rate), with
     CRC-8/CRC-16 verification per frame and the STREAMINFO MD5
-    verified against the decoded PCM. Only the fixed-predictor subset
-    is implemented; LPC subframes and mid/side stereo raise
+    verified against the decoded PCM. CONSTANT/VERBATIM/FIXED/LPC
+    subframes all decode; mid/side stereo and non-16-bit depths raise
     NotImplementedError."""
     if payload[:4] != b"fLaC":
         raise NotImplementedError("not a FLAC signature")
@@ -421,8 +423,26 @@ def _read_subframe(br: _BitReader, bs: int) -> list[int]:
         for r in resid:
             out.append(r + sum(c * out[-j - 1] for j, c in enumerate(coefs)))
         return out
-    if stype >= 0b100000:
-        raise NotImplementedError("LPC subframes — the remaining FLAC seam")
+    if stype >= 0b100000:  # LPC, order 1-32 (RFC 9639 §9.2.3)
+        # our encoder never emits LPC (fixed predictors suffice for
+        # the deterministic fixtures), but real-world FLAC is mostly
+        # LPC — the decoder accepts it so third-party files decode
+        order = (stype & 0x1F) + 1
+        warm = [br.read_signed(16) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise ValueError("invalid LPC coefficient precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC quantization shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _read_rice_residual(br, bs, order)
+        out = list(warm)
+        for r in resid:
+            pred = sum(c * out[-j - 1] for j, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+        return out
     raise ValueError(f"reserved subframe type {stype:#08b}")
 
 
@@ -527,8 +547,9 @@ FROM base ORDER BY doc_id
     "Arrow-batched mapInPandas plumbing. FLAC is lossless, so the "
     "oracle is the same closed-form sample arithmetic as q110 — any "
     "wrong bit in the rice/predictor/CRC chain breaks the hash (or "
-    "the in-stream MD5 first). Remaining in-format seams: LPC "
-    "subframes, mid/side stereo. Payload bytes never shuffle; the "
+    "the in-stream MD5 first). The decoder additionally accepts LPC "
+    "subframes (what real-world encoders emit). Remaining in-format "
+    "seams: mid/side stereo, non-16-bit depths. Payload bytes never shuffle; the "
     "exchanges are the ids fan-out and the presentation sort.",
 )
 def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,19 +88,18 @@ def test_loud_seams():
         decode_flac(b"OggS....")
     s, rate = synth_wav(2)
     good = encode_flac(s, rate)
-    # force an LPC subframe type (0b100000): find the first subframe
-    # header byte after a frame header and rewrite its type bits —
-    # cheaper: craft a 1-frame stream and patch; here we patch the
-    # first subframe of the first frame. Frame layout: 4-byte fixed
-    # header + utf8(0)=1 + 2 blocksize + 1 crc8 = byte offset 8 in the
-    # frame; subframe header is its top bits.
+    # rewrite the first subframe's type bits to LPC: the decoder now
+    # ACCEPTS LPC, so it reinterprets the following bits as LPC
+    # params/residuals and must fail LOUDLY downstream (frame CRC-16,
+    # rice desync, or the PCM MD5) — silent wrong samples are the bug.
+    # Frame layout: 4-byte fixed header + utf8(0)=1 + 2 blocksize +
+    # 1 crc8 = byte offset 8 in the frame; subframe header is its
+    # top bits.
     idx = good.index(b"\xff\xf8")
     sub_at = idx + 8
     patched = bytearray(good)
     patched[sub_at] = (patched[sub_at] & 0x01) | (0b100000 << 1)
-    with pytest.raises((NotImplementedError, ValueError)):
-        # NotImplementedError for LPC unless the patched byte breaks
-        # CRC first — both are loud; silent wrong samples are the bug
+    with pytest.raises(ValueError):
         decode_flac(bytes(patched))
 
 
@@ -113,3 +112,72 @@ def test_q149_matches_oracle(spark):
 
     q = all_queries()["q149_flac_decode_stats"]
     assert compare(spark, "q149", q.build, q.oracle, "/root/testdata/sf0.001") == []
+
+
+def test_lpc_subframe_decodes():
+    """Decoder-side LPC (what real-world encoders emit): hand-assemble
+    a one-frame stream whose single subframe is LPC order-2 with
+    stream-carried coefficients and shift, and check the decoded
+    samples against an independent reconstruction of the same
+    recurrence (s[i] = r[i] + ((c0*s[i-1] + c1*s[i-2]) >> shift))."""
+    import hashlib
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.flac import (
+        _BitWriter,
+        _utf8_number,
+        _zigzag,
+    )
+
+    bs = 32
+    warm = [100, -200]
+    coefs = [3, -1]  # precision 4 bits, shift 1 → pred = (3a - b) >> 1
+    shift = 1
+    resid = [((i * 7) % 11) - 5 for i in range(bs - 2)]
+    # independent reconstruction
+    samples = list(warm)
+    for r in resid:
+        samples.append(r + ((coefs[0] * samples[-1] + coefs[1] * samples[-2]) >> shift))
+    assert all(-32768 <= s <= 32767 for s in samples)
+
+    # subframe bits: pad(1)=0, type=0b100001 (LPC order 2), wasted=0
+    w = _BitWriter()
+    w.put(0, 1)
+    w.put(0b100000 | (2 - 1), 6)
+    w.put(0, 1)
+    for v in warm:
+        w.put(v & 0xFFFF, 16)
+    w.put(4 - 1, 4)  # coef precision - 1
+    w.put(shift, 5)
+    for c in coefs:
+        w.put(c & 0xF, 4)
+    w.put(0b00, 2)  # rice, 4-bit params
+    w.put(0, 4)  # partition order 0
+    w.put(3, 4)  # rice param 3
+    for r in resid:
+        u = _zigzag(r)
+        w.put_unary(u >> 3)
+        w.put(u & 7, 3)
+    w.pad_to_byte()
+    sub = w.bytes()
+
+    # frame header: sync, blocksize code 7 (16-bit), rate from SI,
+    # mono, 16-bit
+    head = bytearray(b"\xff\xf8")
+    head.append(0x70)
+    head.append((0 << 4) | (0b100 << 1))
+    head += _utf8_number(0)
+    head += struct.pack(">H", bs - 1)
+    head.append(_crc8(bytes(head)))
+    frame = bytes(head) + sub
+    frame += struct.pack(">H", _crc16(frame))
+
+    arr = np.array(samples, dtype=np.int16).reshape(-1, 1)
+    md5 = hashlib.md5(arr.astype("<i2").tobytes()).digest()
+    si = _BitWriter()
+    si.put(bs, 16); si.put(bs, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(bs, 36)
+    body = si.bytes() + md5
+    payload = b"fLaC" + bytes([0x80, 0, 0, len(body)]) + body + frame
+
+    out, rate = decode_flac(payload)
+    assert rate == 8000 and (out[:, 0] == np.array(samples)).all()
