@@ -377,16 +377,32 @@ def _decode_frame(
     if size_code not in (0b100,):
         raise NotImplementedError("only 16-bit FLAC frames")
     _, pos = _read_utf8_number(payload, pos + 4)
+    # block size: the spec's fixed table, plus the two from-end codes
+    # (real-world encoders emit the table codes, e.g. 1100 = 4096;
+    # ours emits 0111 so short last frames need no special casing)
     if bs_code == 0b0111:
         bs = struct.unpack_from(">H", payload, pos)[0] + 1
         pos += 2
     elif bs_code == 0b0110:
         bs = payload[pos] + 1
         pos += 1
+    elif bs_code == 0b0001:
+        bs = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        bs = 576 << (bs_code - 2)
+    elif bs_code >= 0b1000:
+        bs = 256 << (bs_code - 8)
     else:
-        raise NotImplementedError(f"blocksize code {bs_code:#06b}")
-    if sr_code != 0:
-        raise NotImplementedError("frame-local sample rate codes")
+        raise ValueError("reserved block size code 0b0000")
+    # sample rate: 0 = from STREAMINFO; the fixed table decodes too
+    # (the value is informational here — STREAMINFO governs); the
+    # three from-end variants carry extra header bytes to skip
+    if sr_code in (0b1100, 0b1101):
+        pos += 1
+    elif sr_code == 0b1110:
+        pos += 2
+    elif sr_code == 0b1111:
+        raise ValueError("invalid sample rate code 0b1111")
     if payload[pos] != _crc8(payload[frame_at:pos]):
         raise ValueError("FLAC frame header CRC-8 mismatch")
     pos += 1

@@ -181,3 +181,46 @@ def test_lpc_subframe_decodes():
 
     out, rate = decode_flac(payload)
     assert rate == 8000 and (out[:, 0] == np.array(samples)).all()
+
+
+def test_table_coded_blocksize_and_samplerate_decode():
+    """Real-world encoders emit TABLE block-size codes (e.g. 0b1100 =
+    4096) and sample-rate codes rather than the from-end forms our
+    encoder uses — rewrite a stream's frame header to the table codes
+    and the decoder must still land on the same samples."""
+    import hashlib
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.flac import (
+        _BitWriter,
+        _utf8_number,
+    )
+
+    rng = np.random.default_rng(4)
+    samples = rng.integers(-32768, 32768, (192, 1)).astype(np.int16)
+
+    # hand-assemble with bs_code 0b0001 (=192) and sr_code 0b0100
+    # (=8000 from the table; informational — STREAMINFO governs)
+    w = _BitWriter()
+    w.put(0, 1)
+    w.put(0b000001, 6)  # VERBATIM
+    w.put(0, 1)
+    for v in samples[:, 0]:
+        w.put(int(v) & 0xFFFF, 16)
+    w.pad_to_byte()
+    head = bytearray(b"\xff\xf8")
+    head.append((0b0001 << 4) | 0b0100)
+    head.append((0 << 4) | (0b100 << 1))
+    head += _utf8_number(0)
+    head.append(_crc8(bytes(head)))
+    frame = bytes(head) + w.bytes()
+    frame += struct.pack(">H", _crc16(frame))
+
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    si = _BitWriter()
+    si.put(192, 16); si.put(192, 16); si.put(0, 24); si.put(0, 24)
+    si.put(8000, 20); si.put(0, 3); si.put(15, 5); si.put(192, 36)
+    body = si.bytes() + md5
+    payload = b"fLaC" + bytes([0x80, 0, 0, len(body)]) + body + frame
+
+    out, rate = decode_flac(payload)
+    assert rate == 8000 and (out == samples).all()
