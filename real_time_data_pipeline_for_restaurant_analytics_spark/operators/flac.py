@@ -197,25 +197,27 @@ def _read_utf8_number(data: bytes, pos: int) -> tuple[int, int]:
 
 def _best_rice_param(resid: list[int]) -> tuple[int, int]:
     """(param, coded bits) minimizing the exact rice size; param 14
-    max (15 is the escape)."""
-    best_p, best_bits = 0, None
-    us = [_zigzag(r) for r in resid]
-    for p in range(15):
-        bits = sum((u >> p) + 1 + p for u in us)
-        if best_bits is None or bits < best_bits:
-            best_p, best_bits = p, bits
-        elif bits > best_bits * 2:
-            break  # strictly convex past the optimum; stop early
-    return best_p, best_bits if best_bits is not None else 0
+    max (15 is the escape). Vectorized: the exact size at every param
+    is one shift+sum over the folded values (int64 is safe — |resid|
+    ≤ a few × 2^17 for 16-bit fixed predictors)."""
+    if not resid:
+        return 0, 0
+    a = np.asarray(resid, dtype=np.int64)
+    us = np.where(a >= 0, a << 1, -(a << 1) - 1)
+    n = len(resid)
+    bits = [int((us >> p).sum()) + n * (1 + p) for p in range(15)]
+    best_p = int(np.argmin(bits))
+    return best_p, bits[best_p]
 
 
 def _residuals(samples: list[int], order: int) -> list[int]:
-    coefs = _FIXED_COEFS[order]
-    return [
-        s - sum(c * samples[i - j - 1] for j, c in enumerate(coefs))
-        for i, s in enumerate(samples)
-        if i >= order
-    ] if order else list(samples)
+    if order == 0:
+        return list(samples)
+    a = np.asarray(samples, dtype=np.int64)
+    out = a[order:].copy()
+    for j, c in enumerate(_FIXED_COEFS[order]):
+        out -= c * a[order - j - 1 : len(a) - j - 1]
+    return out.tolist()
 
 
 def encode_flac(samples: "np.ndarray", sample_rate: int) -> bytes:
