@@ -15,10 +15,10 @@ constraints. What makes it a real test of entropy-coded decoding:
   4-bit params, 0b1111 escape to verbatim residuals, partition
   orders), and a final MD5 check of the decoded PCM against the
   STREAMINFO digest — an end-to-end integrity proof the format
-  itself ships. LPC subframes decode too (real-world FLAC is
-  mostly LPC; coefficients travel in the stream). Mid/side stereo
-  and non-16-bit depths raise NotImplementedError (the remaining
-  in-format seam).
+  itself ships. LPC subframes and decorrelated stereo frames
+  (left/side, side/right, mid/side — what real-world encoders emit)
+  decode too. Non-16-bit depths and wasted-bits subframes raise
+  NotImplementedError (the remaining in-format seam).
 - **Encoder** (:func:`encode_flac`): per block, tries CONSTANT and
   fixed predictors of order 0-2, picks the cheapest by exact coded
   size, rice-codes residuals with the per-partition optimal
@@ -302,8 +302,9 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     """REAL FLAC decode → ((n, channels) int16, sample_rate), with
     CRC-8/CRC-16 verification per frame and the STREAMINFO MD5
     verified against the decoded PCM. CONSTANT/VERBATIM/FIXED/LPC
-    subframes all decode; mid/side stereo and non-16-bit depths raise
-    NotImplementedError."""
+    subframes and all four channel assignments (independent + the
+    three decorrelated stereo forms) decode; non-16-bit depths and
+    wasted-bits subframes raise NotImplementedError."""
     if payload[:4] != b"fLaC":
         raise NotImplementedError("not a FLAC signature")
     pos = 4
@@ -372,9 +373,16 @@ def _decode_frame(
     sr_code = payload[pos + 2] & 0x0F
     chan_asgn = payload[pos + 3] >> 4
     size_code = (payload[pos + 3] >> 1) & 0x07
-    if chan_asgn >= 8:
-        raise NotImplementedError("mid/side stereo FLAC")
-    if chan_asgn + 1 != ch:
+    if chan_asgn > 10:
+        raise ValueError(f"reserved channel assignment {chan_asgn}")
+    decorrelated = chan_asgn >= 8
+    if decorrelated:
+        # 8 = left/side, 9 = side/right, 10 = mid/side — the side
+        # channel carries bps+1 bits (RFC 9639 §9.1.3). Our encoder
+        # emits independent channels; real-world encoders emit these.
+        if ch != 2:
+            raise ValueError("decorrelated stereo frame in a non-stereo stream")
+    elif chan_asgn + 1 != ch:
         raise ValueError("frame channel count != STREAMINFO")
     if size_code not in (0b100,):
         raise NotImplementedError("only 16-bit FLAC frames")
@@ -410,8 +418,28 @@ def _decode_frame(
     pos += 1
 
     br = _BitReader(payload, pos)
-    for c in range(ch):
-        chans[c].extend(_read_subframe(br, bs))
+    if not decorrelated:
+        for c in range(ch):
+            chans[c].extend(_read_subframe(br, bs, 16))
+    else:
+        side_first = chan_asgn == 9
+        a = _read_subframe(br, bs, 17 if side_first else 16)
+        b = _read_subframe(br, bs, 16 if side_first else 17)
+        if chan_asgn == 8:  # left/side: R = L - side
+            left, side = a, b
+            right = [l - s for l, s in zip(left, side)]
+        elif chan_asgn == 9:  # side/right: L = side + R
+            side, right = a, b
+            left = [s + r for s, r in zip(side, right)]
+        else:  # mid/side: mid recovers its dropped low bit from side
+            mid, side = a, b
+            left, right = [], []
+            for m, s in zip(mid, side):
+                m2 = (m << 1) | (s & 1)
+                left.append((m2 + s) >> 1)
+                right.append((m2 - s) >> 1)
+        chans[0].extend(left)
+        chans[1].extend(right)
     br.align()
     pos = br.byte
     if pos + 2 > len(payload):
@@ -422,19 +450,19 @@ def _decode_frame(
     return pos + 2
 
 
-def _read_subframe(br: _BitReader, bs: int) -> list[int]:
+def _read_subframe(br: _BitReader, bs: int, bps: int) -> list[int]:
     if br.read(1) != 0:
         raise ValueError("subframe padding bit set")
     stype = br.read(6)
     if br.read(1) != 0:
         raise NotImplementedError("wasted-bits subframes")
     if stype == 0b000000:  # CONSTANT
-        return [br.read_signed(16)] * bs
+        return [br.read_signed(bps)] * bs
     if stype == 0b000001:  # VERBATIM
-        return [br.read_signed(16) for _ in range(bs)]
+        return [br.read_signed(bps) for _ in range(bs)]
     if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
         order = stype & 0x07
-        warm = [br.read_signed(16) for _ in range(order)]
+        warm = [br.read_signed(bps) for _ in range(order)]
         resid = _read_rice_residual(br, bs, order)
         out = list(warm)
         coefs = _FIXED_COEFS[order]
@@ -446,7 +474,7 @@ def _read_subframe(br: _BitReader, bs: int) -> list[int]:
         # the deterministic fixtures), but real-world FLAC is mostly
         # LPC — the decoder accepts it so third-party files decode
         order = (stype & 0x1F) + 1
-        warm = [br.read_signed(16) for _ in range(order)]
+        warm = [br.read_signed(bps) for _ in range(order)]
         prec = br.read(4)
         if prec == 0b1111:
             raise ValueError("invalid LPC coefficient precision")
@@ -566,8 +594,9 @@ FROM base ORDER BY doc_id
     "oracle is the same closed-form sample arithmetic as q110 — any "
     "wrong bit in the rice/predictor/CRC chain breaks the hash (or "
     "the in-stream MD5 first). The decoder additionally accepts LPC "
-    "subframes (what real-world encoders emit). Remaining in-format "
-    "seams: mid/side stereo, non-16-bit depths. Payload bytes never shuffle; the "
+    "subframes and decorrelated (left/side, side/right, mid/side) "
+    "stereo frames — what real-world encoders emit. Remaining "
+    "in-format seams: non-16-bit depths, wasted-bits subframes. Payload bytes never shuffle; the "
     "exchanges are the ids fan-out and the presentation sort.",
 )
 def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

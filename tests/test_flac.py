@@ -224,3 +224,66 @@ def test_table_coded_blocksize_and_samplerate_decode():
 
     out, rate = decode_flac(payload)
     assert rate == 8000 and (out == samples).all()
+
+
+def _assemble_stereo_frame(chan_asgn, sub_a, sub_b, bs):
+    """One decorrelated-stereo frame: two VERBATIM subframes (the
+    second/first is the side channel at 17 bits per the assignment)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.flac import (
+        _BitWriter,
+        _utf8_number,
+    )
+
+    w = _BitWriter()
+    side_first = chan_asgn == 9
+    for i, (sub, vals) in enumerate(((0, sub_a), (1, sub_b))):
+        bits = 17 if (i == 0) == side_first else 16
+        w.put(0, 1)
+        w.put(0b000001, 6)  # VERBATIM
+        w.put(0, 1)
+        for v in vals:
+            w.put(int(v) & ((1 << bits) - 1), bits)
+    w.pad_to_byte()
+    head = bytearray(b"\xff\xf8")
+    head.append(0x70)
+    head.append((chan_asgn << 4) | (0b100 << 1))
+    head += _utf8_number(0)
+    head += struct.pack(">H", bs - 1)
+    head.append(_crc8(bytes(head)))
+    frame = bytes(head) + w.bytes()
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def test_decorrelated_stereo_decodes():
+    """Left/side, side/right, and mid/side frames (what real stereo
+    encoders emit; the side channel carries 17 bits) reconstruct the
+    same L/R the spec formulas define — checked against an independent
+    numpy reconstruction and the in-stream PCM MD5."""
+    import hashlib
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.flac import (
+        _BitWriter,
+    )
+
+    rng = np.random.default_rng(11)
+    bs = 64
+    left = rng.integers(-32768, 32768, bs).astype(np.int64)
+    right = rng.integers(-32768, 32768, bs).astype(np.int64)
+    side = left - right  # 17-bit range
+    mid = (left + right) >> 1
+
+    for chan_asgn, a, b in (
+        (8, left, side),    # left/side
+        (9, side, right),   # side/right
+        (10, mid, side),    # mid/side
+    ):
+        frame = _assemble_stereo_frame(chan_asgn, a, b, bs)
+        expected = np.stack([left, right], axis=1).astype(np.int16)
+        md5 = hashlib.md5(expected.astype("<i2").tobytes()).digest()
+        si = _BitWriter()
+        si.put(bs, 16); si.put(bs, 16); si.put(0, 24); si.put(0, 24)
+        si.put(8000, 20); si.put(1, 3); si.put(15, 5); si.put(bs, 36)
+        body = si.bytes() + md5
+        payload = b"fLaC" + bytes([0x80, 0, 0, len(body)]) + body + frame
+        out, rate = decode_flac(payload)
+        assert rate == 8000 and (out == expected).all(), chan_asgn
