@@ -50,10 +50,15 @@ def propose(
     registry: list[str],
     history: dict[str, int] | dict[str, tuple[int, bool]],
     sample_size: int = 50,
+    first_rounds: dict[str, int] | None = None,
 ) -> list[str]:
     """The next round's sample. ``history`` values may be a bare round
     (treated as green — the coverage-simulation form) or a
-    ``(round, green)`` tuple (the full form)."""
+    ``(round, green)`` tuple (the full form). ``first_rounds`` enables
+    the round-10 newest-keeps-a-standing-row group; the CLI passes the
+    artifact-derived map so the printout matches the live registry
+    order, while coverage simulations omit it (a synthetic history has
+    no meaningful first-sample rounds)."""
     from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
         rotation_order,
     )
@@ -61,18 +66,22 @@ def propose(
     norm = {
         n: v if isinstance(v, tuple) else (int(v), True) for n, v in history.items()
     }
-    return rotation_order(list(registry), norm)[:sample_size]
+    return rotation_order(list(registry), norm, first_rounds)[:sample_size]
 
 
 def main() -> None:
     from real_time_data_pipeline_for_restaurant_analytics_spark.registry import all_queries
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        first_sample_rounds,
+    )
 
     sample_size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     registry = sorted(all_queries())
     history = sampled_history()
     never = [n for n in registry if n not in history]
     failed = [n for n, (_, green) in history.items() if not green]
-    for name in propose(registry, history, sample_size):
+    for name in propose(registry, history, sample_size, first_sample_rounds()):
         print(name)
     print(
         f"# registry={len(registry)} sampled-ever={len(history)} "
