@@ -395,6 +395,14 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got 0x{payload[pos]:02X}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # spec-legal fill byte(s) before any marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before any SOS
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM/RSTn: standalone markers, no length field
+            continue
         if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

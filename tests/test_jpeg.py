@@ -180,3 +180,15 @@ def test_q148_matches_oracle(spark):
 
     q = all_queries()["q148_jpeg_decode_stats"]
     assert compare(spark, "q148", q.build, q.oracle, "/root/testdata/sf0.001") == []
+
+
+def test_fill_bytes_and_stray_markers_in_header_walk():
+    """The spec allows any number of 0xFF fill bytes before a marker
+    and standalone TEM markers between segments — the walk must skip
+    them, not desync; an EOI with no SOS is corruption (ValueError)."""
+    good = encode_jpeg(synth_jpeg_pixels(4))
+    # inject FF fill + a TEM marker right after SOI
+    padded = good[:2] + b"\xff" + b"\xff\x01" + good[2:]
+    assert (decode_jpeg(padded) == synth_jpeg_pixels(4)).all()
+    with pytest.raises(ValueError, match="SOF0/SOS"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
