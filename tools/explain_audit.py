@@ -44,8 +44,13 @@ AUDIT = [
      "MapInPandas (vectorized batches), never BatchEvalPython."),
     ("q146_png_decode_stats", "Compressed-codec decode (PNG inflate + "
      "unfilter) keeps the exact q108 plan shape: two MapInPandas "
-     "stages, zero data-sized exchanges — compression changes the "
-     "Python kernel, not the distribution story."),
+     "stages plus the deliberate 8-byte-ids RoundRobin fan-out "
+     "(spread_ids, round 10 — full decode parallelism at any corpus "
+     "split count); payload bytes still never exchange."),
+    ("q148_jpeg_decode_stats", "Entropy-coded decode (baseline JPEG "
+     "huffman + IDCT): same two-MapInPandas + ids-fan-out shape as "
+     "q146 — the codec lives in the Python kernel, the plan stays "
+     "payload-shuffle-free."),
     ("q115_simhash64_pairs", "Production-width simhash: banding + "
      "value-level WindowGroupLimit cap run map-side before the "
      "candidate shuffle."),
