@@ -804,7 +804,8 @@ def _da_src_sql(day: int) -> str:
             f"ELSE ({vehicles})[CAST(k % 3 AS INT) + 1] END"
         )
         modified = f"CASE WHEN k % 10 = 3 THEN '{_DA_MOD1}' ELSE '{_DA_MOD2}' END"
-    one = f"""SELECT CAST(k AS VARCHAR) AS deliveryagentid0,
+    def arm(extra_filter: str) -> str:
+        return f"""SELECT CAST(k AS VARCHAR) AS deliveryagentid0,
        '  Agent ' || CAST(k AS VARCHAR) || ' ' AS full_name0,
        'a' || CAST(k AS VARCHAR) || '@x.com' AS email0,
        CAST(k + 1000000 AS VARCHAR) AS mobile_no0,
@@ -816,10 +817,11 @@ def _da_src_sql(day: int) -> str:
        CAST(k % 4 + 1 AS VARCHAR) || '.' || lpad(CAST(k % 100 AS VARCHAR), 2, '0') AS rating0,
        '{_DA_CREATED}' AS createddate0,
        {modified} AS modifieddate0
-  FROM ks WHERE {filt}"""
+  FROM ks WHERE {filt}{extra_filter}"""
+
     # the in-file duplicates (C6): DISTINCT in the clean CTE collapses
     # them, mirroring dropDuplicates-before-merge
-    return f"{one}\nUNION ALL\n{one.replace(filt, filt + ' AND k % 4 = 0', 1)}"
+    return f"{arm('')}\nUNION ALL\n{arm(' AND k % 4 = 0')}"
 
 
 def _da_clean_sql(src_cte: str) -> str:
