@@ -10,10 +10,11 @@ Two decode tiers (round 5; PNG promoted in round 9):
   (``decode_image``/``encode_ppm``/``encode_bmp``/``encode_png``
   below), running inside the same Arrow-batched ``mapInPandas``
   plumbing and oracle-verified byte-for-byte (q108/q109/q146).
-- **Baseline JPEG** (round 10) lives in its own module
-  (operators/jpeg.py): huffman entropy decode + IDCT from the spec,
-  dispatched from ``decode_image`` — the first ENTROPY-CODED format
-  decoded natively (q148).
+- **Entropy-coded formats** (round 10): baseline JPEG (huffman +
+  IDCT, operators/jpeg.py, q148), FLAC (rice coding,
+  operators/flac.py, q149), and GIF (variable-width LZW, below,
+  q150) all decode from their specs and dispatch from
+  ``decode_image``.
 - **Stub seam** for the remaining formats (progressive/subsampled
   JPEG, WebP/AVIF need codec libs this container lacks):
   ``decode_image`` raises NotImplementedError at that boundary, and
@@ -437,9 +438,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
         pix = decode_jpeg(payload)
         return np.repeat(pix[:, :, None], 3, axis=2) if pix.ndim == 2 else pix
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unknown format (GIF/WebP/AVIF) — needs codec libs (PIL/"
-        "libvips); PPM/BMP/PNG/baseline-JPEG decode natively, see "
+        "unknown format (WebP/AVIF) — needs codec libs (PIL/libvips); "
+        "PPM/BMP/PNG/baseline-JPEG/GIF decode natively, see "
         "decode_image_stub for the seam"
     )
 
@@ -1046,3 +1049,303 @@ def q122_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash", "simhash"
     )
     return simhash_hamming_pairs(fp, "doc_id", fp_bits=64).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — round 10: the legacy-web raster format, lossless for
+# palettized images, so the decode is oracle-replayable with no fixture
+# constraints beyond a deterministic palette. The LZW layer is a REAL
+# variable-width dictionary coder (the genuinely entropy-coded part):
+# LSB-first bit packing, CLEAR/EOI codes, width growth at dictionary
+# fill, 12-bit cap with encoder-side reset.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: variable code width from mcs+1, CLEAR emitted
+    first and again whenever the dictionary hits 4096 (the 12-bit
+    cap), width bumps exactly when the decoder's dictionary reaches
+    the current width's capacity — the mirror of :func:`_lzw_decode`'s
+    canonical growth rule. LSB-first bit packing (GIF's convention,
+    the OPPOSITE of PNG/JPEG/FLAC's MSB-first streams)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = n = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # decoder appends its entry at the same step; when its table
+        # reaches 2^width it widens — mirror that here
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # 12-bit cap: reset
+            emit(clear, 12)
+            table, next_code, width = fresh()
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_expected: int) -> bytes:
+    """Canonical GIF LZW decode (the real algorithm, incl. the
+    KwKwK self-referential case)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = n = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, n
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = mcs + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW produced more pixels than the descriptor")
+    if len(out) != n_expected:
+        raise ValueError("GIF LZW produced fewer pixels than the descriptor")
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(h: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def encode_gif(
+    indices: "np.ndarray", palette: "np.ndarray", interlace: bool = False
+) -> bytes:
+    """REAL GIF87a writer from an (h, w) uint8 index array and an
+    (n, 3) palette (n a power of two ≤ 256): logical screen descriptor
+    with a global color table, image descriptor (optionally
+    interlaced), real LZW sub-blocks, trailer."""
+    import struct
+
+    h, w = indices.shape
+    n = palette.shape[0]
+    assert n & (n - 1) == 0 and 2 <= n <= 256
+    depth = n.bit_length() - 1
+    mcs = max(2, depth)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    rows = indices[_gif_row_order(h)] if interlace else indices
+    out.append(mcs)
+    lzw = _lzw_encode(rows.astype(np.uint8).tobytes(), mcs)
+    for at in range(0, len(lzw), 255):
+        chunk = lzw[at : at + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """REAL GIF decode → (h, w, 3) uint8 RGB: header + logical screen
+    descriptor, global/local color tables, extension blocks skipped by
+    their sub-block structure, interlaced row de-permutation, and the
+    canonical variable-width LZW. Single-image GIFs only — a second
+    image descriptor (animation) raises NotImplementedError."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    image = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02X}")
+        if image is not None:
+            raise NotImplementedError(
+                "multi-image (animated) GIF — only single-image decode"
+            )
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            lzw += payload[pos : pos + sz]
+            pos += sz
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), mcs, w * h), np.uint8
+        ).reshape(h, w)
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("GIF pixel index outside the color table")
+        if iflags & 0x40:  # interlaced: invert the 4-pass permutation
+            de = np.empty_like(idx)
+            de[_gif_row_order(h)] = idx
+            idx = de
+        image = pal[idx]
+    if image is None:
+        raise ValueError("GIF without an image descriptor")
+    return image
+
+
+def synth_gif_payloads(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): real LZW-compressed GIF bytes of
+    a deterministic 8-color palettized pattern (closed-form index and
+    palette functions, so the oracle replays decoded channel sums
+    exactly); every 3rd doc is written interlaced so the de-permute
+    path runs in the registered query, not just in tests."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 12, 4 + d % 9
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((x + 2 * y + d) % 8).astype(np.uint8)
+                i = np.arange(8)
+                pal = np.stack(
+                    [(37 * i + d) % 256, (11 * i + 2 * d) % 256, (53 * i + 3 * d) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal, interlace=(d % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+_GIF_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(5 + doc_id % 12 AS INT) AS w,
+         CAST(4 + doc_id % 9 AS INT) AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (xs.x + 2 * ys.y + d.doc_id) % 8 AS i
+  FROM dims d,
+       (SELECT unnest(range(17)) AS x) xs,
+       (SELECT unnest(range(13)) AS y) ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM((37 * i + doc_id) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((11 * i + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((53 * i + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+@register(
+    "q150_gif_decode_stats",
+    oracle=_GIF_ORACLE,
+    doc="REAL GIF decode (round-10, the third entropy-coded codec): "
+    "deterministic 8-color palettized patterns are written as genuine "
+    "GIF87a — global color table, real variable-width LZW (CLEAR/EOI, "
+    "width growth at dictionary fill, 12-bit cap, LSB-first packing, "
+    "255-byte sub-blocks), every 3rd image interlaced — and decoded "
+    "back from the spec alone (block walk, extension skipping, "
+    "canonical LZW incl. the KwKwK case, 4-pass de-interlace, palette "
+    "indirection) in the same Arrow-batched mapInPandas plumbing. "
+    "Lossless, so the oracle replays the palette arithmetic in closed "
+    "form; one wrong LZW bit breaks the pixel count or the hash. "
+    "Plan shape: ids fan-out + two MapInPandas + presentation sort — "
+    "payload bytes never shuffle.",
+)
+def q150_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return decode_stats(synth_gif_payloads(d)).orderBy("doc_id")

@@ -281,3 +281,84 @@ def test_payload_synth_fans_out_to_all_cores(spark):
     n = spark.sparkContext.defaultParallelism
     assert synth_png_payloads(ids).rdd.getNumPartitions() == n
     assert synth_jpeg_payloads(ids).rdd.getNumPartitions() == n
+
+
+# -- GIF: the third entropy-coded codec (round-10) ---------------------------
+
+
+def test_gif_lzw_and_round_trips():
+    """Variable-width LZW round-trips across code sizes and stream
+    lengths (including 12-bit-cap dictionary resets), GIF round-trips
+    with palette indirection both plain and interlaced, and the
+    front-door dispatch routes GIF8x signatures."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    for mcs in (2, 3, 8):
+        for n in (1, 10, 500, 20000):
+            data = rng.randint(0, 1 << mcs, n).astype(np.uint8).tobytes()
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs, n) == data, (mcs, n)
+
+    for d in (0, 3, 7, 11):
+        w, h = 5 + d % 12, 4 + d % 9
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        idx = ((x + 2 * y + d) % 8).astype(np.uint8)
+        i = np.arange(8)
+        pal = np.stack(
+            [(37 * i + d) % 256, (11 * i + 2 * d) % 256, (53 * i + 3 * d) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        for inter in (False, True):
+            payload = encode_gif(idx, pal, interlace=inter)
+            assert (decode_gif(payload) == pal[idx]).all(), (d, inter)
+            assert (decode_image(payload) == pal[idx]).all()
+
+
+def test_gif_corruption_and_seams():
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    idx = np.zeros((6, 7), dtype=np.uint8)
+    idx[2, 3] = 5
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    good = encode_gif(idx, pal)
+    # GIF89a extension blocks (e.g. a GCE) are skipped structurally
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = good[:13 + 24] + gce + good[13 + 24:]
+    assert (decode_gif(b"GIF89a" + with_ext[6:]) == pal[idx]).all()
+    # truncations are loud
+    for cut in (10, 13 + 10, len(good) - 3):
+        with pytest.raises(ValueError):
+            decode_gif(good[:cut])
+    # a second image descriptor (animation) is the documented seam
+    img_at = good.index(b"\x2c")
+    anim = good[:-1] + good[img_at:-1] + b"\x3b"
+    with pytest.raises(NotImplementedError, match="multi-image"):
+        decode_gif(anim)
+    # not a GIF
+    with pytest.raises(NotImplementedError, match="signature"):
+        decode_gif(b"BM......")
+
+
+def test_q150_matches_oracle(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    from .oracle_check import compare
+
+    q = all_queries()["q150_gif_decode_stats"]
+    assert compare(spark, "q150", q.build, q.oracle, "/root/testdata/sf0.001") == []
