@@ -12,11 +12,13 @@ DCT — all implementable exactly from the public spec:
   tables built from the stream's OWN DHT segments (never assumed),
   a bit reader with 0xFF00 byte-unstuffing, per-component DC
   prediction, zigzag de-scan, dequantization, and a float64
-  separable IDCT with final round+clamp. Baseline grayscale and
-  4:4:4 color (YCbCr, BT.601 de-correlation) are supported;
-  progressive (SOF2), chroma-subsampled, restart-interval, and
-  arithmetic-coded streams raise NotImplementedError — the honest
-  remaining boundary, now INSIDE the format.
+  separable IDCT with final round+clamp. Baseline grayscale, 4:4:4
+  color, and chroma-subsampled color (4:2:0/4:2:2 — per-component
+  sampling factors, MCU-interleaved scan, replication upsampling;
+  round 10 second pass) are supported; progressive (SOF2),
+  restart-interval, and arithmetic-coded streams raise
+  NotImplementedError — the honest remaining boundary, now INSIDE
+  the format.
 - **Encoder** (:func:`encode_jpeg`): the exact inverse pipeline
   (level shift, forward DCT, quantization with the Annex-K-shaped
   quality tables, zigzag, DC-diff + (run,size) huffman with ZRL/EOB,
@@ -275,45 +277,77 @@ def _fdct_quant(plane: "np.ndarray", q: "np.ndarray") -> "np.ndarray":
     return np.round(coef / q).astype(np.int64)
 
 
-def _encode_scan(
-    comp_coefs: list["np.ndarray"],
+def _put_block(
+    w: _BitWriter,
+    blk: "np.ndarray",
+    pred: int,
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-code one quantized 8x8 block (DC diff vs ``pred``,
+    (run,size)/ZRL/EOB AC coding); returns the new DC predictor."""
+    zz = blk[_ZZ_Y, _ZZ_X]
+    diff = int(zz[0]) - pred
+    size, raw = _magnitude_bits(diff)
+    w.put(*dc_codes[size])
+    if size:
+        w.put(raw, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        if k > last_nz:
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            w.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        size, raw = _magnitude_bits(v)
+        w.put(*ac_codes[(run << 4) | size])
+        w.put(raw, size)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def _encode_scan(
+    comp_coefs: list["np.ndarray"],
+    dc_codes,
+    ac_codes,
+    samps: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Interleaved MCU entropy coding (4:4:4 — one block per component
-    per MCU), shared DC/AC tables, per-component DC prediction."""
+    """Interleaved MCU entropy coding with per-component sampling
+    factors (T.81 A.2.3): each MCU carries Hi×Vi raster-ordered blocks
+    of every component, DC prediction per component. ``samps=None``
+    means all-1x1 (the 4:4:4 / grayscale case, where MCU grid = block
+    grid). ``dc_codes``/``ac_codes`` may be one shared table dict or a
+    per-component list."""
+    if samps is None:
+        samps = [(1, 1)] * len(comp_coefs)
+    if isinstance(dc_codes, dict):
+        dc_codes = [dc_codes] * len(comp_coefs)
+    if isinstance(ac_codes, dict):
+        ac_codes = [ac_codes] * len(comp_coefs)
     w = _BitWriter()
-    n_by, n_bx = comp_coefs[0].shape[:2]
+    n_mcy = comp_coefs[0].shape[0] // samps[0][1]
+    n_mcx = comp_coefs[0].shape[1] // samps[0][0]
     pred = [0] * len(comp_coefs)
-    for by in range(n_by):
-        for bx in range(n_bx):
+    for my in range(n_mcy):
+        for mx in range(n_mcx):
             for ci, coefs in enumerate(comp_coefs):
-                blk = coefs[by, bx]
-                zz = blk[_ZZ_Y, _ZZ_X]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, raw = _magnitude_bits(diff)
-                w.put(*dc_codes[size])
-                if size:
-                    w.put(raw, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    if k > last_nz:
-                        break
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        w.put(*ac_codes[0xF0])  # ZRL
-                        run -= 16
-                    size, raw = _magnitude_bits(v)
-                    w.put(*ac_codes[(run << 4) | size])
-                    w.put(raw, size)
-                    run = 0
-                if last_nz < 63:
-                    w.put(*ac_codes[0x00])  # EOB
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        pred[ci] = _put_block(
+                            w,
+                            coefs[my * vi + v, mx * hi + u],
+                            pred[ci],
+                            dc_codes[ci],
+                            ac_codes[ci],
+                        )
     return w.flush()
 
 
@@ -325,26 +359,47 @@ def _rgb_to_ycbcr(pix: "np.ndarray") -> list["np.ndarray"]:
     return [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)]
 
 
-def encode_jpeg(pix: "np.ndarray") -> bytes:
-    """REAL baseline JPEG writer: (h, w) uint8 → grayscale SOF0;
-    (h, w, 3) uint8 RGB → 4:4:4 YCbCr SOF0. Dims are padded to
-    multiples of 8 by edge replication (the standard move — SOF0
-    carries the true dims, the decoder crops)."""
-    if pix.ndim == 2:
-        planes = [pix]
-        qids = [0]
-        qtables = [LUMA_Q]
-    else:
-        planes = _rgb_to_ycbcr(pix)
-        qids = [0, 1, 1]
-        qtables = [LUMA_Q, CHROMA_Q]
-    h, w = planes[0].shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
-    coefs = [
-        _fdct_quant(p, (LUMA_Q if qid == 0 else CHROMA_Q))
-        for p, qid in zip(padded, qids)
-    ]
+#: subsampling name → luma sampling factors (chroma is always 1x1)
+_SUBSAMP = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _box_downsample(plane: "np.ndarray", fx: int, fy: int) -> "np.ndarray":
+    """fx×fy box-average downsample (the standard chroma decimation);
+    odd trailing edges are handled by edge replication before the
+    average, matching the decoder's ceil-sized component planes."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+    mean = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+    return np.clip(np.round(mean), 0, 255).astype(np.uint8)
+
+
+def _encode_baseline(
+    planes: list["np.ndarray"],
+    samps: list[tuple[int, int]],
+    qids: list[int],
+    h: int,
+    w: int,
+) -> bytes:
+    """Assemble the full SOF0 container around an MCU-interleaved scan.
+    ``planes[i]`` is component i at its OWN (subsampled) resolution;
+    each is padded by edge replication to the MCU grid (ceil(w/8Hmax)
+    × ceil(h/8Vmax) MCUs of Hi×Vi blocks) — SOF carries the true dims
+    and the decoder crops. Luma codes with DHT 0, chroma (if present)
+    with DHT 1 (same flat canonical contents, distinct table ids — so
+    decoders must actually honor the SOS table selectors)."""
+    qtables = [LUMA_Q] + ([CHROMA_Q] if len(planes) > 1 else [])
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    n_mcx, n_mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    coefs = []
+    for plane, (hi, vi), qid in zip(planes, samps, qids):
+        ch, cw = plane.shape
+        ph, pw = n_mcy * vi * 8, n_mcx * hi * 8
+        padded = np.pad(plane, ((0, ph - ch), (0, pw - cw)), mode="edge")
+        coefs.append(_fdct_quant(padded, qtables[qid]))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
@@ -353,20 +408,53 @@ def encode_jpeg(pix: "np.ndarray") -> bytes:
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])  # id, 1x1 sampling, tq
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
     out += _seg(0xC0, sof)  # SOF0: baseline
     out += _seg(0xC4, _dht_payload(0, 0, DC_BITS, DC_VALS))  # DHT DC0
     out += _seg(0xC4, _dht_payload(1, 0, AC_BITS, AC_VALS))  # DHT AC0
+    if ncomp > 1:
+        out += _seg(0xC4, _dht_payload(0, 1, DC_BITS, DC_VALS))  # DHT DC1
+        out += _seg(0xC4, _dht_payload(1, 1, AC_BITS, AC_VALS))  # DHT AC1
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])  # every component → DC0/AC0
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
     out += _seg(0xDA, sos)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    out += _encode_scan(coefs, dc_codes, ac_codes)
+    out += _encode_scan(coefs, dc_codes, ac_codes, samps=samps)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def encode_jpeg_ycbcr(
+    y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray", subsampling: str = "420"
+) -> bytes:
+    """REAL baseline JPEG writer from full-resolution YCbCr planes:
+    chroma is box-average-decimated per ``subsampling`` ('444', '422'
+    horizontal-only, '420' both axes — the dominant real-corpus
+    shape), luma carries the sampling factors, and the scan is
+    MCU-interleaved. Plane-native entry so deterministic fixtures can
+    skip the RGB→YCbCr rounding."""
+    fx, fy = _SUBSAMP[subsampling]
+    planes = [y] + [_box_downsample(c, fx, fy) for c in (cb, cr)]
+    samps = [(fx, fy), (1, 1), (1, 1)]
+    h, w = y.shape
+    return _encode_baseline(planes, samps, [0, 1, 1], h, w)
+
+
+def encode_jpeg(pix: "np.ndarray", subsampling: str = "444") -> bytes:
+    """REAL baseline JPEG writer: (h, w) uint8 → grayscale SOF0;
+    (h, w, 3) uint8 RGB → YCbCr SOF0 at the requested chroma
+    subsampling ('444' default, '422', '420'). Dims are padded to
+    the MCU grid by edge replication (the standard move — SOF0
+    carries the true dims, the decoder crops)."""
+    if pix.ndim == 2:
+        h, w = pix.shape
+        return _encode_baseline([pix], [(1, 1)], [0], h, w)
+    yp, cbp, crp = _rgb_to_ycbcr(pix)
+    return encode_jpeg_ycbcr(yp, cbp, crp, subsampling)
 
 
 # ---------------------------------------------------------------------------
@@ -374,15 +462,20 @@ def encode_jpeg(pix: "np.ndarray") -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> "np.ndarray":
-    """REAL baseline JPEG decode from the spec: marker walk, DHT/DQT
-    parsed from the stream, huffman + DC-prediction entropy decode
-    with 0xFF00 unstuffing, dequantize, zigzag de-scan, float64 IDCT,
-    round + clamp, crop to the SOF dims, BT.601 color de-correlation
-    for 3 components. Returns (h, w) uint8 for grayscale, (h, w, 3)
-    RGB for color. Progressive / subsampled / restart-interval /
-    arithmetic streams raise NotImplementedError (the remaining
-    in-format seam); corrupt or truncated streams raise ValueError."""
+def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
+    """REAL baseline JPEG decode from the spec, stopping at the
+    component planes: marker walk, DHT/DQT parsed from the stream,
+    MCU-interleaved huffman + DC-prediction entropy decode with
+    0xFF00 unstuffing (per-component Hi×Vi sampling factors, T.81
+    A.2.3), dequantize, zigzag de-scan, float64 IDCT, round + clamp
+    to 8-bit samples, crop each component to its ceil(dim·Hi/Hmax)
+    natural size, then replication-upsample chroma to the full (h, w)
+    grid. Returns one uint8 (h, w) plane per component (Y or
+    Y/Cb/Cr). Single-component scans are non-interleaved per the
+    spec, so their sampling factors are ignored. Progressive /
+    restart-interval / arithmetic streams and sampling ratios where
+    Hi∤Hmax raise NotImplementedError (the remaining in-format
+    seams); corrupt or truncated streams raise ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG signature")
     pos = 2
@@ -448,14 +541,17 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG (sampling factors != 1x1) — "
-                        "only grayscale and 4:4:4 are implemented"
-                    )
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"illegal sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
+            if ncomp == 1:
+                # single-component scans are non-interleaved (T.81
+                # A.2.2): the data-unit order is the plain block
+                # raster and the sampling factors play no role
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             sof = (h, w, comps)
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack_from(">H", seg, 0)
@@ -474,12 +570,24 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     h, w, comps = sof
     if len(scan_comps) != len(comps):
         raise NotImplementedError("multi-scan JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"sampling ratio {hi}x{vi} does not divide the MCU grid "
+                f"{hmax}x{vmax} — replication upsampling needs integer "
+                "factors (the remaining in-format seam)"
+            )
 
     reader = _BitReader(payload[data_at:])
-    n_bx, n_by = -(-w // 8), -(-h // 8)
-    planes = [np.zeros((n_by * 8, n_bx * 8), dtype=np.float64) for _ in comps]
+    n_mcx, n_mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((n_mcy * vi * 8, n_mcx * hi * 8), dtype=np.float64)
+        for _cid, hi, vi, _tq in comps
+    ]
     tables = []
-    for (cid, tq), (scid, tsel) in zip(comps, scan_comps):
+    for (cid, hi, vi, tq), (scid, tsel) in zip(comps, scan_comps):
         if scid != cid:
             raise ValueError("SOS component order != SOF order")
         dc = hufftables.get((0, tsel >> 4))
@@ -489,37 +597,59 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             raise ValueError("JPEG scan references an undefined DQT/DHT table")
         tables.append((dc, ac, q))
     pred = [0] * len(comps)
-    for by in range(n_by):
-        for bx in range(n_bx):
+    for my in range(n_mcy):
+        for mx in range(n_mcx):
             for ci, (dc, ac, q) in enumerate(tables):
-                zz = np.zeros(64, dtype=np.int64)
-                size = _decode_symbol(reader, dc)
-                if size > 11:
-                    raise ValueError("invalid DC size category")
-                pred[ci] += _extend(reader.bits(size), size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_symbol(reader, ac)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63 or size == 0:
-                        raise ValueError("AC coefficient index out of range")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                blk = np.zeros((8, 8), dtype=np.int64)
-                blk[_ZZ_Y, _ZZ_X] = zz
-                s = _A.T @ (blk * q).astype(np.float64) @ _A * 0.25
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = s + 128.0
-    planes = [p[:h, :w] for p in planes]
+                hi, vi = comps[ci][1], comps[ci][2]
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _decode_symbol(reader, dc)
+                        if size > 11:
+                            raise ValueError("invalid DC size category")
+                        pred[ci] += _extend(reader.bits(size), size)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(reader, ac)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or size == 0:
+                                raise ValueError("AC coefficient index out of range")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        blk = np.zeros((8, 8), dtype=np.int64)
+                        blk[_ZZ_Y, _ZZ_X] = zz
+                        s = _A.T @ (blk * q).astype(np.float64) @ _A * 0.25
+                        by, bx = my * vi + v, mx * hi + u
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = s + 128.0
+    out_planes = []
+    for plane, (_cid, hi, vi, _tq) in zip(planes, comps):
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        p8 = np.clip(np.round(plane[:ch, :cw]), 0, 255).astype(np.uint8)
+        if hi != hmax or vi != vmax:
+            p8 = np.repeat(np.repeat(p8, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p8[:h, :w])
+    return out_planes
+
+
+def decode_jpeg(payload: bytes) -> "np.ndarray":
+    """:func:`decode_jpeg_planes` plus BT.601 color de-correlation:
+    returns (h, w) uint8 for grayscale, (h, w, 3) RGB for color.
+    Color conversion runs on the rounded 8-bit samples — the form
+    every integer decoder uses, and what keeps plane statistics
+    integer-exact for the oracle fixtures."""
+    planes = decode_jpeg_planes(payload)
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
@@ -631,6 +761,169 @@ FROM blk GROUP BY doc_id, w8, h8 ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# The q151 fixture: 4:2:0 color — q148's luma family + per-MCU-constant
+# chroma at 128 + 17t (CHROMA_Q's Q00 = 17, so the chroma DC quantizes
+# exactly and the full subsampled round trip is bit-exact)
+# ---------------------------------------------------------------------------
+
+
+def synth_jpeg420_planes(doc_id: int) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Deterministic YCbCr planes whose 4:2:0 JPEG round-trip is
+    EXACT. Luma is the q148 family (block-constant + u=4 basis,
+    exact under LUMA_Q). Chroma is constant per 16x16 MCU at
+    ``128 + 17t``, t ∈ [-6, 6] — constant full-res chroma per MCU
+    box-averages exactly to a constant 8x8 chroma block, whose lone
+    DC coefficient ``8·17t`` divides CHROMA_Q's Q00=17 without
+    remainder; replication upsampling then reproduces the constant.
+    w = 8·(2 + id%3) includes 24 → a PARTIAL trailing MCU in x, so
+    the edge-replication pad and the decoder's ceil-crop contract
+    are load-bearing under the value hash."""
+    w8, h8 = 2 + doc_id % 3, 2 + doc_id % 2
+    w, h = 8 * w8, 8 * h8
+    bx = np.arange(w8)[None, :]
+    by = np.arange(h8)[:, None]
+    v = 2 * ((17 * bx + 31 * by + doc_id) % 106) + 20
+    a = (bx + 2 * by + doc_id) % 5 - 2
+    y = (
+        np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+        + np.repeat(np.repeat(3 * a, 8, axis=0), 8, axis=1) * np.tile(_G, w8)[None, :]
+    ).astype(np.uint8)
+    gx, gy = np.meshgrid(np.arange(w) // 16, np.arange(h) // 16)
+    cb = (128 + 17 * ((3 * gx + 5 * gy + doc_id) % 13 - 6)).astype(np.uint8)
+    cr = (128 + 17 * ((7 * gx + 11 * gy + 2 * doc_id) % 13 - 6)).astype(np.uint8)
+    return y, cb, cr
+
+
+def synth_jpeg420_payloads(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): REAL 4:2:0 baseline JPEG bytes
+    of the exact-round-trip color fixture."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg_ycbcr(*synth_jpeg420_planes(int(d)), "420")
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    from .multimodal import spread_ids
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+JPEG420_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, n_px bigint, "
+    "sum_y bigint, sum_sq_y bigint, sum_cb bigint, sum_cr bigint"
+)
+
+
+def jpeg420_decode_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL subsampled-JPEG decode → integer per-plane statistics,
+    Arrow-batched. ``sum_sq_y`` sees the luma AC term; ``sum_cb`` /
+    ``sum_cr`` are sums over the replication-UPSAMPLED full-res
+    chroma, so a wrong MCU interleave order, chroma table selection,
+    upsample factor, or ceil-crop all break the hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "width", "height", "n_px", "sum_y", "sum_sq_y",
+                "sum_cb", "sum_cr")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                y, cb, cr = (pl.astype(np.int64) for pl in decode_jpeg_planes(bytes(p)))
+                h, w = y.shape
+                out["doc_id"].append(int(d))
+                out["width"].append(w); out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_y"].append(int(y.sum()))
+                out["sum_sq_y"].append(int((y * y).sum()))
+                out["sum_cb"].append(int(cb.sum()))
+                out["sum_cr"].append(int(cr.sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, schema=JPEG420_STATS_SCHEMA)
+
+
+_JPEG420_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS w8,
+         2 + doc_id % 2 AS h8
+  FROM documents
+), luma AS (
+  SELECT d.doc_id,
+         SUM(64 * (2 * ((17 * bx.bx + 31 * by.by + d.doc_id) % 106) + 20)) AS sum_y,
+         SUM(64 * (2 * ((17 * bx.bx + 31 * by.by + d.doc_id) % 106) + 20)
+                * (2 * ((17 * bx.bx + 31 * by.by + d.doc_id) % 106) + 20)
+             + 576 * ((bx.bx + 2 * by.by + d.doc_id) % 5 - 2)
+                   * ((bx.bx + 2 * by.by + d.doc_id) % 5 - 2)) AS sum_sq_y
+  FROM dims d,
+       (SELECT unnest(range(4)) AS bx) bx,
+       (SELECT unnest(range(3)) AS by) by
+  WHERE bx.bx < d.w8 AND by.by < d.h8
+  GROUP BY d.doc_id
+), chroma AS (
+  SELECT d.doc_id,
+         SUM((128 + 17 * ((3 * mx.mx + 5 * my.my + d.doc_id) % 13 - 6))
+             * LEAST(16, 8 * d.w8 - 16 * mx.mx)
+             * LEAST(16, 8 * d.h8 - 16 * my.my)) AS sum_cb,
+         SUM((128 + 17 * ((7 * mx.mx + 11 * my.my + 2 * d.doc_id) % 13 - 6))
+             * LEAST(16, 8 * d.w8 - 16 * mx.mx)
+             * LEAST(16, 8 * d.h8 - 16 * my.my)) AS sum_cr
+  FROM dims d,
+       (SELECT unnest(range(2)) AS mx) mx,
+       (SELECT unnest(range(2)) AS my) my
+  WHERE 16 * mx.mx < 8 * d.w8 AND 16 * my.my < 8 * d.h8
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(8 * d.w8 AS INT) AS width,
+       CAST(8 * d.h8 AS INT) AS height,
+       CAST(64 * d.w8 * d.h8 AS BIGINT) AS n_px,
+       CAST(l.sum_y AS BIGINT) AS sum_y,
+       CAST(l.sum_sq_y AS BIGINT) AS sum_sq_y,
+       CAST(c.sum_cb AS BIGINT) AS sum_cb,
+       CAST(c.sum_cr AS BIGINT) AS sum_cr
+FROM dims d
+JOIN luma l USING (doc_id)
+JOIN chroma c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q151_jpeg_subsampled_stats",
+    oracle=_JPEG420_ORACLE,
+    doc="REAL 4:2:0 chroma-subsampled JPEG decode (round-10, closing "
+    "the dominant real-corpus image shape): deterministic YCbCr "
+    "planes — the q148 luma family plus per-MCU-constant chroma at "
+    "128+17t — are box-decimated, MCU-interleaved (Y 2x2 + Cb + Cr "
+    "blocks per MCU, chroma on its OWN DHT tables), entropy-coded, "
+    "then decoded back from the spec alone: sampling factors parsed "
+    "from SOF0, per-component MCU block placement, ceil-sized "
+    "component crops, replication upsampling to the full grid. The "
+    "fixture quantizes exactly under both Annex-K tables (luma as in "
+    "q148; chroma DC 8·17t divides Q00=17), so the full lossy "
+    "subsampled pipeline is integer-EXACT and DuckDB replays every "
+    "plane sum in closed form — w=24 images carry a PARTIAL trailing "
+    "MCU, putting the pad/crop contract under the value hash. "
+    "Remaining in-format seams: progressive JPEG, restart intervals, "
+    "non-integer sampling ratios. Plan shape as q148: ids fan-out + "
+    "two MapInPandas, payload bytes never shuffle, presentation sort "
+    "on the 8-column stats frame.",
+)
+def q151_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return jpeg420_decode_stats(synth_jpeg420_payloads(d)).orderBy("doc_id")
+
+
 @register(
     "q148_jpeg_decode_stats",
     oracle=_JPEG_ORACLE,
@@ -647,8 +940,8 @@ FROM blk GROUP BY doc_id, w8, h8 ORDER BY doc_id
     "without remainder), so DuckDB replays the decoded pixels in "
     "closed form — sum_sq sees the AC term (576·a² per block), so one "
     "wrong huffman bit or IDCT scale factor breaks the value hash. "
-    "Remaining multimodal seams: progressive/subsampled JPEG, WebP/"
-    "AVIF, FLAC/H.264. Payload bytes never shuffle — the exchanges "
+    "Remaining multimodal seams: progressive JPEG, WebP/AVIF, H.264 "
+    "(4:2:0/4:2:2 joined as q151; FLAC as q149, GIF as q150). Payload bytes never shuffle — the exchanges "
     "are the 8-byte ids fan-out (spread_ids, full decode parallelism "
     "at any corpus split count) and the 6-column stats frame's "
     "presentation sort.",

@@ -25,8 +25,11 @@ from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg impor
     _encode_scan,
     _seg,
     decode_jpeg,
+    decode_jpeg_planes,
     encode_jpeg,
+    encode_jpeg_ycbcr,
     synth_jpeg_pixels,
+    synth_jpeg420_planes,
 )
 
 #: The ITU T.81 Annex K DC luminance table — a NON-flat bits
@@ -143,12 +146,26 @@ def test_loud_seams_and_corruption():
     for cut in (len(good) // 3, len(good) - 3):
         with pytest.raises(ValueError):
             decode_jpeg(good[:cut])
-    # chroma subsampling (2x2 sampling factors) is the seam
+    # single-component scans are non-interleaved (T.81 A.2.2): the
+    # sampling factors are ignored, so patching them must not change
+    # the decode
     sof_at = good.index(b"\xff\xc0")
     sub = bytearray(good)
     sub[sof_at + 11] = 0x22  # component 1 sampling h=2,v=2
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        decode_jpeg(bytes(sub))
+    assert (decode_jpeg(bytes(sub)) == synth_jpeg_pixels(3)).all()
+    # a sampling ratio that doesn't divide the MCU grid is the seam
+    color = encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), "420")
+    csof = color.index(b"\xff\xc0")
+    bad = bytearray(color)
+    bad[csof + 11] = 0x31  # luma 3x1 vs chroma 1x1: 3 % 1 ok, but
+    bad[csof + 14] = 0x21  # chroma-Cb 2x1: 3 % 2 != 0 → seam
+    with pytest.raises(NotImplementedError, match="sampling ratio"):
+        decode_jpeg(bytes(bad))
+    # out-of-spec sampling factors are corruption, not a seam
+    zero = bytearray(color)
+    zero[csof + 11] = 0x02
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg(bytes(zero))
     # nonzero restart interval is the seam
     dri = good[:2] + _seg(0xDD, struct.pack(">H", 4)) + good[2:]
     with pytest.raises(NotImplementedError, match="restart"):
@@ -156,6 +173,60 @@ def test_loud_seams_and_corruption():
     # not a JPEG at all
     with pytest.raises(NotImplementedError, match="signature"):
         decode_jpeg(b"GIF89a")
+
+
+def test_420_fixture_roundtrips_exactly():
+    """The q151 fixture: q148 luma + per-MCU-constant chroma at
+    128+17t survives the FULL 4:2:0 pipeline (box decimation, MCU
+    interleave, chroma DHT-1 tables, huffman, IDCT, replication
+    upsample, ceil-crop) bit-for-bit per plane — the property the
+    q151 oracle replay rests on. id%3==1 widths (24 px) carry a
+    partial trailing MCU."""
+    for d in range(40):
+        y, cb, cr = synth_jpeg420_planes(d)
+        pl = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, "420"))
+        assert (pl[0] == y).all() and (pl[1] == cb).all() and (pl[2] == cr).all(), d
+
+
+def test_subsampled_general_images_bounded_error():
+    """4:2:0 and 4:2:2 on a smooth color gradient: chroma decimation
+    + DC quantization keeps the error small; odd (non-multiple-of-
+    MCU) dims crop to the true size."""
+    yy, xx = np.mgrid[0:20, 0:30]
+    img = np.stack(
+        [((yy * 3 + xx * 2) % 200 + 20), ((yy * 2 + xx) % 180 + 30),
+         ((yy + xx * 3) % 160 + 40)], axis=2
+    ).astype(np.uint8)
+    for mode in ("422", "420"):
+        dec = decode_jpeg(encode_jpeg(img, mode))
+        assert dec.shape == (20, 30, 3)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16, mode
+
+
+def test_420_mcu_interleave_order_is_y4_cb_cr():
+    """Pin the T.81 A.2.3 block order inside a 4:2:0 MCU (Y raster
+    2x2, then Cb, then Cr) by giving each luma block a distinct
+    constant: a decoder that walked blocks in any other order would
+    scramble the quadrants."""
+    y = np.zeros((16, 16), dtype=np.uint8)
+    vals = [40, 80, 120, 160]
+    y[:8, :8], y[:8, 8:], y[8:, :8], y[8:, 8:] = vals
+    cb = np.full((16, 16), 128 + 17 * 2, dtype=np.uint8)
+    cr = np.full((16, 16), 128 - 17 * 3, dtype=np.uint8)
+    pl = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, "420"))
+    assert (pl[0] == y).all()
+    assert (pl[1] == cb).all() and (pl[2] == cr).all()
+
+
+def test_q151_matches_oracle(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    from .oracle_check import compare
+
+    q = all_queries()["q151_jpeg_subsampled_stats"]
+    assert compare(spark, "q151", q.build, q.oracle, "/root/testdata/sf0.001") == []
 
 
 def test_decode_image_dispatches_jpeg():
