@@ -15,9 +15,10 @@ constraints. What makes it a real test of entropy-coded decoding:
   4-bit params, 0b1111 escape to verbatim residuals, partition
   orders), and a final MD5 check of the decoded PCM against the
   STREAMINFO digest — an end-to-end integrity proof the format
-  itself ships. LPC subframes and decorrelated stereo frames
-  (left/side, side/right, mid/side — what real-world encoders emit)
-  decode too. Non-16-bit depths and wasted-bits subframes raise
+  itself ships. LPC subframes, decorrelated stereo frames
+  (left/side, side/right, mid/side — what real-world encoders emit),
+  wasted-bits subframes, and every byte-aligned bit depth
+  (8/16/24/32) decode too. 12/20-bit depths raise
   NotImplementedError (the remaining in-format seam).
 - **Encoder** (:func:`encode_flac`): per block, tries CONSTANT and
   fixed predictors of order 0-2, picks the cheapest by exact coded
@@ -220,17 +221,46 @@ def _residuals(samples: list[int], order: int) -> list[int]:
     return out.tolist()
 
 
-def encode_flac(samples: "np.ndarray", sample_rate: int) -> bytes:
-    """REAL FLAC from an (n, channels) int16 array: STREAMINFO with
+#: frame-header bits-per-sample codes, RFC 9639 §9.1.4 (byte-aligned
+#: depths only — 12/20-bit remain the documented seam)
+_BPS_CODE = {8: 0b001, 16: 0b100, 24: 0b110, 32: 0b111}
+_BPS_FROM_CODE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
+
+
+def _pack_pcm(arr: "np.ndarray", bps: int) -> bytes:
+    """Interleaved little-endian signed PCM at bps/8 bytes per sample
+    — the byte stream the spec's STREAMINFO MD5 digests."""
+    if bps == 8:
+        return arr.astype("<i1").tobytes()
+    if bps == 16:
+        return arr.astype("<i2").tobytes()
+    if bps == 32:
+        return arr.astype("<i4").tobytes()
+    # 24-bit: the low three bytes of the little-endian int32 form
+    b = np.frombuffer(arr.astype("<i4").tobytes(), dtype=np.uint8)
+    return b.reshape(-1, 4)[:, :3].tobytes()
+
+
+def encode_flac(samples: "np.ndarray", sample_rate: int, bps: int = 16) -> bytes:
+    """REAL FLAC from an (n, channels) integer array: STREAMINFO with
     the true PCM MD5, fixed-blocksize frames, per-channel best-of
-    CONSTANT / fixed-predictor-order-{0,1,2} subframes, rice
-    residuals, real CRC-8/CRC-16."""
+    CONSTANT / fixed-predictor-order-{0,1,2} subframes (with
+    wasted-bits detection — shared trailing zero bits move to the
+    subframe header, the move real encoders make on upscaled audio),
+    rice residuals, real CRC-8/CRC-16. ``bps`` ∈ {8, 16, 24, 32}."""
+    if bps not in _BPS_CODE:
+        raise NotImplementedError(
+            f"{bps}-bit FLAC: only byte-aligned depths (8/16/24/32) are implemented"
+        )
     n, ch = samples.shape
     if ch not in (1, 2):
         raise NotImplementedError("only mono/stereo")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise ValueError(f"sample out of {bps}-bit range")
     # PCM MD5 over interleaved little-endian samples (the spec's raw
     # unencoded-audio digest — decoders verify decoded output with it)
-    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_pack_pcm(samples, bps)).digest()
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
@@ -240,7 +270,7 @@ def encode_flac(samples: "np.ndarray", sample_rate: int) -> bytes:
     si.put(0, 24)  # max framesize unknown
     si.put(sample_rate, 20)
     si.put(ch - 1, 3)
-    si.put(15, 5)  # bits-per-sample - 1 = 15
+    si.put(bps - 1, 5)
     si.put(n, 36)
     body = si.bytes() + md5
     out += bytes([0x80, 0, 0, len(body)]) + body  # last-block STREAMINFO
@@ -250,28 +280,47 @@ def encode_flac(samples: "np.ndarray", sample_rate: int) -> bytes:
         bs = block.shape[0]
         head = bytearray(b"\xff\xf8")  # sync + fixed blocking strategy
         head.append(0x70)  # blocksize code 0b0111 (16-bit at end), rate code 0
-        head.append(((ch - 1) << 4) | (0b100 << 1))  # channels, 16-bit, reserved
+        head.append(((ch - 1) << 4) | (_BPS_CODE[bps] << 1))  # channels, depth
         head += _utf8_number(fno)
         head += struct.pack(">H", bs - 1)
         head.append(_crc8(bytes(head)))
 
         w = _BitWriter()
         for c in range(ch):
-            _write_subframe(w, [int(v) for v in block[:, c]])
+            _write_subframe(w, [int(v) for v in block[:, c]], bps)
         w.pad_to_byte()
         frame = bytes(head) + w.bytes()
         out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
 
 
-def _write_subframe(w: _BitWriter, chan: list[int]) -> None:
+def _write_subframe(w: _BitWriter, chan: list[int], bps: int = 16) -> None:
     """Pick CONSTANT or the cheapest fixed order in {0,1,2} by exact
-    coded size, then emit header + warmup + rice residual."""
-    if all(v == chan[0] for v in chan):
+    coded size, then emit header + warmup + rice residual. Trailing
+    zero bits shared by every sample are stripped into the header's
+    wasted-bits field first (RFC 9639 §9.2.1)."""
+    nonzero = [v for v in chan if v]
+    wasted = 0
+    if nonzero:
+        wasted = min((v & -v).bit_length() - 1 for v in nonzero)
+        wasted = min(wasted, bps - 1)
+    if wasted:
+        chan = [v >> wasted for v in chan]
+        bps -= wasted
+
+    def header(type_bits: int) -> None:
         w.put(0, 1)  # zero pad
-        w.put(0b000000, 6)  # CONSTANT
-        w.put(0, 1)  # no wasted bits
-        w.put(chan[0] & 0xFFFF, 16)
+        w.put(type_bits, 6)
+        if wasted:
+            w.put(1, 1)
+            w.put_unary(wasted - 1)
+        else:
+            w.put(0, 1)
+
+    mask = (1 << bps) - 1
+    if all(v == chan[0] for v in chan):
+        header(0b000000)  # CONSTANT
+        w.put(chan[0] & mask, bps)
         return
     best = None
     for order in (0, 1, 2):
@@ -279,15 +328,23 @@ def _write_subframe(w: _BitWriter, chan: list[int]) -> None:
             break
         resid = _residuals(chan, order)
         p, bits = _best_rice_param(resid)
-        total = order * 16 + bits
+        total = order * bps + bits
         if best is None or total < best[3]:
             best = (order, resid, p, total)
     order, resid, p, _ = best
-    w.put(0, 1)
-    w.put(0b001000 | order, 6)  # FIXED, order
-    w.put(0, 1)
+    if best[3] > len(chan) * bps:
+        # rice coding loses to raw samples (incompressible signals —
+        # e.g. full-range 24/32-bit noise, where even the best rice
+        # parameter leaves enormous unary quotients): emit VERBATIM,
+        # which bounds the subframe at bps bits/sample like every
+        # real encoder does
+        header(0b000001)  # VERBATIM
+        for v in chan:
+            w.put(v & mask, bps)
+        return
+    header(0b001000 | order)  # FIXED, order
     for v in chan[:order]:  # warmup, verbatim
-        w.put(v & 0xFFFF, 16)
+        w.put(v & mask, bps)
     w.put(0b00, 2)  # rice method, 4-bit params
     w.put(0, 4)  # partition order 0 → one partition
     w.put(p, 4)
@@ -299,12 +356,14 @@ def _write_subframe(w: _BitWriter, chan: list[int]) -> None:
 
 
 def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
-    """REAL FLAC decode → ((n, channels) int16, sample_rate), with
-    CRC-8/CRC-16 verification per frame and the STREAMINFO MD5
+    """REAL FLAC decode → ((n, channels) int array, sample_rate),
+    with CRC-8/CRC-16 verification per frame and the STREAMINFO MD5
     verified against the decoded PCM. CONSTANT/VERBATIM/FIXED/LPC
-    subframes and all four channel assignments (independent + the
-    three decorrelated stereo forms) decode; non-16-bit depths and
-    wasted-bits subframes raise NotImplementedError."""
+    subframes, wasted-bits subframes, all four channel assignments
+    (independent + the three decorrelated stereo forms), and every
+    byte-aligned bit depth (8/16/24/32 → int8/int16/int32 output)
+    decode; 12/20-bit depths raise NotImplementedError (the
+    remaining in-format seam)."""
     if payload[:4] != b"fLaC":
         raise NotImplementedError("not a FLAC signature")
     pos = 4
@@ -335,13 +394,15 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     bps = r.read(5) + 1
     total = r.read(36)
     md5_expect = streaminfo[18:34]
-    if bps != 16:
-        raise NotImplementedError("only 16-bit FLAC")
+    if bps not in (8, 16, 24, 32):
+        raise NotImplementedError(
+            f"{bps}-bit FLAC: only byte-aligned depths (8/16/24/32) are implemented"
+        )
 
     chans: list[list[int]] = [[] for _ in range(ch)]
     while pos < len(payload) and sum(len(c) for c in chans) < total * ch:
         try:
-            pos = _decode_frame(payload, pos, ch, chans)
+            pos = _decode_frame(payload, pos, ch, chans, bps)
         except (IndexError, struct.error) as e:
             # a desynced rice stream (one flipped bit shifts every
             # boundary after it) can run past the buffer before the
@@ -353,16 +414,17 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     if any(len(c) != total for c in chans):
         raise ValueError("FLAC stream ended short of STREAMINFO total")
     arr = np.stack([np.array(c, dtype=np.int64) for c in chans], axis=1)
-    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
-        raise ValueError("decoded sample out of int16 range")
-    out = arr.astype(np.int16)
-    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if arr.size and (arr.max() > hi or arr.min() < lo):
+        raise ValueError(f"decoded sample out of {bps}-bit range")
+    out = arr.astype(np.int8 if bps == 8 else np.int16 if bps == 16 else np.int32)
+    if hashlib.md5(_pack_pcm(out, bps)).digest() != md5_expect:
         raise ValueError("decoded PCM contradicts the STREAMINFO MD5")
     return out, rate
 
 
 def _decode_frame(
-    payload: bytes, pos: int, ch: int, chans: list[list[int]]
+    payload: bytes, pos: int, ch: int, chans: list[list[int]], bps: int
 ) -> int:
     """Decode ONE frame starting at ``pos``; extend ``chans`` and
     return the position after the frame CRC."""
@@ -384,8 +446,12 @@ def _decode_frame(
             raise ValueError("decorrelated stereo frame in a non-stereo stream")
     elif chan_asgn + 1 != ch:
         raise ValueError("frame channel count != STREAMINFO")
-    if size_code not in (0b100,):
-        raise NotImplementedError("only 16-bit FLAC frames")
+    if size_code != 0:  # 0 = get depth from STREAMINFO
+        coded_bps = _BPS_FROM_CODE.get(size_code)
+        if coded_bps is None:
+            raise ValueError(f"reserved bit-depth code {size_code:#05b}")
+        if coded_bps != bps:
+            raise ValueError("frame bit depth contradicts STREAMINFO")
     _, pos = _read_utf8_number(payload, pos + 4)
     # block size: the spec's fixed table, plus the two from-end codes
     # (real-world encoders emit the table codes, e.g. 1100 = 4096;
@@ -420,11 +486,11 @@ def _decode_frame(
     br = _BitReader(payload, pos)
     if not decorrelated:
         for c in range(ch):
-            chans[c].extend(_read_subframe(br, bs, 16))
+            chans[c].extend(_read_subframe(br, bs, bps))
     else:
         side_first = chan_asgn == 9
-        a = _read_subframe(br, bs, 17 if side_first else 16)
-        b = _read_subframe(br, bs, 16 if side_first else 17)
+        a = _read_subframe(br, bs, bps + 1 if side_first else bps)
+        b = _read_subframe(br, bs, bps if side_first else bps + 1)
         if chan_asgn == 8:  # left/side: R = L - side
             left, side = a, b
             right = [l - s for l, s in zip(left, side)]
@@ -454,12 +520,22 @@ def _read_subframe(br: _BitReader, bs: int, bps: int) -> list[int]:
     if br.read(1) != 0:
         raise ValueError("subframe padding bit set")
     stype = br.read(6)
-    if br.read(1) != 0:
-        raise NotImplementedError("wasted-bits subframes")
+    wasted = 0
+    if br.read(1):
+        # wasted bits (RFC 9639 §9.2.1): k-1 unary-coded; the subframe
+        # codes samples k bits narrower and the decoder shifts back
+        wasted = br.read_unary() + 1
+        if wasted >= bps:
+            raise ValueError("wasted bits exceed the bit depth")
+        bps -= wasted
+
+    def done(vals: list[int]) -> list[int]:
+        return [v << wasted for v in vals] if wasted else vals
+
     if stype == 0b000000:  # CONSTANT
-        return [br.read_signed(bps)] * bs
+        return done([br.read_signed(bps)] * bs)
     if stype == 0b000001:  # VERBATIM
-        return [br.read_signed(bps) for _ in range(bs)]
+        return done([br.read_signed(bps) for _ in range(bs)])
     if 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
         order = stype & 0x07
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -468,7 +544,7 @@ def _read_subframe(br: _BitReader, bs: int, bps: int) -> list[int]:
         coefs = _FIXED_COEFS[order]
         for r in resid:
             out.append(r + sum(c * out[-j - 1] for j, c in enumerate(coefs)))
-        return out
+        return done(out)
     if stype >= 0b100000:  # LPC, order 1-32 (RFC 9639 §9.2.3)
         # our encoder never emits LPC (fixed predictors suffice for
         # the deterministic fixtures), but real-world FLAC is mostly
@@ -488,7 +564,7 @@ def _read_subframe(br: _BitReader, bs: int, bps: int) -> list[int]:
         for r in resid:
             pred = sum(c * out[-j - 1] for j, c in enumerate(coefs)) >> shift
             out.append(r + pred)
-        return out
+        return done(out)
     raise ValueError(f"reserved subframe type {stype:#08b}")
 
 
@@ -595,8 +671,9 @@ FROM base ORDER BY doc_id
     "wrong bit in the rice/predictor/CRC chain breaks the hash (or "
     "the in-stream MD5 first). The decoder additionally accepts LPC "
     "subframes and decorrelated (left/side, side/right, mid/side) "
-    "stereo frames — what real-world encoders emit. Remaining "
-    "in-format seams: non-16-bit depths, wasted-bits subframes. Payload bytes never shuffle; the "
+    "stereo frames, wasted-bits subframes, and 8/24/32-bit depths — "
+    "what real-world encoders emit. Remaining in-format seam: "
+    "non-byte-aligned 12/20-bit depths. Payload bytes never shuffle; the "
     "exchanges are the ids fan-out and the presentation sort.",
 )
 def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,54 @@ def test_loud_seams():
         decode_flac(bytes(patched))
 
 
+def test_byte_aligned_bit_depths_round_trip():
+    """8/24/32-bit streams (round-10 second pass): encoder writes the
+    RFC 9639 frame depth codes and packs the STREAMINFO MD5 at the
+    true byte width; decoder returns the matching dtype. 12-bit is
+    the remaining seam and stays loud."""
+    rng = np.random.default_rng(11)
+    for bps, lo, hi, dt in (
+        (8, -128, 128, np.int8),
+        (24, -(1 << 23), 1 << 23, np.int32),
+        (32, -(1 << 31), 1 << 31, np.int32),
+    ):
+        s = rng.integers(lo, hi, (520, 2)).astype(np.int64)
+        out, rate = decode_flac(encode_flac(s, 22050, bps=bps))
+        assert out.dtype == dt and (out == s).all(), bps
+    with pytest.raises(NotImplementedError, match="byte-aligned"):
+        encode_flac(np.zeros((8, 1), dtype=np.int64), 8000, bps=12)
+
+
+def test_wasted_bits_round_trip_and_actually_used():
+    """Samples sharing trailing zero bits (upscaled audio): the
+    encoder moves them to the subframe header's wasted-bits field —
+    the <<3 stream must NOT cost ~3 extra bits/sample over the
+    unshifted one — and the decoder shifts them back exactly."""
+    rng = np.random.default_rng(13)
+    base = rng.integers(-3500, 3500, (512, 2)).astype(np.int64)
+    enc_plain = encode_flac(base, 16000)
+    enc_shift = encode_flac(base << 3, 16000)
+    out, _ = decode_flac(enc_shift)
+    assert (out == (base << 3)).all()
+    # without wasted bits this would be ~3*512*2/8 = 384 bytes bigger
+    assert len(enc_shift) < len(enc_plain) + 64
+
+
+def test_incompressible_signal_falls_back_to_verbatim():
+    """Full-range 32-bit noise is rice-incompressible (the best
+    parameter still leaves huge unary quotients): the encoder must
+    emit VERBATIM subframes — bounded at bps bits/sample — and the
+    stream still round-trips. Pins the fallback real encoders use;
+    without it this encode takes minutes and gigabytes."""
+    rng = np.random.default_rng(17)
+    s = rng.integers(-(1 << 31), 1 << 31, (512, 1)).astype(np.int64)
+    enc = encode_flac(s, 96000, bps=32)
+    # verbatim bound: ~4 bytes/sample + headers
+    assert len(enc) < 512 * 4 + 256
+    out, _ = decode_flac(enc)
+    assert (out == s).all()
+
+
 def test_q149_matches_oracle(spark):
     from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
         all_queries,
