@@ -189,6 +189,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         dq,
         flac,
+        h264,
         jpeg,
         layout,
         multimodal,
