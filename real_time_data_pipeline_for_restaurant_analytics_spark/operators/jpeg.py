@@ -15,10 +15,12 @@ DCT — all implementable exactly from the public spec:
   separable IDCT with final round+clamp. Baseline grayscale, 4:4:4
   color, and chroma-subsampled color (4:2:0/4:2:2 — per-component
   sampling factors, MCU-interleaved scan, replication upsampling;
-  round 10 second pass) are supported; progressive (SOF2),
-  restart-interval, and arithmetic-coded streams raise
-  NotImplementedError — the honest remaining boundary, now INSIDE
-  the format.
+  round 10 second pass) and PROGRESSIVE streams (SOF2 — all four
+  G.1.2 scan kinds with EOB-run coding, accumulated into the
+  coefficient arrays before one vectorized IDCT; round 10 third
+  pass) are supported; restart-interval, arithmetic-coded, and
+  subsampled-progressive streams raise NotImplementedError — the
+  honest remaining boundary, now INSIDE the format.
 - **Encoder** (:func:`encode_jpeg`): the exact inverse pipeline
   (level shift, forward DCT, quantization with the Annex-K-shaped
   quality tables, zigzag, DC-diff + (run,size) huffman with ZRL/EOB,
@@ -184,9 +186,9 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
-        self.pos = 0
+        self.pos = pos
         self._acc = 0
         self._n = 0
 
@@ -457,52 +459,414 @@ def encode_jpeg(pix: "np.ndarray", subsampling: str = "444") -> bytes:
     return encode_jpeg_ycbcr(yp, cbp, crp, subsampling)
 
 
+# Progressive scans need EOBn symbols ((r<<4)|0 for r<15), which the
+# baseline flat table omits — this flat table carries every (run,size)
+# with size 0..10 (176 symbols at 8 bits; EOB0, EOB1..EOB14, ZRL=0xF0)
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _encode_ac_first(zzc: list, ac: dict, al: int) -> bytes:
+    """Progressive AC-first scan (G.1.2.2) over one component's
+    zigzag blocks: point-transformed magnitudes with EOB-run
+    folding of all-insignificant block tails."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            w.put(*ac[rb << 4])
+            if rb:
+                w.put(eobrun - (1 << rb), rb)
+            eobrun = 0
+
+    for row in zzc:
+        for zzv in row:
+            r = 0
+            for k in range(1, 64):
+                v = zzv[k]
+                m = abs(v) >> al
+                if m == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    w.put(*ac[0xF0])  # ZRL
+                    r -= 16
+                size = m.bit_length()
+                w.put(*ac[(r << 4) | size])
+                _, raw = _magnitude_bits(m if v > 0 else -m)
+                w.put(raw, size)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    return w.flush()
+
+
+def _encode_ac_refine(zzc: list, ac: dict, al: int) -> bytes:
+    """Progressive AC-refinement scan (G.1.2.3): correction bits for
+    already-significant coefficients interleaved with newly-
+    significant ±2^Al emissions; tails fold into EOB runs whose
+    buffered correction bits trail the EOBn symbol — the exact
+    libjpeg emission discipline the decoder mirrors."""
+    w = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            rb = eobrun.bit_length() - 1
+            w.put(*ac[rb << 4])
+            if rb:
+                w.put(eobrun - (1 << rb), rb)
+            for b in pending:
+                w.put(b, 1)
+            eobrun = 0
+            pending = []
+
+    for row in zzc:
+        for zzv in row:
+            absv = [abs(v) >> al for v in zzv]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    flush()
+                    w.put(*ac[0xF0])  # ZRL
+                    r -= 16
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                if t > 1:  # already significant → one correction bit
+                    br.append(t & 1)
+                    continue
+                flush()
+                w.put(*ac[(r << 4) | 1])
+                w.put(1 if zzv[k] > 0 else 0, 1)
+                for b in br:
+                    w.put(b, 1)
+                br = []
+                r = 0
+            if r or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    return w.flush()
+
+
+def encode_jpeg_progressive(pix: "np.ndarray") -> bytes:
+    """REAL progressive JPEG writer (SOF2): grayscale or 4:4:4 color,
+    four-stage scan script per component — interleaved DC-first at
+    Al=1, interleaved DC-refinement raw bits, AC-first 1..63 at Al=1,
+    AC-refinement — so a decoder must get every G.1.2 scan kind right
+    to reproduce the coefficients. Progressive is an entropy-layer
+    REARRANGEMENT of the same quantized coefficients as baseline, so
+    any fixture that round-trips through SOF0 exactly round-trips
+    through this writer too."""
+    if pix.ndim == 2:
+        planes = [pix]
+        qids = [0]
+        qtables = [LUMA_Q]
+    else:
+        planes = _rgb_to_ycbcr(pix)
+        qids = [0, 1, 1]
+        qtables = [LUMA_Q, CHROMA_Q]
+    h, w = planes[0].shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    zz = []
+    for plane, qid in zip(planes, qids):
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        zz.append(_fdct_quant(padded, qtables[qid])[:, :, _ZZ_Y, _ZZ_X].tolist())
+    bh, bw = ph // 8, pw // 8
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtables):
+        out += _seg(0xDB, _dqt_payload(tid, q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    out += _seg(0xC4, _dht_payload(0, 0, DC_BITS, DC_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+    dc = _canonical_codes(DC_BITS, DC_VALS)
+    ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        return _seg(0xDA, seg + bytes([ss, se, (ah << 4) | al]))
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    # scan 1: DC first, interleaved, Al=1 (arithmetic-shifted diffs)
+    w1 = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                v = zz[ci][by][bx][0] >> 1
+                size, raw = _magnitude_bits(v - pred[ci])
+                pred[ci] = v
+                w1.put(*dc[size])
+                if size:
+                    w1.put(raw, size)
+    out += sos(all_ids, 0, 0, 0, 1) + w1.flush()
+    # scan 2: DC refinement — the low bit, raw, one per block
+    w2 = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(ncomp):
+                w2.put(zz[ci][by][bx][0] & 1, 1)
+    out += sos(all_ids, 0, 0, 1, 0) + w2.flush()
+    # scans 3..: per-component AC first then AC refinement
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 1) + _encode_ac_first(zz[ci], ac, 1)
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0) + _encode_ac_refine(zz[ci], ac, 0)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
+def _iter_scan_blocks(scan_idx, comps, hmax, vmax, n_mcx, n_mcy, w, h):
+    """Yield (ci, by, bx) in coded order: MCU-interleaved with Hi×Vi
+    blocks per component for multi-component scans (T.81 A.2.3); the
+    component's OWN ceil-sized block raster for single-component
+    scans (A.2.2 non-interleaved)."""
+    if len(scan_idx) > 1:
+        for my in range(n_mcy):
+            for mx in range(n_mcx):
+                for ci in scan_idx:
+                    hi, vi = comps[ci][1], comps[ci][2]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield ci, my * vi + v, mx * hi + u
+    else:
+        ci = scan_idx[0]
+        hi, vi = comps[ci][1], comps[ci][2]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield ci, by, bx
+
+
+def _decode_scan(reader, scan_sel, band, comps, coefs, hufftables, grid,
+                 progressive):
+    """Entropy-decode ONE scan into the zigzag coefficient arrays.
+    ``band`` = (Ss, Se, Ah, Al). Baseline scans must cover the full
+    band with no point transform; progressive scans follow the T.81
+    G.1.2 split: DC-first/DC-refine (interleaved allowed) and
+    single-component AC-first/AC-refine with EOB-run coding and
+    in-place coefficient refinement."""
+    ss, se, ah, al = band
+    hmax, vmax, n_mcx, n_mcy, w, h = grid
+    scan_idx = []
+    dctab, actab = {}, {}
+    for scid, tsel in scan_sel:
+        matches = [i for i, c in enumerate(comps) if c[0] == scid]
+        if not matches:
+            raise ValueError("SOS references a component absent from SOF")
+        ci = matches[0]
+        scan_idx.append(ci)
+        dctab[ci] = hufftables.get((0, tsel >> 4))
+        actab[ci] = hufftables.get((1, tsel & 0x0F))
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("baseline scan with progressive band parameters")
+    else:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan_idx) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    need_dc = ss == 0
+    need_ac = se > 0
+    for ci in scan_idx:
+        if (need_dc and ah == 0 and dctab[ci] is None) or (
+            need_ac and actab[ci] is None
+        ):
+            raise ValueError("JPEG scan references an undefined DHT table")
+
+    pred = {ci: 0 for ci in scan_idx}
+    eobrun = 0
+    for ci, by, bx in _iter_scan_blocks(
+        scan_idx, comps, hmax, vmax, n_mcx, n_mcy, w, h
+    ):
+        coef = coefs[ci][by][bx]
+        if not progressive:
+            size = _decode_symbol(reader, dctab[ci])
+            if size > 11:
+                raise ValueError("invalid DC size category")
+            pred[ci] += _extend(reader.bits(size), size)
+            coef[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = _decode_symbol(reader, actab[ci])
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("AC coefficient index out of range")
+                coef[k] = _extend(reader.bits(size), size)
+                k += 1
+        elif ss == 0 and ah == 0:  # DC first
+            size = _decode_symbol(reader, dctab[ci])
+            if size > 11:
+                raise ValueError("invalid DC size category")
+            pred[ci] += _extend(reader.bits(size), size)
+            coef[0] = pred[ci] << al
+        elif ss == 0:  # DC refinement: one raw bit per block
+            if reader.bit():
+                coef[0] |= 1 << al
+        elif ah == 0:  # AC first (G.1.2.2): EOB-run coding
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _decode_symbol(reader, actab[ci])
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC coefficient index out of range")
+                coef[k] = _extend(reader.bits(size), size) << al
+                k += 1
+        else:  # AC refinement (G.1.2.3)
+            p1 = 1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _decode_symbol(reader, actab[ci])
+                    run, size = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run != 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += reader.bits(run)
+                            break
+                        # run == 15: ZRL — pass 16 zero-history coeffs
+                    else:
+                        if size != 1:
+                            raise ValueError(
+                                "AC refinement symbol with size != 1"
+                            )
+                        newval = p1 if reader.bit() else -p1
+                    # advance past `run` zero-history coefficients,
+                    # refining every nonzero-history one on the way
+                    while k <= se:
+                        c = coef[k]
+                        if c != 0:
+                            if reader.bit() and (abs(c) & p1) == 0:
+                                coef[k] = c + (p1 if c > 0 else -p1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "AC refinement ran past the band end"
+                            )
+                        coef[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB-run tail: correction bits only, for this block's
+                # remaining band and each fully-skipped block after it
+                while k <= se:
+                    c = coef[k]
+                    if c != 0:
+                        if reader.bit() and (abs(c) & p1) == 0:
+                            coef[k] = c + (p1 if c > 0 else -p1)
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
-    """REAL baseline JPEG decode from the spec, stopping at the
-    component planes: marker walk, DHT/DQT parsed from the stream,
-    MCU-interleaved huffman + DC-prediction entropy decode with
-    0xFF00 unstuffing (per-component Hi×Vi sampling factors, T.81
-    A.2.3), dequantize, zigzag de-scan, float64 IDCT, round + clamp
-    to 8-bit samples, crop each component to its ceil(dim·Hi/Hmax)
-    natural size, then replication-upsample chroma to the full (h, w)
-    grid. Returns one uint8 (h, w) plane per component (Y or
-    Y/Cb/Cr). Single-component scans are non-interleaved per the
-    spec, so their sampling factors are ignored. Progressive /
-    restart-interval / arithmetic streams and sampling ratios where
-    Hi∤Hmax raise NotImplementedError (the remaining in-format
-    seams); corrupt or truncated streams raise ValueError."""
+    """REAL JPEG decode from the spec, stopping at the component
+    planes: marker walk, DHT/DQT parsed from the stream, huffman +
+    DC-prediction entropy decode with 0xFF00 unstuffing
+    (per-component Hi×Vi sampling factors, MCU-interleaved, T.81
+    A.2.3), then one vectorized dequantize + zigzag de-scan + float64
+    IDCT over every block, round + clamp to 8-bit samples, crop each
+    component to its ceil(dim·Hi/Hmax) natural size, and replication-
+    upsample chroma to the full (h, w) grid. Both baseline (SOF0,
+    single full-band scan or per-component scans) and PROGRESSIVE
+    (SOF2) streams decode — progressive scans accumulate into the
+    coefficient arrays across DC-first/DC-refine/AC-first/AC-refine
+    passes with EOB-run coding (G.1.2). Returns one uint8 (h, w)
+    plane per component. Single-component images are non-interleaved
+    per the spec, so their sampling factors are ignored. Restart-
+    interval / arithmetic / hierarchical streams, subsampled
+    progressive, and sampling ratios where Hi∤Hmax raise
+    NotImplementedError (the remaining in-format seams); corrupt or
+    truncated streams raise ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG signature")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     hufftables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
-    scan_comps = None
-    data_at = None
-    while pos + 4 <= len(payload):
+    progressive = False
+    coefs = None  # per comp: (bh, bw, 64) int zigzag coefficient lists
+    grid = None
+    got_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got 0x{payload[pos]:02X}")
         marker = payload[pos + 1]
         if marker == 0xFF:  # spec-legal fill byte(s) before any marker
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before any SOS
+        if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2  # TEM/RSTn: standalone markers, no length field
             continue
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X}: only baseline sequential "
-                "huffman (SOF0) is implemented — progressive/extended/"
-                "arithmetic streams are the remaining in-format seam"
+                f"JPEG SOF marker 0xFF{marker:02X}: only baseline (SOF0) "
+                "and progressive huffman (SOF2) are implemented — extended/"
+                "arithmetic/hierarchical streams are the remaining seam"
             )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + length]
         if len(seg) != length - 2:
@@ -534,10 +898,11 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
                 at += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
@@ -548,10 +913,30 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
             if ncomp == 1:
-                # single-component scans are non-interleaved (T.81
+                # single-component images are non-interleaved (T.81
                 # A.2.2): the data-unit order is the plain block
                 # raster and the sampling factors play no role
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
+            if progressive and any(c[1] != 1 or c[2] != 1 for c in comps):
+                raise NotImplementedError(
+                    "subsampled progressive JPEG (the remaining seam)"
+                )
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _cid, hi, vi, _tq in comps:
+                if hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        f"sampling ratio {hi}x{vi} does not divide the MCU "
+                        f"grid {hmax}x{vmax} — replication upsampling needs "
+                        "integer factors (the remaining in-format seam)"
+                    )
+            n_mcx, n_mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            grid = (hmax, vmax, n_mcx, n_mcy, w, h)
+            # plain int lists: progressive refinement is scalar access
+            coefs = [
+                [[[0] * 64 for _ in range(n_mcx * hi)] for _ in range(n_mcy * vi)]
+                for _cid, hi, vi, _tq in comps
+            ]
             sof = (h, w, comps)
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack_from(">H", seg, 0)
@@ -560,78 +945,43 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
                     "JPEG restart intervals (DRI) are not implemented"
                 )
         elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_comps = [(seg[1 + 2 * i], seg[2 + 2 * i]) for i in range(ns)]
-            data_at = pos + 2 + length
-            break
+            scan_sel = [(seg[1 + 2 * i], seg[2 + 2 * i]) for i in range(ns)]
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            reader = _BitReader(payload, pos + 2 + length)
+            _decode_scan(
+                reader, scan_sel, (ss, se, ahal >> 4, ahal & 0x0F),
+                sof[2], coefs, hufftables, grid, progressive,
+            )
+            got_scan = True
+            # scan data ends where the next true marker begins (the
+            # reader consumed whole bytes; stuffed FF00s are data)
+            pos = reader.pos
+            while pos + 1 < len(payload) and not (
+                payload[pos] == 0xFF and payload[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
         pos += 2 + length
-    if sof is None or scan_comps is None:
+    if sof is None or not got_scan:
         raise ValueError("JPEG without SOF0/SOS")
     h, w, comps = sof
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError("multi-scan JPEG")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for cid, hi, vi, _tq in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"sampling ratio {hi}x{vi} does not divide the MCU grid "
-                f"{hmax}x{vmax} — replication upsampling needs integer "
-                "factors (the remaining in-format seam)"
-            )
+    hmax, vmax, n_mcx, n_mcy, _, _ = grid
 
-    reader = _BitReader(payload[data_at:])
-    n_mcx, n_mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    planes = [
-        np.zeros((n_mcy * vi * 8, n_mcx * hi * 8), dtype=np.float64)
-        for _cid, hi, vi, _tq in comps
-    ]
-    tables = []
-    for (cid, hi, vi, tq), (scid, tsel) in zip(comps, scan_comps):
-        if scid != cid:
-            raise ValueError("SOS component order != SOF order")
-        dc = hufftables.get((0, tsel >> 4))
-        ac = hufftables.get((1, tsel & 0x0F))
-        q = qtables.get(tq)
-        if dc is None or ac is None or q is None:
-            raise ValueError("JPEG scan references an undefined DQT/DHT table")
-        tables.append((dc, ac, q))
-    pred = [0] * len(comps)
-    for my in range(n_mcy):
-        for mx in range(n_mcx):
-            for ci, (dc, ac, q) in enumerate(tables):
-                hi, vi = comps[ci][1], comps[ci][2]
-                for v in range(vi):
-                    for u in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _decode_symbol(reader, dc)
-                        if size > 11:
-                            raise ValueError("invalid DC size category")
-                        pred[ci] += _extend(reader.bits(size), size)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_symbol(reader, ac)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63 or size == 0:
-                                raise ValueError("AC coefficient index out of range")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        blk = np.zeros((8, 8), dtype=np.int64)
-                        blk[_ZZ_Y, _ZZ_X] = zz
-                        s = _A.T @ (blk * q).astype(np.float64) @ _A * 0.25
-                        by, bx = my * vi + v, mx * hi + u
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = s + 128.0
     out_planes = []
-    for plane, (_cid, hi, vi, _tq) in zip(planes, comps):
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("SOF references an undefined DQT table")
+        zz = np.array(coefs[ci], dtype=np.int64)  # (bh, bw, 64)
+        bh, bw = zz.shape[:2]
+        blk = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        blk[:, :, _ZZ_Y, _ZZ_X] = zz
+        blk *= q[None, None]
+        s = np.einsum("uy,nmux,xv->nmyv", _A, blk, _A) * 0.25 + 128.0
+        plane = s.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
         p8 = np.clip(np.round(plane[:ch, :cw]), 0, 255).astype(np.uint8)
         if hi != hmax or vi != vmax:
@@ -914,14 +1264,61 @@ ORDER BY d.doc_id
     "subsampled pipeline is integer-EXACT and DuckDB replays every "
     "plane sum in closed form — w=24 images carry a PARTIAL trailing "
     "MCU, putting the pad/crop contract under the value hash. "
-    "Remaining in-format seams: progressive JPEG, restart intervals, "
-    "non-integer sampling ratios. Plan shape as q148: ids fan-out + "
+    "Remaining in-format seams: subsampled progressive, restart "
+    "intervals, non-integer sampling ratios. Plan shape as q148: ids fan-out + "
     "two MapInPandas, payload bytes never shuffle, presentation sort "
     "on the 8-column stats frame.",
 )
 def q151_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return jpeg420_decode_stats(synth_jpeg420_payloads(d)).orderBy("doc_id")
+
+
+def synth_jpeg_prog_payloads(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): REAL progressive (SOF2) JPEG
+    bytes of the q148 exact-round-trip fixture — same pixels, same
+    quantized coefficients, entirely different entropy arrangement."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg_progressive(synth_jpeg_pixels(int(d)))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    from .multimodal import spread_ids
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+@register(
+    "q153_jpeg_progressive_stats",
+    oracle=_JPEG_ORACLE,
+    doc="REAL progressive-JPEG decode (round-10, closing the last "
+    "major JPEG seam): the q148 fixture pixels are written as genuine "
+    "SOF2 streams — interleaved DC-first at Al=1, DC-refinement raw "
+    "bits, per-component AC-first with EOB-run folding, AC-refinement "
+    "with buffered correction bits (the libjpeg emission discipline) "
+    "— and decoded by accumulating all four G.1.2 scan kinds into the "
+    "coefficient arrays before one vectorized dequant+IDCT. "
+    "Progressive rearranges the SAME quantized coefficients as "
+    "baseline, so the oracle is q148's closed form verbatim, and a "
+    "pytest additionally pins decode(progressive(x)) == "
+    "decode(baseline(x)) bit-for-bit on random images. Remaining "
+    "in-format seams: subsampled progressive, restart intervals, "
+    "arithmetic coding. Plan shape as q148: ids fan-out + two "
+    "MapInPandas, payload bytes never shuffle.",
+)
+def q153_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return jpeg_decode_stats(synth_jpeg_prog_payloads(d)).orderBy("doc_id")
 
 
 @register(
@@ -940,8 +1337,9 @@ def q151_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "without remainder), so DuckDB replays the decoded pixels in "
     "closed form — sum_sq sees the AC term (576·a² per block), so one "
     "wrong huffman bit or IDCT scale factor breaks the value hash. "
-    "Remaining multimodal seams: progressive JPEG, WebP/AVIF, H.264 "
-    "(4:2:0/4:2:2 joined as q151; FLAC as q149, GIF as q150). Payload bytes never shuffle — the exchanges "
+    "Remaining multimodal seams: WebP/AVIF and H.264 pixel decode "
+    "(4:2:0/4:2:2 joined as q151, progressive as q153; FLAC as q149, "
+    "GIF as q150). Payload bytes never shuffle — the exchanges "
     "are the 8-byte ids fan-out (spread_ids, full decode parallelism "
     "at any corpus split count) and the 6-column stats frame's "
     "presentation sort.",

@@ -15,8 +15,8 @@ Two decode tiers (round 5; PNG promoted in round 9):
   operators/flac.py, q149), and GIF (variable-width LZW, below,
   q150) all decode from their specs and dispatch from
   ``decode_image``.
-- **Stub seam** for the remaining formats (progressive JPEG,
-  WebP/AVIF need codec libs this container lacks):
+- **Stub seam** for the remaining formats (WebP/AVIF need codec
+  libs this container lacks):
   ``decode_image`` raises NotImplementedError at that boundary, and
   ``decode_image_stub`` keeps the original clearly-marked fake for
   arbitrary binaries (q30/q37's payloads).
@@ -298,8 +298,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
     a compressed codec oracle-replayable at all. Only the 8-bit
     truecolor non-interlaced subset is implemented; palette/alpha/
     16-bit/interlaced PNGs raise NotImplementedError (the remaining
-    raster seams: those variants, plus progressive JPEG and
-    WebP/AVIF — baseline and 4:2:0/4:2:2-subsampled JPEG decode
+    raster seams: those variants, plus WebP/AVIF — baseline,
+    4:2:0/4:2:2-subsampled, and progressive JPEG all decode
     natively since round 10, operators/jpeg.py).
 
     Cost honesty (r9 verdict): the unfilter recurrences are
@@ -406,8 +406,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
     round 10 — the first ENTROPY-CODED codec behind this seam;
     grayscale planes are replicated to RGB). Anything else raises
     NotImplementedError — the honest boundary where the remaining
-    codecs (progressive JPEG, WebP/AVIF via PIL/libvips) would
-    plug in."""
+    codecs (WebP/AVIF via PIL/libvips) would plug in."""
     if payload[:2] == b"P6":
         parts = payload.split(b"\n", 3)
         w, h = (int(t) for t in parts[1].split())
@@ -643,9 +642,10 @@ def synth_png_payloads(ids_df: DataFrame) -> DataFrame:
     "plumbing as q108; the oracle replays the pixel arithmetic in SQL, "
     "so one wrong byte anywhere in compress/filter/unfilter breaks the "
     "value hash. The remaining multimodal seam is entropy-coded "
-    "formats only (progressive JPEG, WebP/AVIF — baseline and "
-    "4:2:0-subsampled JPEG joined in round 10, q148/q151; FLAC and "
-    "GIF as q149/q150; H.264 on the video side). Payloads are synthesized, decoded, and reduced to narrow "
+    "formats only (WebP/AVIF — baseline, 4:2:0-subsampled, and "
+    "progressive JPEG joined in round 10, q148/q151/q153; FLAC and "
+    "GIF as q149/q150; H.264 indexes as q152, pixel decode stays "
+    "out). Payloads are synthesized, decoded, and reduced to narrow "
     "typed metadata without leaving their partition; the exchanges "
     "are the 8-byte ids fan-out (spread_ids — realizes full decode "
     "parallelism at any corpus split count, SCALE_r09 §3 fix) and the "

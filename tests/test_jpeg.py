@@ -138,9 +138,14 @@ def test_color_444_block_constant_tight_bound():
 
 def test_loud_seams_and_corruption():
     good = encode_jpeg(synth_jpeg_pixels(3))
-    # progressive (SOF2) is the documented in-format seam
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # extended-sequential (SOF1) is a remaining SOF seam
+    ext = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
     with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(ext)
+    # a baseline stream whose SOF marker is PATCHED to progressive is
+    # corrupt (its scan carries baseline band parameters), not a seam
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(prog)
     # truncations anywhere are ValueError (corrupt, not seam)
     for cut in (len(good) // 3, len(good) - 3):
@@ -216,6 +221,75 @@ def test_420_mcu_interleave_order_is_y4_cb_cr():
     pl = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, "420"))
     assert (pl[0] == y).all()
     assert (pl[1] == cb).all() and (pl[2] == cr).all()
+
+
+def test_progressive_equals_baseline_on_random_images():
+    """Progressive (SOF2) rearranges the SAME quantized coefficients
+    as baseline, so decode(progressive(x)) must equal
+    decode(baseline(x)) BIT-FOR-BIT — the strongest equivalence the
+    format offers, covering all four G.1.2 scan kinds (DC first/
+    refine, AC first/refine with EOB runs) on arbitrary content."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    for _ in range(6):
+        hh, ww = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        img = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg(img)) == decode_jpeg(encode_jpeg_progressive(img))
+        ).all()
+    color = rng.integers(0, 256, (21, 29, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(color)) == decode_jpeg(encode_jpeg_progressive(color))
+    ).all()
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A mostly-flat image with isolated outliers makes most blocks
+    all-insignificant in the AC scans, so EOB runs span many blocks
+    (and refinement correction bits ride the run buffers) — the
+    cross-block state the per-block baseline coder never exercises."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((48, 64), 130, dtype=np.uint8)
+    img[5, 7] = 250
+    img[37, 51] = 10
+    img[20, 20] = 180
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert (base == prog).all()
+    # the q148 fixture family is exact through progressive too
+    for d in range(12):
+        pix = synth_jpeg_pixels(d)
+        assert (decode_jpeg(encode_jpeg_progressive(pix)) == pix).all(), d
+
+
+def test_subsampled_progressive_is_the_seam():
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    prog = encode_jpeg_progressive(np.zeros((16, 16, 3), dtype=np.uint8))
+    sof_at = prog.index(b"\xff\xc2")
+    sub = bytearray(prog)
+    sub[sof_at + 11] = 0x22  # luma 2x2 → subsampled progressive
+    with pytest.raises(NotImplementedError, match="subsampled progressive"):
+        decode_jpeg(bytes(sub))
+
+
+def test_q153_matches_oracle(spark):
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    from .oracle_check import compare
+
+    q = all_queries()["q153_jpeg_progressive_stats"]
+    assert compare(spark, "q153", q.build, q.oracle, "/root/testdata/sf0.001") == []
 
 
 def test_q151_matches_oracle(spark):
