@@ -18,7 +18,9 @@ DCT — all implementable exactly from the public spec:
   round 10 second pass) and PROGRESSIVE streams (SOF2 — all four
   G.1.2 scan kinds with EOB-run coding, accumulated into the
   coefficient arrays before one vectorized IDCT; round 10 third
-  pass) are supported; restart-interval, arithmetic-coded, and
+  pass) are supported, as are DRI/RSTn restart intervals (the
+  camera-output framing — byte-aligned RST sync with modulo-8
+  sequence checking and DC/EOB-run resets); arithmetic-coded and
   subsampled-progressive streams raise NotImplementedError — the
   honest remaining boundary, now INSIDE the format.
 - **Encoder** (:func:`encode_jpeg`): the exact inverse pipeline
@@ -204,8 +206,9 @@ class _BitReader:
                 marker = self.data[self.pos]
                 self.pos += 1
                 if marker != 0x00:
-                    # RSTn would land here; the decoder rejects DRI
-                    # up front, so any marker mid-stream is corruption
+                    # restart markers are consumed at MCU boundaries
+                    # by _sync_restart, so any marker reached mid-
+                    # block through the bit reader is corruption
                     raise ValueError(
                         f"unexpected marker 0xFF{marker:02X} inside entropy data"
                     )
@@ -320,37 +323,48 @@ def _encode_scan(
     dc_codes,
     ac_codes,
     samps: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Interleaved MCU entropy coding with per-component sampling
     factors (T.81 A.2.3): each MCU carries Hi×Vi raster-ordered blocks
     of every component, DC prediction per component. ``samps=None``
     means all-1x1 (the 4:4:4 / grayscale case, where MCU grid = block
     grid). ``dc_codes``/``ac_codes`` may be one shared table dict or a
-    per-component list."""
+    per-component list. A nonzero ``restart_interval`` pads to a byte
+    and emits RSTn (count mod 8) every that-many MCUs, resetting DC
+    prediction — the camera-output framing real corpora carry."""
     if samps is None:
         samps = [(1, 1)] * len(comp_coefs)
     if isinstance(dc_codes, dict):
         dc_codes = [dc_codes] * len(comp_coefs)
     if isinstance(ac_codes, dict):
         ac_codes = [ac_codes] * len(comp_coefs)
+    out = bytearray()
     w = _BitWriter()
     n_mcy = comp_coefs[0].shape[0] // samps[0][1]
     n_mcx = comp_coefs[0].shape[1] // samps[0][0]
     pred = [0] * len(comp_coefs)
-    for my in range(n_mcy):
-        for mx in range(n_mcx):
-            for ci, coefs in enumerate(comp_coefs):
-                hi, vi = samps[ci]
-                for v in range(vi):
-                    for u in range(hi):
-                        pred[ci] = _put_block(
-                            w,
-                            coefs[my * vi + v, mx * hi + u],
-                            pred[ci],
-                            dc_codes[ci],
-                            ac_codes[ci],
-                        )
-    return w.flush()
+    rst = 0
+    for mcu_no in range(n_mcy * n_mcx):
+        if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            pred = [0] * len(comp_coefs)
+        my, mx = divmod(mcu_no, n_mcx)
+        for ci, coefs in enumerate(comp_coefs):
+            hi, vi = samps[ci]
+            for v in range(vi):
+                for u in range(hi):
+                    pred[ci] = _put_block(
+                        w,
+                        coefs[my * vi + v, mx * hi + u],
+                        pred[ci],
+                        dc_codes[ci],
+                        ac_codes[ci],
+                    )
+    return bytes(out + w.flush())
 
 
 def _rgb_to_ycbcr(pix: "np.ndarray") -> list["np.ndarray"]:
@@ -384,6 +398,7 @@ def _encode_baseline(
     qids: list[int],
     h: int,
     w: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble the full SOF0 container around an MCU-interleaved scan.
     ``planes[i]`` is component i at its OWN (subsampled) resolution;
@@ -421,17 +436,24 @@ def _encode_baseline(
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approx
     out += _seg(0xDA, sos)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    out += _encode_scan(coefs, dc_codes, ac_codes, samps=samps)
+    out += _encode_scan(coefs, dc_codes, ac_codes, samps=samps,
+                        restart_interval=restart_interval)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def encode_jpeg_ycbcr(
-    y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray", subsampling: str = "420"
+    y: "np.ndarray",
+    cb: "np.ndarray",
+    cr: "np.ndarray",
+    subsampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL baseline JPEG writer from full-resolution YCbCr planes:
     chroma is box-average-decimated per ``subsampling`` ('444', '422'
@@ -443,20 +465,23 @@ def encode_jpeg_ycbcr(
     planes = [y] + [_box_downsample(c, fx, fy) for c in (cb, cr)]
     samps = [(fx, fy), (1, 1), (1, 1)]
     h, w = y.shape
-    return _encode_baseline(planes, samps, [0, 1, 1], h, w)
+    return _encode_baseline(planes, samps, [0, 1, 1], h, w, restart_interval)
 
 
-def encode_jpeg(pix: "np.ndarray", subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    pix: "np.ndarray", subsampling: str = "444", restart_interval: int = 0
+) -> bytes:
     """REAL baseline JPEG writer: (h, w) uint8 → grayscale SOF0;
     (h, w, 3) uint8 RGB → YCbCr SOF0 at the requested chroma
-    subsampling ('444' default, '422', '420'). Dims are padded to
-    the MCU grid by edge replication (the standard move — SOF0
-    carries the true dims, the decoder crops)."""
+    subsampling ('444' default, '422', '420'), optionally with DRI/
+    RSTn restart framing every ``restart_interval`` MCUs. Dims are
+    padded to the MCU grid by edge replication (the standard move —
+    SOF0 carries the true dims, the decoder crops)."""
     if pix.ndim == 2:
         h, w = pix.shape
-        return _encode_baseline([pix], [(1, 1)], [0], h, w)
+        return _encode_baseline([pix], [(1, 1)], [0], h, w, restart_interval)
     yp, cbp, crp = _rgb_to_ycbcr(pix)
-    return encode_jpeg_ycbcr(yp, cbp, crp, subsampling)
+    return encode_jpeg_ycbcr(yp, cbp, crp, subsampling, restart_interval)
 
 
 # Progressive scans need EOBn symbols ((r<<4)|0 for r<15), which the
@@ -651,10 +676,11 @@ def encode_jpeg_progressive(pix: "np.ndarray") -> bytes:
 
 
 def _iter_scan_blocks(scan_idx, comps, hmax, vmax, n_mcx, n_mcy, w, h):
-    """Yield (ci, by, bx) in coded order: MCU-interleaved with Hi×Vi
-    blocks per component for multi-component scans (T.81 A.2.3); the
-    component's OWN ceil-sized block raster for single-component
-    scans (A.2.2 non-interleaved)."""
+    """Yield (mcu_no, ci, by, bx) in coded order: MCU-interleaved
+    with Hi×Vi blocks per component for multi-component scans (T.81
+    A.2.3); the component's OWN ceil-sized block raster for single-
+    component scans (A.2.2 non-interleaved, where every block is its
+    own MCU). mcu_no drives restart-interval boundaries."""
     if len(scan_idx) > 1:
         for my in range(n_mcy):
             for mx in range(n_mcx):
@@ -662,7 +688,7 @@ def _iter_scan_blocks(scan_idx, comps, hmax, vmax, n_mcx, n_mcy, w, h):
                     hi, vi = comps[ci][1], comps[ci][2]
                     for v in range(vi):
                         for u in range(hi):
-                            yield ci, my * vi + v, mx * hi + u
+                            yield my * n_mcx + mx, ci, my * vi + v, mx * hi + u
     else:
         ci = scan_idx[0]
         hi, vi = comps[ci][1], comps[ci][2]
@@ -670,17 +696,33 @@ def _iter_scan_blocks(scan_idx, comps, hmax, vmax, n_mcx, n_mcy, w, h):
         bw, bh = -(-cw // 8), -(-ch // 8)
         for by in range(bh):
             for bx in range(bw):
-                yield ci, by, bx
+                yield by * bw + bx, ci, by, bx
+
+
+def _sync_restart(reader: _BitReader, expect: int) -> None:
+    """Byte-align and consume the RSTn marker at a restart boundary
+    (F.2.1.3.1): pad bits are discarded, optional 0xFF fill bytes are
+    skipped, and the modulo-8 restart count must match."""
+    reader._n = 0  # discard pad bits; reader.pos is already past them
+    d, p = reader.data, reader.pos
+    while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+        p += 1  # fill bytes before the marker
+    if p + 1 >= len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+        raise ValueError("expected RSTn marker at restart boundary")
+    if d[p + 1] - 0xD0 != expect:
+        raise ValueError("RSTn marker out of sequence")
+    reader.pos = p + 2
 
 
 def _decode_scan(reader, scan_sel, band, comps, coefs, hufftables, grid,
-                 progressive):
+                 progressive, interval=0):
     """Entropy-decode ONE scan into the zigzag coefficient arrays.
     ``band`` = (Ss, Se, Ah, Al). Baseline scans must cover the full
     band with no point transform; progressive scans follow the T.81
     G.1.2 split: DC-first/DC-refine (interleaved allowed) and
     single-component AC-first/AC-refine with EOB-run coding and
-    in-place coefficient refinement."""
+    in-place coefficient refinement. A nonzero restart ``interval``
+    resets DC prediction and EOB runs at every RSTn boundary."""
     ss, se, ah, al = band
     hmax, vmax, n_mcx, n_mcy, w, h = grid
     scan_idx = []
@@ -711,9 +753,17 @@ def _decode_scan(reader, scan_sel, band, comps, coefs, hufftables, grid,
 
     pred = {ci: 0 for ci in scan_idx}
     eobrun = 0
-    for ci, by, bx in _iter_scan_blocks(
+    prev_mcu = 0
+    rst = 0
+    for mcu_no, ci, by, bx in _iter_scan_blocks(
         scan_idx, comps, hmax, vmax, n_mcx, n_mcy, w, h
     ):
+        if interval and mcu_no != prev_mcu and mcu_no % interval == 0:
+            _sync_restart(reader, rst)
+            rst = (rst + 1) % 8
+            pred = {c: 0 for c in scan_idx}
+            eobrun = 0
+        prev_mcu = mcu_no
         coef = coefs[ci][by][bx]
         if not progressive:
             size = _decode_symbol(reader, dctab[ci])
@@ -831,11 +881,13 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
     coefficient arrays across DC-first/DC-refine/AC-first/AC-refine
     passes with EOB-run coding (G.1.2). Returns one uint8 (h, w)
     plane per component. Single-component images are non-interleaved
-    per the spec, so their sampling factors are ignored. Restart-
-    interval / arithmetic / hierarchical streams, subsampled
-    progressive, and sampling ratios where Hi∤Hmax raise
-    NotImplementedError (the remaining in-format seams); corrupt or
-    truncated streams raise ValueError."""
+    per the spec, so their sampling factors are ignored. DRI/RSTn
+    restart intervals decode with byte-aligned sync, modulo-8
+    sequence checks, and DC/EOB-run resets. Arithmetic /
+    hierarchical streams, subsampled progressive, and sampling
+    ratios where Hi∤Hmax raise NotImplementedError (the remaining
+    in-format seams); corrupt or truncated streams raise
+    ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG signature")
     pos = 2
@@ -846,6 +898,7 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
     coefs = None  # per comp: (bh, bw, 64) int zigzag coefficient lists
     grid = None
     got_scan = False
+    interval = 0  # restart interval in MCUs (DRI; 0 = none)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got 0x{payload[pos]:02X}")
@@ -940,10 +993,6 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
             sof = (h, w, comps)
         elif marker == 0xDD:  # DRI
             (interval,) = struct.unpack_from(">H", seg, 0)
-            if interval != 0:
-                raise NotImplementedError(
-                    "JPEG restart intervals (DRI) are not implemented"
-                )
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("SOS before SOF")
@@ -953,7 +1002,7 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
             reader = _BitReader(payload, pos + 2 + length)
             _decode_scan(
                 reader, scan_sel, (ss, se, ahal >> 4, ahal & 0x0F),
-                sof[2], coefs, hufftables, grid, progressive,
+                sof[2], coefs, hufftables, grid, progressive, interval,
             )
             got_scan = True
             # scan data ends where the next true marker begins (the
@@ -1264,8 +1313,8 @@ ORDER BY d.doc_id
     "subsampled pipeline is integer-EXACT and DuckDB replays every "
     "plane sum in closed form — w=24 images carry a PARTIAL trailing "
     "MCU, putting the pad/crop contract under the value hash. "
-    "Remaining in-format seams: subsampled progressive, restart "
-    "intervals, non-integer sampling ratios. Plan shape as q148: ids fan-out + "
+    "Remaining in-format seams: subsampled progressive and "
+    "non-integer sampling ratios. Plan shape as q148: ids fan-out + "
     "two MapInPandas, payload bytes never shuffle, presentation sort "
     "on the 8-column stats frame.",
 )
@@ -1312,8 +1361,7 @@ def synth_jpeg_prog_payloads(ids_df: DataFrame) -> DataFrame:
     "baseline, so the oracle is q148's closed form verbatim, and a "
     "pytest additionally pins decode(progressive(x)) == "
     "decode(baseline(x)) bit-for-bit on random images. Remaining "
-    "in-format seams: subsampled progressive, restart intervals, "
-    "arithmetic coding. Plan shape as q148: ids fan-out + two "
+    "in-format seams: subsampled progressive and arithmetic coding. Plan shape as q148: ids fan-out + two "
     "MapInPandas, payload bytes never shuffle.",
 )
 def q153_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,9 +171,10 @@ def test_loud_seams_and_corruption():
     zero[csof + 11] = 0x02
     with pytest.raises(ValueError, match="sampling"):
         decode_jpeg(bytes(zero))
-    # nonzero restart interval is the seam
-    dri = good[:2] + _seg(0xDD, struct.pack(">H", 4)) + good[2:]
-    with pytest.raises(NotImplementedError, match="restart"):
+    # a declared restart interval whose RST markers never appear in
+    # the entropy data is corruption (sync fails at the boundary)
+    dri = good[:2] + _seg(0xDD, struct.pack(">H", 1)) + good[2:]
+    with pytest.raises(ValueError, match="RST"):
         decode_jpeg(dri)
     # not a JPEG at all
     with pytest.raises(NotImplementedError, match="signature"):
@@ -266,6 +267,34 @@ def test_progressive_eob_runs_across_blocks():
     for d in range(12):
         pix = synth_jpeg_pixels(d)
         assert (decode_jpeg(encode_jpeg_progressive(pix)) == pix).all(), d
+
+
+def test_restart_intervals_round_trip_and_sequence_check():
+    """DRI/RSTn framing (camera output): byte-aligned RST sync with
+    DC-prediction resets keeps every fixture round trip exact at any
+    interval, including 4:2:0 subsampled streams; an out-of-sequence
+    RST number is loud corruption."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_ycbcr,
+        synth_jpeg420_planes,
+    )
+
+    for d in (0, 3, 10):
+        pix = synth_jpeg_pixels(d)
+        for ri in (1, 2, 5):
+            assert (decode_jpeg(encode_jpeg(pix, restart_interval=ri)) == pix).all()
+        y, cb, cr = synth_jpeg420_planes(d)
+        pl = decode_jpeg_planes(
+            encode_jpeg_ycbcr(y, cb, cr, "420", restart_interval=2)
+        )
+        assert (pl[0] == y).all() and (pl[1] == cb).all() and (pl[2] == cr).all()
+    good = encode_jpeg(synth_jpeg_pixels(5), restart_interval=2)
+    at = good.index(b"\xff\xd0")
+    bad = bytearray(good)
+    bad[at + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(bad))
 
 
 def test_subsampled_progressive_is_the_seam():
