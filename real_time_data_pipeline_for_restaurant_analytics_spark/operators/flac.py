@@ -17,9 +17,9 @@ constraints. What makes it a real test of entropy-coded decoding:
   STREAMINFO digest — an end-to-end integrity proof the format
   itself ships. LPC subframes, decorrelated stereo frames
   (left/side, side/right, mid/side — what real-world encoders emit),
-  wasted-bits subframes, and every byte-aligned bit depth
-  (8/16/24/32) decode too. 12/20-bit depths raise
-  NotImplementedError (the remaining in-format seam).
+  wasted-bits subframes, and every bit depth the spec allows
+  (4..32, incl. 12/20-bit via the ceil-byte MD5 packing libFLAC
+  uses) decode too — the format's subframe surface is closed.
 - **Encoder** (:func:`encode_flac`): per block, tries CONSTANT and
   fixed predictors of order 0-2, picks the cheapest by exact coded
   size, rice-codes residuals with the per-partition optimal
@@ -221,22 +221,24 @@ def _residuals(samples: list[int], order: int) -> list[int]:
     return out.tolist()
 
 
-#: frame-header bits-per-sample codes, RFC 9639 §9.1.4 (byte-aligned
-#: depths only — 12/20-bit remain the documented seam)
-_BPS_CODE = {8: 0b001, 16: 0b100, 24: 0b110, 32: 0b111}
+#: frame-header bits-per-sample codes, RFC 9639 §9.1.4; depths with
+#: no table code (e.g. 4-bit) ride code 0 = "get from STREAMINFO"
+_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
 _BPS_FROM_CODE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
 
 
 def _pack_pcm(arr: "np.ndarray", bps: int) -> bytes:
-    """Interleaved little-endian signed PCM at bps/8 bytes per sample
-    — the byte stream the spec's STREAMINFO MD5 digests."""
-    if bps == 8:
+    """Interleaved little-endian signed PCM at ceil(bps/8) bytes per
+    sample — the byte stream the spec's STREAMINFO MD5 digests (the
+    libFLAC convention: non-byte-aligned depths pad to whole bytes)."""
+    nbytes = (bps + 7) // 8
+    if nbytes == 1:
         return arr.astype("<i1").tobytes()
-    if bps == 16:
+    if nbytes == 2:
         return arr.astype("<i2").tobytes()
-    if bps == 32:
+    if nbytes == 4:
         return arr.astype("<i4").tobytes()
-    # 24-bit: the low three bytes of the little-endian int32 form
+    # 3 bytes: the low three bytes of the little-endian int32 form
     b = np.frombuffer(arr.astype("<i4").tobytes(), dtype=np.uint8)
     return b.reshape(-1, 4)[:, :3].tobytes()
 
@@ -248,10 +250,8 @@ def encode_flac(samples: "np.ndarray", sample_rate: int, bps: int = 16) -> bytes
     wasted-bits detection — shared trailing zero bits move to the
     subframe header, the move real encoders make on upscaled audio),
     rice residuals, real CRC-8/CRC-16. ``bps`` ∈ {8, 16, 24, 32}."""
-    if bps not in _BPS_CODE:
-        raise NotImplementedError(
-            f"{bps}-bit FLAC: only byte-aligned depths (8/16/24/32) are implemented"
-        )
+    if not 4 <= bps <= 32:
+        raise ValueError(f"FLAC bit depth {bps} out of the spec's 4..32 range")
     n, ch = samples.shape
     if ch not in (1, 2):
         raise NotImplementedError("only mono/stereo")
@@ -280,7 +280,8 @@ def encode_flac(samples: "np.ndarray", sample_rate: int, bps: int = 16) -> bytes
         bs = block.shape[0]
         head = bytearray(b"\xff\xf8")  # sync + fixed blocking strategy
         head.append(0x70)  # blocksize code 0b0111 (16-bit at end), rate code 0
-        head.append(((ch - 1) << 4) | (_BPS_CODE[bps] << 1))  # channels, depth
+        # depths without a table code ride 0b000 = "from STREAMINFO"
+        head.append(((ch - 1) << 4) | (_BPS_CODE.get(bps, 0) << 1))
         head += _utf8_number(fno)
         head += struct.pack(">H", bs - 1)
         head.append(_crc8(bytes(head)))
@@ -361,9 +362,8 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     verified against the decoded PCM. CONSTANT/VERBATIM/FIXED/LPC
     subframes, wasted-bits subframes, all four channel assignments
     (independent + the three decorrelated stereo forms), and every
-    byte-aligned bit depth (8/16/24/32 → int8/int16/int32 output)
-    decode; 12/20-bit depths raise NotImplementedError (the
-    remaining in-format seam)."""
+    spec bit depth (4..32; smallest of int8/int16/int32 output, MD5
+    packed at ceil(bps/8) bytes as libFLAC does) decode."""
     if payload[:4] != b"fLaC":
         raise NotImplementedError("not a FLAC signature")
     pos = 4
@@ -394,10 +394,8 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     bps = r.read(5) + 1
     total = r.read(36)
     md5_expect = streaminfo[18:34]
-    if bps not in (8, 16, 24, 32):
-        raise NotImplementedError(
-            f"{bps}-bit FLAC: only byte-aligned depths (8/16/24/32) are implemented"
-        )
+    if not 4 <= bps <= 32:
+        raise ValueError(f"FLAC bit depth {bps} out of the spec's 4..32 range")
 
     chans: list[list[int]] = [[] for _ in range(ch)]
     while pos < len(payload) and sum(len(c) for c in chans) < total * ch:
@@ -417,7 +415,7 @@ def decode_flac(payload: bytes) -> tuple["np.ndarray", int]:
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if arr.size and (arr.max() > hi or arr.min() < lo):
         raise ValueError(f"decoded sample out of {bps}-bit range")
-    out = arr.astype(np.int8 if bps == 8 else np.int16 if bps == 16 else np.int32)
+    out = arr.astype(np.int8 if bps <= 8 else np.int16 if bps <= 16 else np.int32)
     if hashlib.md5(_pack_pcm(out, bps)).digest() != md5_expect:
         raise ValueError("decoded PCM contradicts the STREAMINFO MD5")
     return out, rate
@@ -671,9 +669,9 @@ FROM base ORDER BY doc_id
     "wrong bit in the rice/predictor/CRC chain breaks the hash (or "
     "the in-stream MD5 first). The decoder additionally accepts LPC "
     "subframes and decorrelated (left/side, side/right, mid/side) "
-    "stereo frames, wasted-bits subframes, and 8/24/32-bit depths — "
-    "what real-world encoders emit. Remaining in-format seam: "
-    "non-byte-aligned 12/20-bit depths. Payload bytes never shuffle; the "
+    "stereo frames, wasted-bits subframes, and every spec bit depth "
+    "(4..32 incl. 12/20-bit) — the format's subframe surface is "
+    "closed. Payload bytes never shuffle; the "
     "exchanges are the ids fan-out and the presentation sort.",
 )
 def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

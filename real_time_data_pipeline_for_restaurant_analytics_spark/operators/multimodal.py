@@ -223,26 +223,25 @@ def encode_bmp(pix: "np.ndarray") -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pix: "np.ndarray") -> bytes:
-    """REAL PNG writer (round-9, verdict item 4): 8-bit RGB (color
-    type 2), scanlines filtered with the filter type CYCLING y % 5
-    through None/Sub/Up/Average/Paeth — every filter the spec defines
-    is exercised on any image ≥ 5 rows, so a decoder bug in any
-    unfilter branch breaks the round trip loudly — then zlib-deflated
-    into one IDAT. Chunk CRCs are real (zlib.crc32)."""
-    import struct
-    import zlib
+#: Adam7 interlace pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    h, w, c = pix.shape
-    assert c == 3
-    stride = w * 3
-    raw = pix.astype(np.uint8).tobytes()
+
+def _png_filter_lines(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Filter ``h`` scanlines of ``stride`` bytes with the filter type
+    CYCLING y % 5 through None/Sub/Up/Average/Paeth — every filter the
+    spec defines is exercised on any image ≥ 5 rows, so a decoder bug
+    in any unfilter branch breaks the round trip loudly. ``bpp`` is
+    the byte distance to the left neighbor (channels × bytes/sample).
+    Plain-bytes arithmetic, not per-element numpy indexing: the
+    recurrences are byte-sequential, and bytearray/int ops are ~5-10x
+    faster than numpy scalar access in that shape (measured,
+    SCALE_r09 — this loop is the whole cost of the PNG codec)."""
     zero = bytes(stride)
     lines = []
-    # plain-bytes arithmetic, not per-element numpy indexing: the
-    # filter recurrences are byte-sequential, and bytearray/int ops are
-    # ~5-10x faster than numpy scalar access in that shape (measured,
-    # SCALE_r09 — this loop is the whole cost of the PNG codec)
     for y in range(h):
         ftype = y % 5
         cur = raw[y * stride : (y + 1) * stride]
@@ -252,22 +251,22 @@ def encode_png(pix: "np.ndarray") -> bytes:
         elif ftype == 1:
             out = bytearray(stride)
             for i in range(stride):
-                out[i] = (cur[i] - (cur[i - 3] if i >= 3 else 0)) & 0xFF
+                out[i] = (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF
             body = bytes(out)
         elif ftype == 2:
             body = bytes((a - b) & 0xFF for a, b in zip(cur, up))
         elif ftype == 3:
             out = bytearray(stride)
             for i in range(stride):
-                left = cur[i - 3] if i >= 3 else 0
+                left = cur[i - bpp] if i >= bpp else 0
                 out[i] = (cur[i] - (left + up[i]) // 2) & 0xFF
             body = bytes(out)
         else:
             out = bytearray(stride)
             for i in range(stride):
-                a = cur[i - 3] if i >= 3 else 0
+                a = cur[i - bpp] if i >= bpp else 0
                 b = up[i]
-                cc = up[i - 3] if i >= 3 else 0
+                cc = up[i - bpp] if i >= bpp else 0
                 p = a + b - cc
                 pa = p - a if p >= a else a - p
                 pb = p - b if p >= b else b - p
@@ -276,6 +275,51 @@ def encode_png(pix: "np.ndarray") -> bytes:
                 out[i] = (cur[i] - pred) & 0xFF
             body = bytes(out)
         lines.append(bytes([ftype]) + body)
+    return b"".join(lines)
+
+
+def encode_png(
+    pix: "np.ndarray",
+    palette: "np.ndarray | None" = None,
+    interlace: bool = False,
+) -> bytes:
+    """REAL PNG writer (round-9; generalized round-10): the array
+    shape and dtype pick the color type — (h, w) uint8 is grayscale
+    (or palette indices when ``palette`` (n, 3) is given), (h, w, 2)
+    gray+alpha, (h, w, 3) truecolor, (h, w, 4) RGBA; uint16 input
+    writes 16-bit samples (big-endian per the spec). ``interlace``
+    emits Adam7: each of the seven passes is an independently
+    filtered sub-image. Filters cycle per line (see
+    :func:`_png_filter_lines`); chunk CRCs are real (zlib.crc32)."""
+    import struct
+    import zlib
+
+    depth = 16 if pix.dtype == np.uint16 else 8
+    if pix.ndim == 2:
+        channels = 1
+        color = 3 if palette is not None else 0
+    else:
+        channels = pix.shape[2]
+        color = {2: 4, 3: 2, 4: 6}[channels]
+    if color == 3 and depth != 8:
+        raise ValueError("palette PNG requires 8-bit indices")
+    h, w = pix.shape[:2]
+    bpp = channels * depth // 8
+    pix3 = pix.reshape(h, w, channels)
+
+    def pass_bytes(sub: "np.ndarray") -> bytes:
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            return b""
+        raw = sub.astype(">u2" if depth == 16 else np.uint8).tobytes()
+        return _png_filter_lines(raw, ph, pw * bpp, bpp)
+
+    if interlace:
+        body = b"".join(
+            pass_bytes(pix3[y0::dy, x0::dx]) for x0, y0, dx, dy in _ADAM7
+        )
+    else:
+        body = pass_bytes(pix3)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -285,22 +329,28 @@ def encode_png(pix: "np.ndarray") -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
-    idat = zlib.compress(b"".join(lines))
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color == 3:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
 
 
 def decode_png(payload: bytes) -> "np.ndarray":
-    """REAL PNG decode with nothing but the stdlib (round-9): chunk
-    walk with CRC verification, IHDR validation, IDAT concatenation,
-    zlib inflate, and the per-scanline unfilter recurrences — Sub,
-    Up, Average, and Paeth are all integer-exact, which is what makes
-    a compressed codec oracle-replayable at all. Only the 8-bit
-    truecolor non-interlaced subset is implemented; palette/alpha/
-    16-bit/interlaced PNGs raise NotImplementedError (the remaining
-    raster seams: those variants, plus WebP/AVIF — baseline,
-    4:2:0/4:2:2-subsampled, and progressive JPEG all decode
-    natively since round 10, operators/jpeg.py).
+    """REAL PNG decode with nothing but the stdlib (round-9;
+    generalized round-10): chunk walk with CRC verification, IHDR
+    validation, PLTE capture, IDAT concatenation, zlib inflate, and
+    the per-scanline unfilter recurrences — Sub, Up, Average, and
+    Paeth are all integer-exact, which is what makes a compressed
+    codec oracle-replayable at all. Every color type decodes
+    (grayscale, truecolor, palette — expanded through PLTE to RGB —
+    gray+alpha, RGBA), at 8- or 16-bit depth (uint16 output), plain
+    or Adam7-interlaced (seven independently-filtered sub-images
+    scattered back onto the pixel grid). Returns (h, w) for 1-channel
+    images, (h, w, c) otherwise. Sub-byte depths (1/2/4-bit) raise
+    NotImplementedError — the remaining raster seam (plus WebP/AVIF;
+    baseline, subsampled, and progressive JPEG all decode natively,
+    operators/jpeg.py).
 
     Cost honesty (r9 verdict): the unfilter recurrences are
     interpreter-bound pure Python — ~0.14 ms/KB/core after the
@@ -315,7 +365,7 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
     if payload[:8] != _PNG_SIG:
         raise NotImplementedError("not a PNG signature")
-    pos, ihdr, idat = 8, None, b""
+    pos, ihdr, idat, plte = 8, None, b"", None
     while pos < len(payload):
         # full-frame guard BEFORE any unpack (ADVICE r10): a payload
         # cut inside the 12-byte length/tag/CRC framing must raise the
@@ -334,6 +384,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch — corrupt payload")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PLTE length is not a multiple of 3")
+            plte = data
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -342,59 +396,105 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG with reserved compression/filter method")
+    if color not in (0, 2, 3, 4, 6):
+        raise ValueError(f"PNG color type {color} is not in the spec")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
         raise NotImplementedError(
-            f"only 8-bit truecolor non-interlaced PNG (got depth={depth}, "
-            f"color={color}, interlace={interlace}) — palette/alpha/16-bit "
-            "variants are the documented seam"
+            f"{depth}-bit color-type-{color} PNG: sub-byte depths "
+            "(1/2/4-bit) are the remaining raster seam"
         )
-    stride = w * 3
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} is not in the spec")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = channels * depth // 8
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     flat = zlib.decompress(idat)
-    if len(flat) != h * (stride + 1):
-        raise ValueError("PNG IDAT inflated to the wrong scanline volume")
-    # plain-bytes unfilter recurrences (see encode_png): bytearray/int
-    # arithmetic beats per-element numpy access ~5-10x on this shape
-    recon_all = bytearray(h * stride)
-    zero = bytes(stride)
-    for y in range(h):
-        base = y * (stride + 1)
-        ftype = flat[base]
-        line = flat[base + 1 : base + 1 + stride]
-        prior = bytes(recon_all[(y - 1) * stride : y * stride]) if y > 0 else zero
-        off = y * stride
-        if ftype == 0:
-            recon_all[off : off + stride] = line
-        elif ftype == 2:  # Up: no intra-line recurrence
-            recon_all[off : off + stride] = bytes(
-                (a + b) & 0xFF for a, b in zip(line, prior)
+
+    def unfilter(chunk_bytes: bytes, ph: int, pw: int) -> bytes:
+        # plain-bytes unfilter recurrences (see _png_filter_lines):
+        # bytearray/int arithmetic beats numpy scalar access ~5-10x
+        stride = pw * bpp
+        recon_all = bytearray(ph * stride)
+        zero = bytes(stride)
+        for y in range(ph):
+            base = y * (stride + 1)
+            ftype = chunk_bytes[base]
+            line = chunk_bytes[base + 1 : base + 1 + stride]
+            prior = (
+                bytes(recon_all[(y - 1) * stride : y * stride]) if y > 0 else zero
             )
-        elif ftype == 1:
-            rec = bytearray(stride)
-            for i in range(stride):
-                rec[i] = (line[i] + (rec[i - 3] if i >= 3 else 0)) & 0xFF
-            recon_all[off : off + stride] = rec
-        elif ftype == 3:
-            rec = bytearray(stride)
-            for i in range(stride):
-                left = rec[i - 3] if i >= 3 else 0
-                rec[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
-            recon_all[off : off + stride] = rec
-        elif ftype == 4:
-            rec = bytearray(stride)
-            for i in range(stride):
-                a = rec[i - 3] if i >= 3 else 0
-                b = prior[i]
-                cc = prior[i - 3] if i >= 3 else 0
-                p = a + b - cc
-                pa = p - a if p >= a else a - p
-                pb = p - b if p >= b else b - p
-                pc = p - cc if p >= cc else cc - p
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                rec[i] = (line[i] + pred) & 0xFF
-            recon_all[off : off + stride] = rec
-        else:
-            raise ValueError(f"PNG filter type {ftype} out of range")
-    return np.frombuffer(bytes(recon_all), dtype=np.uint8).reshape(h, w, 3)
+            off = y * stride
+            if ftype == 0:
+                recon_all[off : off + stride] = line
+            elif ftype == 2:  # Up: no intra-line recurrence
+                recon_all[off : off + stride] = bytes(
+                    (a + b) & 0xFF for a, b in zip(line, prior)
+                )
+            elif ftype == 1:
+                rec = bytearray(stride)
+                for i in range(stride):
+                    rec[i] = (line[i] + (rec[i - bpp] if i >= bpp else 0)) & 0xFF
+                recon_all[off : off + stride] = rec
+            elif ftype == 3:
+                rec = bytearray(stride)
+                for i in range(stride):
+                    left = rec[i - bpp] if i >= bpp else 0
+                    rec[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+                recon_all[off : off + stride] = rec
+            elif ftype == 4:
+                rec = bytearray(stride)
+                for i in range(stride):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prior[i]
+                    cc = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - cc
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - cc if p >= cc else cc - p
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    rec[i] = (line[i] + pred) & 0xFF
+                recon_all[off : off + stride] = rec
+            else:
+                raise ValueError(f"PNG filter type {ftype} out of range")
+        return bytes(recon_all)
+
+    dt = np.dtype(">u2") if depth == 16 else np.dtype(np.uint8)
+    if interlace == 0:
+        if len(flat) != h * (w * bpp + 1):
+            raise ValueError("PNG IDAT inflated to the wrong scanline volume")
+        img = np.frombuffer(unfilter(flat, h, w), dtype=dt).reshape(h, w, channels)
+    else:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((h, w, channels), dtype=dt)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            size = ph * (pw * bpp + 1)
+            if at + size > len(flat):
+                raise ValueError("PNG IDAT short of the Adam7 pass volume")
+            sub = np.frombuffer(
+                unfilter(flat[at : at + size], ph, pw), dtype=dt
+            ).reshape(ph, pw, channels)
+            img[y0::dy, x0::dx] = sub
+            at += size
+        if at != len(flat):
+            raise ValueError("PNG IDAT inflated to the wrong scanline volume")
+    if depth == 16:
+        img = img.astype(np.uint16)
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    if channels == 1:
+        return img[:, :, 0]
+    return img
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
@@ -431,7 +531,16 @@ def decode_image(payload: bytes) -> "np.ndarray":
         ]
         return np.stack(rows).reshape(abs(h), w, 3)[:, :, ::-1]
     if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
+        pix = decode_png(payload)
+        if pix.dtype == np.uint16:
+            pix = (pix >> 8).astype(np.uint8)  # most-significant byte
+        if pix.ndim == 2:
+            return np.repeat(pix[:, :, None], 3, axis=2)
+        if pix.shape[2] == 2:  # gray+alpha: replicate luma, drop alpha
+            return np.repeat(pix[:, :, :1], 3, axis=2)
+        if pix.shape[2] == 4:  # RGBA: drop alpha
+            return pix[:, :, :3]
+        return pix
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 

@@ -103,22 +103,23 @@ def test_loud_seams():
         decode_flac(bytes(patched))
 
 
-def test_byte_aligned_bit_depths_round_trip():
-    """8/24/32-bit streams (round-10 second pass): encoder writes the
-    RFC 9639 frame depth codes and packs the STREAMINFO MD5 at the
-    true byte width; decoder returns the matching dtype. 12-bit is
-    the remaining seam and stays loud."""
+def test_all_spec_bit_depths_round_trip():
+    """Every bit depth the spec allows (round-10 second pass): table
+    depth codes where they exist (8/12/16/20/24/32), STREAMINFO-
+    carried depth (code 0) otherwise, MD5 packed at ceil(bps/8)
+    bytes per sample as libFLAC does; decoder returns the smallest
+    holding dtype. Out-of-spec depths are corruption, not a seam."""
     rng = np.random.default_rng(11)
-    for bps, lo, hi, dt in (
-        (8, -128, 128, np.int8),
-        (24, -(1 << 23), 1 << 23, np.int32),
-        (32, -(1 << 31), 1 << 31, np.int32),
+    for bps, dt in (
+        (4, np.int8), (8, np.int8), (12, np.int16), (17, np.int32),
+        (20, np.int32), (24, np.int32), (32, np.int32),
     ):
+        lo, hi = -(1 << (bps - 1)), 1 << (bps - 1)
         s = rng.integers(lo, hi, (520, 2)).astype(np.int64)
         out, rate = decode_flac(encode_flac(s, 22050, bps=bps))
         assert out.dtype == dt and (out == s).all(), bps
-    with pytest.raises(NotImplementedError, match="byte-aligned"):
-        encode_flac(np.zeros((8, 1), dtype=np.int64), 8000, bps=12)
+    with pytest.raises(ValueError, match="4..32"):
+        encode_flac(np.zeros((8, 1), dtype=np.int64), 8000, bps=33)
 
 
 def test_wasted_bits_round_trip_and_actually_used():

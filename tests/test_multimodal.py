@@ -206,6 +206,47 @@ def test_png_round_trip_property():
     run()
 
 
+def test_png_all_color_types_depths_and_interlace():
+    """Round-10 generalization: every PNG color type (gray, RGB,
+    palette-through-PLTE, gray+alpha, RGBA), both depths (8/16-bit,
+    big-endian samples), plain and Adam7-interlaced (independently
+    filtered passes incl. the empty-pass edge on tiny images) —
+    bit-exact round trips through the real writer."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(41)
+    arrays = [
+        rng.integers(0, 256, (13, 21), dtype=np.uint8),  # gray
+        rng.integers(0, 256, (13, 21, 2), dtype=np.uint8),  # gray+alpha
+        rng.integers(0, 256, (13, 21, 3), dtype=np.uint8),  # RGB
+        rng.integers(0, 256, (13, 21, 4), dtype=np.uint8),  # RGBA
+        rng.integers(0, 65536, (9, 15)).astype(np.uint16),  # gray 16
+        rng.integers(0, 65536, (9, 15, 3)).astype(np.uint16),  # RGB 16
+    ]
+    for arr in arrays:
+        for il in (False, True):
+            out = decode_png(encode_png(arr, interlace=il))
+            assert out.shape == arr.shape and (out == arr).all(), (arr.shape, il)
+    pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, (13, 21), dtype=np.uint8)
+    for il in (False, True):
+        assert (decode_png(encode_png(idx, palette=pal, interlace=il)) == pal[idx]).all()
+    # interlaced tiny images: several Adam7 passes are empty
+    for shape in ((1, 1, 3), (3, 2, 3), (2, 9, 3)):
+        t = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_png(encode_png(t, interlace=True)) == t).all(), shape
+    # the sniffing front door normalizes every variant to (h, w, 3) u8
+    assert decode_image(encode_png(arrays[0])).shape == (13, 21, 3)
+    assert decode_image(encode_png(arrays[3])).shape == (13, 21, 3)
+    assert decode_image(encode_png(arrays[4])).dtype == np.uint8
+
+
 def test_png_corruption_and_unsupported_variants_fail_loudly():
     import struct
     import zlib
@@ -238,16 +279,16 @@ def test_png_corruption_and_unsupported_variants_fail_loudly():
         with pytest.raises(ValueError, match="truncated"):
             decode_png(good[:cut])
 
-    # unsupported variant (16-bit depth) is the documented loud seam
+    # sub-byte depth (4-bit palette) is the remaining documented seam
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 3, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="16"):
+    with pytest.raises(NotImplementedError, match="4-bit|sub-byte|seam"):
         decode_png(sig + chunk)
 
     # non-PNG bytes through the sniffing front door still name the seam
