@@ -23,6 +23,11 @@ spec (ITU-T H.264 / ISO 14496-10):
   mb-grid dimensions, frame-cropping rectangle → the true pixel
   width/height ((7-4.2.1); 4:2:0 crop units). High-profile SPS
   extensions (chroma_format_idc trees) raise NotImplementedError.
+- **MP4 framing** (:func:`parse_avcc_config` /
+  :func:`parse_length_prefixed`): the avcC decoder-configuration
+  record (ISO 14496-15) with its embedded SPS — track resolution
+  from container metadata alone — and the length-prefixed sample
+  framing it declares, yielding the same NAL triples as Annex-B.
 - **Slice-header prefix parse** (:func:`parse_slice_header`):
   first_mb_in_slice, slice_type (I/P/B mapping mod 5), the
   SPS-width frame_num — enough to classify frames and find random-
@@ -43,6 +48,7 @@ overwhelmingly H.264 in MP4/MKV containers.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -181,7 +187,8 @@ def parse_annexb(payload: bytes) -> list[tuple[int, int, bytes]]:
     if not starts or not payload[: starts[0] - 3].strip(b"\x00") == b"":
         raise NotImplementedError(
             "not an Annex-B H.264 stream (no leading start code) — "
-            "length-prefixed MP4/avcC framing is the remaining seam"
+            "length-prefixed MP4 samples go through parse_length_prefixed "
+            "with the nal_length_size their avcC record declares"
         )
     nals: list[tuple[int, int, bytes]] = []
     for k, at in enumerate(starts):
@@ -193,6 +200,90 @@ def parse_annexb(payload: bytes) -> list[tuple[int, int, bytes]]:
         if hdr & 0x80:
             raise ValueError("forbidden_zero_bit set in NAL header")
         nals.append(((hdr & 0x1F), (hdr >> 5) & 0x03, ebsp_unescape(body[1:])))
+    return nals
+
+
+def parse_avcc_config(avcc: bytes) -> dict:
+    """Parse an AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1
+    — the ``avcC`` box payload every MP4/MKV H.264 track carries):
+    configuration version, profile/level, the NAL length-field size
+    used by the track's length-prefixed samples, and the embedded
+    SPS/PPS NAL units (SPS parsed through :func:`parse_sps`, so the
+    track resolution comes straight out of container metadata without
+    touching a single sample)."""
+    if len(avcc) < 7:
+        raise ValueError("truncated avcC record")
+    if avcc[0] != 1:
+        raise ValueError(f"avcC configurationVersion {avcc[0]} != 1")
+    profile, compat, level = avcc[1], avcc[2], avcc[3]
+    nal_length_size = (avcc[4] & 0x03) + 1
+    n_sps = avcc[5] & 0x1F
+    pos = 6
+    sps_list = []
+    for _ in range(n_sps):
+        if pos + 2 > len(avcc):
+            raise ValueError("truncated avcC SPS table")
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        pos += 2
+        nal = avcc[pos : pos + ln]
+        if len(nal) != ln or not nal:
+            raise ValueError("truncated avcC SPS NAL")
+        if nal[0] & 0x1F != NAL_SPS:
+            raise ValueError("avcC SPS table entry is not an SPS NAL")
+        sps_list.append(parse_sps(ebsp_unescape(nal[1:])))
+        pos += ln
+    if pos >= len(avcc):
+        raise ValueError("truncated avcC PPS table")
+    n_pps = avcc[pos]
+    pos += 1
+    pps_count = 0
+    for _ in range(n_pps):
+        if pos + 2 > len(avcc):
+            raise ValueError("truncated avcC PPS table")
+        (ln,) = struct.unpack_from(">H", avcc, pos)
+        pos += 2 + ln
+        if pos > len(avcc):
+            raise ValueError("truncated avcC PPS NAL")
+        pps_count += 1
+    if not sps_list:
+        raise ValueError("avcC without an SPS")
+    return {
+        "profile_idc": profile,
+        "compat": compat,
+        "level_idc": level,
+        "nal_length_size": nal_length_size,
+        "sps": sps_list,
+        "n_pps": pps_count,
+        "width": sps_list[0]["width"],
+        "height": sps_list[0]["height"],
+    }
+
+
+def parse_length_prefixed(payload: bytes, nal_length_size: int = 4) -> list[
+    tuple[int, int, bytes]
+]:
+    """Split MP4-style length-prefixed H.264 sample data (the framing
+    ``avcC.nal_length_size`` declares) into NAL units — the same
+    (nal_unit_type, nal_ref_idc, rbsp) triples :func:`parse_annexb`
+    yields, so everything downstream (SPS/slice-header parse,
+    :func:`stream_index`) works on either wire format."""
+    if nal_length_size not in (1, 2, 4):
+        raise ValueError(f"illegal NAL length-field size {nal_length_size}")
+    nals: list[tuple[int, int, bytes]] = []
+    pos, n = 0, len(payload)
+    while pos < n:
+        if pos + nal_length_size > n:
+            raise ValueError("truncated NAL length prefix")
+        ln = int.from_bytes(payload[pos : pos + nal_length_size], "big")
+        pos += nal_length_size
+        body = payload[pos : pos + ln]
+        if len(body) != ln or not body:
+            raise ValueError("truncated length-prefixed NAL")
+        hdr = body[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set in NAL header")
+        nals.append(((hdr & 0x1F), (hdr >> 5) & 0x03, ebsp_unescape(body[1:])))
+        pos += ln
     return nals
 
 
@@ -398,6 +489,20 @@ def build_annexb_stream(doc_id: int) -> bytes:
                  build_slice(stype, i % 5, filler))
         )
     return b"".join(out)
+
+
+def build_avcc_config(sps_rbsp: bytes, pps_rbsp: bytes, nal_length_size: int = 4) -> bytes:
+    """Assemble an AVCDecoderConfigurationRecord around one SPS and
+    one PPS — the writer-side twin of :func:`parse_avcc_config`."""
+    sps_nal = bytes([(3 << 5) | NAL_SPS]) + ebsp_escape(sps_rbsp)
+    pps_nal = bytes([(3 << 5) | NAL_PPS]) + ebsp_escape(pps_rbsp)
+    return (
+        bytes([1, sps_rbsp[0], sps_rbsp[1], sps_rbsp[2],
+               0xFC | (nal_length_size - 1), 0xE0 | 1])
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1])
+        + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,45 @@ def test_pps_parses_as_nal():
     assert ntype == 8 and ref == 3 and len(rbsp) == len(build_pps())
 
 
+def test_avcc_config_and_length_prefixed_samples():
+    """MP4-side framing (ISO 14496-15): the avcC record yields the
+    NAL length-field size and the track resolution straight from its
+    embedded SPS; length-prefixed sample data splits into the same
+    NAL triples as Annex-B, at every legal length size."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.h264 import (
+        NAL_IDR,
+        build_avcc_config,
+        build_slice,
+        parse_avcc_config,
+        parse_length_prefixed,
+    )
+
+    cfg = parse_avcc_config(build_avcc_config(build_sps(5, 3, 1, 2), build_pps(), 4))
+    assert (cfg["width"], cfg["height"]) == (78, 44)
+    assert cfg["nal_length_size"] == 4 and cfg["n_pps"] == 1
+    assert cfg["profile_idc"] == 66
+    body = bytes([(3 << 5) | NAL_IDR]) + ebsp_escape(
+        build_slice(7, 0, b"\x00\x00\x01\x80")
+    )
+    for nls in (1, 2, 4):
+        sample = len(body).to_bytes(nls, "big") + body
+        ((ntype, ref, rbsp),) = parse_length_prefixed(sample, nls)
+        assert ntype == NAL_IDR and ref == 3
+        assert rbsp.endswith(b"\x00\x00\x01\x80")  # escape undone
+    # truncations are loud
+    with pytest.raises(ValueError, match="truncated"):
+        parse_length_prefixed(len(body).to_bytes(4, "big") + body[:-2], 4)
+    with pytest.raises(ValueError, match="avcC"):
+        parse_avcc_config(b"\x01\x42\x00\x1e")
+    # and Annex-B's seam message routes to the right entry point
+    with pytest.raises(NotImplementedError, match="parse_length_prefixed"):
+        from real_time_data_pipeline_for_restaurant_analytics_spark.operators.h264 import (
+            parse_annexb,
+        )
+
+        parse_annexb(len(body).to_bytes(4, "big") + body)
+
+
 def test_q152_matches_oracle(spark):
     from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
         all_queries,
