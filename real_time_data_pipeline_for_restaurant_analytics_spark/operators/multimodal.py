@@ -282,6 +282,7 @@ def encode_png(
     pix: "np.ndarray",
     palette: "np.ndarray | None" = None,
     interlace: bool = False,
+    depth: int | None = None,
 ) -> bytes:
     """REAL PNG writer (round-9; generalized round-10): the array
     shape and dtype pick the color type — (h, w) uint8 is grayscale
@@ -294,23 +295,40 @@ def encode_png(
     import struct
     import zlib
 
-    depth = 16 if pix.dtype == np.uint16 else 8
+    if depth is None:
+        depth = 16 if pix.dtype == np.uint16 else 8
     if pix.ndim == 2:
         channels = 1
         color = 3 if palette is not None else 0
     else:
         channels = pix.shape[2]
         color = {2: 4, 3: 2, 4: 6}[channels]
-    if color == 3 and depth != 8:
-        raise ValueError("palette PNG requires 8-bit indices")
+    if depth < 8 and channels != 1:
+        raise ValueError("sub-byte depths are single-channel (gray/palette)")
+    if depth < 8 and pix.max(initial=0) >= (1 << depth):
+        raise ValueError(f"sample out of {depth}-bit range")
     h, w = pix.shape[:2]
-    bpp = channels * depth // 8
+    bpp = max(1, channels * depth // 8)
     pix3 = pix.reshape(h, w, channels)
 
     def pass_bytes(sub: "np.ndarray") -> bytes:
         ph, pw = sub.shape[:2]
         if ph == 0 or pw == 0:
             return b""
+        if depth < 8:
+            # pack depth-bit samples MSB-first, each row byte-padded
+            bits = (
+                sub[:, :, 0][:, :, None]
+                >> np.arange(depth - 1, -1, -1)[None, None, :]
+            ) & 1
+            bits = bits.reshape(ph, pw * depth)
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.concatenate(
+                    [bits, np.zeros((ph, pad), dtype=bits.dtype)], axis=1
+                )
+            raw = np.packbits(bits.astype(np.uint8), axis=1).tobytes()
+            return _png_filter_lines(raw, ph, (pw * depth + 7) // 8, bpp)
         raw = sub.astype(">u2" if depth == 16 else np.uint8).tobytes()
         return _png_filter_lines(raw, ph, pw * bpp, bpp)
 
@@ -344,13 +362,14 @@ def decode_png(payload: bytes) -> "np.ndarray":
     Paeth are all integer-exact, which is what makes a compressed
     codec oracle-replayable at all. Every color type decodes
     (grayscale, truecolor, palette — expanded through PLTE to RGB —
-    gray+alpha, RGBA), at 8- or 16-bit depth (uint16 output), plain
-    or Adam7-interlaced (seven independently-filtered sub-images
-    scattered back onto the pixel grid). Returns (h, w) for 1-channel
-    images, (h, w, c) otherwise. Sub-byte depths (1/2/4-bit) raise
-    NotImplementedError — the remaining raster seam (plus WebP/AVIF;
-    baseline, subsampled, and progressive JPEG all decode natively,
-    operators/jpeg.py).
+    gray+alpha, RGBA), at every spec depth (1/2/4-bit MSB-first
+    packed samples, 8-bit, 16-bit with uint16 output), plain or
+    Adam7-interlaced (seven independently-filtered sub-images
+    scattered back onto the pixel grid) — the format's raster
+    surface is closed. Returns (h, w) for 1-channel images (sub-byte
+    grays as their RAW 0..2^d-1 sample values), (h, w, c) otherwise.
+    The remaining image seam is WebP/AVIF; baseline, subsampled, and
+    progressive JPEG all decode natively (operators/jpeg.py).
 
     Cost honesty (r9 verdict): the unfilter recurrences are
     interpreter-bound pure Python — ~0.14 ms/KB/core after the
@@ -400,23 +419,28 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError("PNG with reserved compression/filter method")
     if color not in (0, 2, 3, 4, 6):
         raise ValueError(f"PNG color type {color} is not in the spec")
-    if depth not in (8, 16) or (color == 3 and depth != 8):
-        raise NotImplementedError(
-            f"{depth}-bit color-type-{color} PNG: sub-byte depths "
-            "(1/2/4-bit) are the remaining raster seam"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {depth} is not in the spec")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"{depth}-bit PNG with multi-channel color type {color}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} is not in the spec")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    bpp = channels * depth // 8
+    # filters operate on BYTES: at sub-byte depths the left-neighbor
+    # distance is one byte (spec 9.2), and a scanline is the packed
+    # ceil(w·channels·depth/8) bytes
+    bpp = max(1, channels * depth // 8)
     if color == 3 and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     flat = zlib.decompress(idat)
 
+    def rowbytes(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
     def unfilter(chunk_bytes: bytes, ph: int, pw: int) -> bytes:
         # plain-bytes unfilter recurrences (see _png_filter_lines):
         # bytearray/int arithmetic beats numpy scalar access ~5-10x
-        stride = pw * bpp
+        stride = rowbytes(pw)
         recon_all = bytearray(ph * stride)
         zero = bytes(stride)
         for y in range(ph):
@@ -462,10 +486,22 @@ def decode_png(payload: bytes) -> "np.ndarray":
         return bytes(recon_all)
 
     dt = np.dtype(">u2") if depth == 16 else np.dtype(np.uint8)
+
+    def to_array(raw: bytes, ph: int, pw: int) -> "np.ndarray":
+        if depth >= 8:
+            return np.frombuffer(raw, dtype=dt).reshape(ph, pw, channels)
+        # sub-byte samples: unpack MSB-first, regroup depth-bit fields
+        bits = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8).reshape(ph, rowbytes(pw)), axis=1
+        )[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2).astype(np.uint8)
+        return vals[:, :, None]
+
     if interlace == 0:
-        if len(flat) != h * (w * bpp + 1):
+        if len(flat) != h * (rowbytes(w) + 1):
             raise ValueError("PNG IDAT inflated to the wrong scanline volume")
-        img = np.frombuffer(unfilter(flat, h, w), dtype=dt).reshape(h, w, channels)
+        img = to_array(unfilter(flat, h, w), h, w)
     else:  # Adam7: seven independently-filtered sub-images
         img = np.zeros((h, w, channels), dtype=dt)
         at = 0
@@ -474,13 +510,12 @@ def decode_png(payload: bytes) -> "np.ndarray":
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            size = ph * (pw * bpp + 1)
+            size = ph * (rowbytes(pw) + 1)
             if at + size > len(flat):
                 raise ValueError("PNG IDAT short of the Adam7 pass volume")
-            sub = np.frombuffer(
-                unfilter(flat[at : at + size], ph, pw), dtype=dt
-            ).reshape(ph, pw, channels)
-            img[y0::dy, x0::dx] = sub
+            img[y0::dy, x0::dx] = to_array(
+                unfilter(flat[at : at + size], ph, pw), ph, pw
+            )
             at += size
         if at != len(flat):
             raise ValueError("PNG IDAT inflated to the wrong scanline volume")

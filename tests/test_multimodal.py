@@ -237,6 +237,21 @@ def test_png_all_color_types_depths_and_interlace():
     idx = rng.integers(0, 17, (13, 21), dtype=np.uint8)
     for il in (False, True):
         assert (decode_png(encode_png(idx, palette=pal, interlace=il)) == pal[idx]).all()
+    # sub-byte depths (1/2/4-bit, gray and palette, both interlace
+    # modes, odd widths exercising the per-row bit padding)
+    for depth in (1, 2, 4):
+        for il in (False, True):
+            g = rng.integers(0, 1 << depth, (13, 21), dtype=np.uint8)
+            out = decode_png(encode_png(g, depth=depth, interlace=il))
+            assert out.shape == g.shape and (out == g).all(), ("gray", depth, il)
+            idx2 = rng.integers(0, min(16, 1 << depth), (13, 21), dtype=np.uint8)
+            assert (
+                decode_png(encode_png(idx2, palette=pal[:16], depth=depth, interlace=il))
+                == pal[:16][idx2]
+            ).all(), ("pal", depth, il)
+    for w in (1, 3, 7, 9, 15):
+        g = rng.integers(0, 2, (5, w), dtype=np.uint8)
+        assert (decode_png(encode_png(g, depth=1)) == g).all(), w
     # interlaced tiny images: several Adam7 passes are empty
     for shape in ((1, 1, 3), (3, 2, 3), (2, 9, 3)):
         t = rng.integers(0, 256, shape, dtype=np.uint8)
@@ -279,17 +294,21 @@ def test_png_corruption_and_unsupported_variants_fail_loudly():
         with pytest.raises(ValueError, match="truncated"):
             decode_png(good[:cut])
 
-    # sub-byte depth (4-bit palette) is the remaining documented seam
+    # out-of-spec depth is corruption; a palette header with no PLTE
+    # is corruption; both loud ValueErrors, no seam left in-format
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 3, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr))
-        + b"IHDR"
-        + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    with pytest.raises(NotImplementedError, match="4-bit|sub-byte|seam"):
-        decode_png(sig + chunk)
+    for ihdr, msg in (
+        (struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0), "depth"),
+        (struct.pack(">IIBBBBB", 4, 4, 4, 3, 0, 0, 0), "PLTE"),
+    ):
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        with pytest.raises(ValueError, match=msg):
+            decode_png(sig + chunk)
 
     # non-PNG bytes through the sniffing front door still name the seam
     from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
