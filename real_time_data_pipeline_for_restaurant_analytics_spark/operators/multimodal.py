@@ -583,9 +583,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return np.repeat(pix[:, :, None], 3, axis=2) if pix.ndim == 2 else pix
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_vp8l
+
+        return decode_vp8l(payload)[:, :, :3]  # lossless; alpha dropped
     raise NotImplementedError(
-        "unknown format (WebP/AVIF) — needs codec libs (PIL/libvips); "
-        "PPM/BMP/PNG/baseline-JPEG/GIF decode natively, see "
+        "unknown format (AVIF) — needs codec libs (PIL/libvips); "
+        "PPM/BMP/PNG/JPEG/GIF/WebP-lossless decode natively, see "
         "decode_image_stub for the seam"
     )
 

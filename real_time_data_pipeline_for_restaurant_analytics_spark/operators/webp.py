@@ -1,0 +1,646 @@
+"""WebP lossless (VP8L) codec subset built on the stdlib — the last
+named image-format seam behind ``decode_image`` (round-10 fourth
+pass).
+
+VP8L (RFC 9649 §3 / the WebP lossless bitstream spec) is LOSSLESS
+like PNG, so any deterministic pixel fixture is oracle-replayable —
+but its entropy layer is a different animal: LSB-first bit packing,
+DEFLATE-style canonical prefix codes transmitted through a
+code-length code (with the 16/17/18 repeat operators), five codes
+per image (green+length+cache / red / blue / alpha / distance), an
+LZ77 layer whose back-references run over the PIXEL stream, and a
+color cache addressed by a multiplicative hash of the ARGB word.
+
+Implemented from the spec:
+
+- **Container**: RIFF walk to the ``VP8L`` chunk (lossy ``VP8 `` and
+  extended ``VP8X`` raise NotImplementedError — they need the full
+  VP8 transform stack).
+- **Decoder** (:func:`decode_vp8l`): header, transform list,
+  color-cache info, the full prefix-code machinery (simple 1-/2-
+  symbol form AND the code-length-code form incl. repeat codes and
+  the max-symbol variant), literals, LZ77 copies with ABSOLUTE
+  distances (codes > 120), color-cache hits, and the inverse
+  subtract-green and color-indexing (palette, delta-coded entries)
+  transforms. Kraft-incomplete codes, bad cache sizes, and
+  out-of-range references are loud ValueErrors.
+- **Encoders** (:func:`encode_vp8l` / :func:`encode_vp8l_palette`):
+  spec-valid literal-coded streams (flat canonical codes shipped
+  through the code-length code, 0-bit simple codes for the constant
+  alpha and the unused distance alphabet), and palette streams with
+  delta-coded color tables — so the decoder is tested against real
+  wire formats, not its own shortcuts.
+
+Honest remaining seams (all raise NotImplementedError, named): the
+predictor and cross-color transforms, meta prefix codes (the entropy
+image), pixel-bundled palettes (≤ 16 colors pack several pixels per
+byte), and the 120-entry 2D neighbor distance map (our encoder emits
+absolute distances; transcribing the spec's neighbor table enables
+the short-distance codes real encoders favor). Lossy VP8/VP8X stay
+out — they are not losslessly oracle-replayable.
+
+Scale contract: identical to the codec family — Arrow-batched
+``mapInPandas`` via decode_image, payload bytes touched once, zero
+payload shuffles, narrow integer stats out (q154).
+
+Reference anchor: none in the reference (it stores no media) — the
+LLM-training-data surface (SURVEY §6) where web-scraped image corpora
+carry a growing WebP share.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: code-length-code transmission order (RFC 9649 §3.7.2.2)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_HASH_MUL = 0x1E35A7BD
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L convention — the opposite of JPEG)."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0) -> None:
+        self.data = data
+        self.bitpos = byte_pos * 8
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte, bit = divmod(self.bitpos, 8)
+            if byte >= len(self.data):
+                raise ValueError("truncated VP8L stream")
+            v |= ((self.data[byte] >> bit) & 1) << i
+            self.bitpos += 1
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self.out: list[int] = []
+
+    def put(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.out.append((value >> i) & 1)
+
+    def put_code(self, code: int, length: int) -> None:
+        """Prefix-code bits go most-significant-first (the DEFLATE
+        convention VP8L shares), still into the LSB-first stream."""
+        for i in range(length - 1, -1, -1):
+            self.out.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.out) + 7) // 8)
+        for i, b in enumerate(self.out):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+def _canonical_from_lengths(lengths: list[int]) -> dict:
+    """DEFLATE canonical assignment: {(length, code): symbol} for the
+    bit-by-bit decoder, plus the single-symbol 0-bit special case
+    (returned as {"single": sym}). Kraft-incomplete multi-symbol
+    codes are corruption."""
+    used = [(sym, ln) for sym, ln in enumerate(lengths) if ln > 0]
+    if not used:
+        raise ValueError("VP8L prefix code with no symbols")
+    if len(used) == 1:
+        return {"single": used[0][0]}
+    maxlen = max(ln for _, ln in used)
+    bl_count = [0] * (maxlen + 1)
+    for _, ln in used:
+        bl_count[ln] += 1
+    if sum(n << (maxlen - ln) for ln, n in enumerate(bl_count) if ln) != (
+        1 << maxlen
+    ):
+        raise ValueError("VP8L prefix code is not complete")
+    next_code = [0] * (maxlen + 1)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    table: dict = {}
+    for sym, ln in used:
+        table[(ln, next_code[ln])] = sym
+        next_code[ln] += 1
+    return table
+
+
+def _encode_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length), the writer-side twin."""
+    table = _canonical_from_lengths(lengths)
+    if "single" in table:
+        return {table["single"]: (0, 0)}
+    return {sym: (code, ln) for (ln, code), sym in table.items()}
+
+
+def _decode_sym(r: _LsbReader, table: dict) -> int:
+    if "single" in table:
+        return table["single"]
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid VP8L prefix code")
+
+
+def _read_prefix_code(r: _LsbReader, alphabet_size: int) -> dict:
+    """One prefix code (RFC 9649 §3.7.2): simple form (1-2 symbols)
+    or code-lengths form with repeat operators and the optional
+    max-symbol cap."""
+    if r.bit():  # simple
+        num_symbols = r.bit() + 1
+        first8 = r.bit()
+        sym0 = r.bits(8 if first8 else 1)
+        if sym0 >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of alphabet")
+        if num_symbols == 1:
+            return {"single": sym0}
+        sym1 = r.bits(8)
+        if sym1 >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of alphabet")
+        lengths = [0] * alphabet_size
+        lengths[sym0] = 1
+        lengths[sym1] = 1
+        return _canonical_from_lengths(lengths)
+    num_codes = r.bits(4) + 4
+    if num_codes > 19:
+        raise ValueError("VP8L code-length-code count out of range")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_CL_ORDER[i]] = r.bits(3)
+    cl_table = _canonical_from_lengths(cl_lengths)
+    if r.bit():  # max-symbol variant
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    sym = 0
+    prev = 8
+    while sym < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = _decode_sym(r, cl_table)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                if sym >= alphabet_size:
+                    raise ValueError("VP8L code-length repeat overflow")
+                lengths[sym] = prev
+                sym += 1
+        else:
+            rep = (3 + r.bits(3)) if cl == 17 else (11 + r.bits(7))
+            sym += rep
+            if sym > alphabet_size:
+                raise ValueError("VP8L code-length repeat overflow")
+    return _canonical_from_lengths(lengths)
+
+
+def _lz77_value(r: _LsbReader, code: int) -> int:
+    """Length/distance prefix decoding (RFC 9649 §3.6.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _read_image_stream(
+    r: _LsbReader, w: int, h: int, spatially_coded: bool
+) -> list[int]:
+    """One VP8L-coded pixel stream → list of packed ARGB ints."""
+    cache_bits = 0
+    if r.bit():
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L color-cache size bits {cache_bits}")
+    if spatially_coded and r.bit():
+        raise NotImplementedError(
+            "VP8L meta prefix codes (entropy image) — the remaining seam"
+        )
+    n_green = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    green = _read_prefix_code(r, n_green)
+    red = _read_prefix_code(r, 256)
+    blue = _read_prefix_code(r, 256)
+    alpha = _read_prefix_code(r, 256)
+    dist = _read_prefix_code(r, 40)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    n = w * h
+    out = [0] * n
+    pos = 0
+
+    def insert(px: int) -> None:
+        if cache is not None:
+            cache[((_HASH_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while pos < n:
+        s = _decode_sym(r, green)
+        if s < 256:
+            rr = _decode_sym(r, red)
+            bb = _decode_sym(r, blue)
+            aa = _decode_sym(r, alpha)
+            px = (aa << 24) | (rr << 16) | (s << 8) | bb
+            out[pos] = px
+            insert(px)
+            pos += 1
+        elif s < 280:
+            length = _lz77_value(r, s - 256)
+            dval = _lz77_value(r, _decode_sym(r, dist))
+            if dval <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D neighbor distance codes (the 120-entry map) — "
+                    "absolute distances (code > 120) decode; transcribe the "
+                    "spec table to enable short codes"
+                )
+            d = dval - 120
+            if d < 1 or d > pos:
+                raise ValueError("VP8L back-reference out of range")
+            for _ in range(length):
+                if pos >= n:
+                    raise ValueError("VP8L back-reference runs past image end")
+                px = out[pos - d]
+                out[pos] = px
+                insert(px)
+                pos += 1
+        else:
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            out[pos] = cache[s - 280]
+            pos += 1
+    return out
+
+
+def decode_vp8l(payload: bytes) -> "np.ndarray":
+    """REAL WebP-lossless decode from the spec → (h, w, 4) uint8
+    RGBA. See the module docstring for the exact supported surface
+    and the named loud seams."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise NotImplementedError("not a WebP RIFF container")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            data = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                f"WebP {fourcc.decode().strip()} (lossy / extended) — only "
+                "the lossless VP8L profile decodes"
+            )
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("WebP container without a VP8L chunk")
+    if not data or data[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    r = _LsbReader(data, 1)
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bit()  # alpha-is-used hint
+    if r.bits(3) != 0:
+        raise ValueError("VP8L version != 0")
+
+    transforms = []
+    seen = set()
+    while r.bit():
+        ttype = r.bits(2)
+        if ttype in seen:
+            raise ValueError("VP8L transform repeated")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green
+            transforms.append(("subtract_green", None))
+        elif ttype == 3:  # color indexing
+            psize = r.bits(8) + 1
+            if psize <= 16:
+                raise NotImplementedError(
+                    "VP8L pixel-bundled palette (≤ 16 colors) — the "
+                    "remaining seam; larger palettes decode"
+                )
+            deltas = _read_image_stream(r, psize, 1, spatially_coded=False)
+            pal = []
+            prev = 0
+            for dpx in deltas:  # entries are componentwise deltas
+                px = (
+                    ((((prev >> 24) + (dpx >> 24)) & 0xFF) << 24)
+                    | (((((prev >> 16) & 0xFF) + ((dpx >> 16) & 0xFF)) & 0xFF) << 16)
+                    | (((((prev >> 8) & 0xFF) + ((dpx >> 8) & 0xFF)) & 0xFF) << 8)
+                    | (((prev & 0xFF) + (dpx & 0xFF)) & 0xFF)
+                )
+                pal.append(px)
+                prev = px
+            transforms.append(("palette", pal))
+        else:
+            raise NotImplementedError(
+                "VP8L predictor/cross-color transforms — the remaining seam"
+            )
+    argb = _read_image_stream(r, w, h, spatially_coded=True)
+
+    for name, arg in reversed(transforms):
+        if name == "subtract_green":
+            for i, px in enumerate(argb):
+                g = (px >> 8) & 0xFF
+                rr = (((px >> 16) & 0xFF) + g) & 0xFF
+                bb = ((px & 0xFF) + g) & 0xFF
+                argb[i] = (px & 0xFF00FF00) | (rr << 16) | bb
+        else:  # palette
+            pal = arg
+            npal = len(pal)
+            for i, px in enumerate(argb):
+                idx = (px >> 8) & 0xFF
+                if idx >= npal:
+                    raise ValueError("VP8L palette index out of range")
+                argb[i] = pal[idx]
+
+    a = np.array(argb, dtype=np.uint32).reshape(h, w)
+    return np.stack(
+        [
+            ((a >> 16) & 0xFF),
+            ((a >> 8) & 0xFF),
+            (a & 0xFF),
+            ((a >> 24) & 0xFF),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Writer side
+# ---------------------------------------------------------------------------
+
+
+def _write_flat_code(w: _LsbWriter, alphabet_size: int, n_used: int) -> None:
+    """Transmit a flat canonical code (first ``n_used`` symbols at 8
+    bits, complete when n_used == 256) through the code-length code:
+    CL symbols {8, 18} at one bit each, then n_used '8's and a
+    repeat-zero tail."""
+    w.put(0, 1)  # not simple
+    w.put(19 - 4, 4)  # ship all 19 CL slots
+    for sym in _CL_ORDER:
+        w.put(1 if sym in (8, 18) else 0, 3)
+    w.put(0, 1)  # no max-symbol cap
+    # CL canonical: symbol 8 → code 0, symbol 18 → code 1 (both 1 bit)
+    for _ in range(n_used):
+        w.put_code(0, 1)
+    remaining = alphabet_size - n_used
+    while remaining >= 11:
+        rep = min(remaining, 138)
+        w.put_code(1, 1)  # CL symbol 18
+        w.put(rep - 11, 7)
+        remaining -= rep
+    if remaining:  # only hit for tiny tails; CL 17 covers 3..10
+        raise ValueError("flat-code zero tail shorter than 11")
+
+
+def _write_code_lengths(w: _LsbWriter, lengths: list[int]) -> None:
+    """Transmit an ARBITRARY symbol-length array through the
+    code-length code: the CL alphabet is the set of lengths in use
+    plus the repeat operators (17/18 for zero runs, 0 for short
+    ones), padded to a power of two so the CL code itself is a
+    complete equal-length canonical code. General enough for any
+    test stream (LZ77 symbols, cache symbols, sparse literals)."""
+    used = sorted({ln for ln in lengths if ln > 0})
+    cl_syms = sorted(set(used) | {0, 17, 18})
+    # pad with unused CL symbols to a power of two for completeness
+    n = 1
+    while n < len(cl_syms):
+        n <<= 1
+    for extra in range(19):
+        if len(cl_syms) == n:
+            break
+        if extra not in cl_syms:
+            cl_syms.append(extra)
+    cl_syms = sorted(cl_syms)
+    bits_per = n.bit_length() - 1 if n > 1 else 1
+    cl_lengths = [0] * 19
+    for sym in cl_syms:
+        cl_lengths[sym] = bits_per
+    cl_codes = _encode_codes(cl_lengths)
+
+    w.put(0, 1)  # not simple
+    w.put(19 - 4, 4)
+    for sym in _CL_ORDER:
+        w.put(cl_lengths[sym], 3)
+    w.put(0, 1)  # no max-symbol cap
+    i = 0
+    while i < len(lengths):
+        ln = lengths[i]
+        if ln == 0:
+            run = 0
+            while i + run < len(lengths) and lengths[i + run] == 0:
+                run += 1
+            # trailing zeros must be transmitted too: without the
+            # max-symbol cap the reader keeps decoding CL symbols
+            # until the alphabet is full
+            while run >= 11:
+                rep = min(run, 138)
+                w.put_code(*cl_codes[18])
+                w.put(rep - 11, 7)
+                run -= rep
+                i += rep
+            if run >= 3:
+                w.put_code(*cl_codes[17])
+                w.put(run - 3, 3)
+                i += run
+                run = 0
+            for _ in range(run):
+                w.put_code(*cl_codes[0])
+                i += 1
+        else:
+            w.put_code(*cl_codes[ln])
+            i += 1
+
+
+def _write_single_code(w: _LsbWriter, symbol: int) -> None:
+    """Simple prefix code with one symbol → every decode costs 0
+    bits."""
+    w.put(1, 1)  # simple
+    w.put(0, 1)  # one symbol
+    if symbol < 2:
+        w.put(0, 1)  # 1-bit symbol field
+        w.put(symbol, 1)
+    else:
+        w.put(1, 1)  # 8-bit symbol field
+        w.put(symbol, 8)
+
+
+def _vp8l_container(stream: bytes) -> bytes:
+    vp8l = b"\x2f" + stream
+    pad = b"\x00" if len(vp8l) & 1 else b""
+    riff_size = 4 + 8 + len(vp8l) + len(pad)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(vp8l))
+        + vp8l
+        + pad
+    )
+
+
+def encode_vp8l(pix: "np.ndarray") -> bytes:
+    """REAL literal-coded VP8L writer from an (h, w, 3) uint8 RGB
+    array (alpha constant 255 via a 0-bit simple code): no
+    transforms, no color cache, flat canonical codes shipped through
+    the code-length code — a fully spec-valid stream any WebP
+    decoder accepts."""
+    h, w, c = pix.shape
+    assert c == 3
+    wr = _LsbWriter()
+    wr.put(w - 1, 14)
+    wr.put(h - 1, 14)
+    wr.put(0, 1)  # alpha unused
+    wr.put(0, 3)  # version
+    wr.put(0, 1)  # no transforms
+    wr.put(0, 1)  # no color cache
+    wr.put(0, 1)  # no meta prefix codes
+    _write_flat_code(wr, 256 + 24, 256)  # green
+    _write_flat_code(wr, 256, 256)  # red
+    _write_flat_code(wr, 256, 256)  # blue
+    _write_single_code(wr, 255)  # alpha: constant, 0 bits/pixel
+    _write_single_code(wr, 0)  # distance: never used
+    flat = pix.reshape(-1, 3)
+    for rr, gg, bb in flat:
+        wr.put_code(int(gg), 8)
+        wr.put_code(int(rr), 8)
+        wr.put_code(int(bb), 8)
+    return _vp8l_container(wr.bytes())
+
+
+def encode_vp8l_palette(
+    indices: "np.ndarray", palette: "np.ndarray"
+) -> bytes:
+    """Palette (color-indexing transform) VP8L writer: delta-coded
+    RGB palette sub-image + literal index stream in the green
+    channel. Palette must have > 16 entries (smaller ones would
+    require pixel bundling, the documented seam)."""
+    npal = palette.shape[0]
+    if not 16 < npal <= 256:
+        raise ValueError("palette size must be in 17..256")
+    h, w = indices.shape
+    wr = _LsbWriter()
+    wr.put(w - 1, 14)
+    wr.put(h - 1, 14)
+    wr.put(0, 1)
+    wr.put(0, 3)
+    wr.put(1, 1)  # transform present
+    wr.put(3, 2)  # color indexing
+    wr.put(npal - 1, 8)
+    # palette sub-image: literal stream of componentwise deltas (the
+    # alpha channel delta-codes too: 255 for the first opaque entry,
+    # 0 afterwards — so it needs a real code, not a constant)
+    wr.put(0, 1)  # no color cache
+    _write_flat_code(wr, 256 + 24, 256)  # green
+    _write_flat_code(wr, 256, 256)  # red
+    _write_flat_code(wr, 256, 256)  # blue
+    _write_flat_code(wr, 256, 256)  # alpha
+    _write_single_code(wr, 0)  # distance
+    prev = np.zeros(4, dtype=np.int64)  # a, r, g, b
+    for entry in palette.astype(np.int64):
+        argb = np.array([255, entry[0], entry[1], entry[2]], dtype=np.int64)
+        d = (argb - prev) & 0xFF
+        wr.put_code(int(d[2]), 8)  # green delta
+        wr.put_code(int(d[1]), 8)  # red delta
+        wr.put_code(int(d[3]), 8)  # blue delta
+        wr.put_code(int(d[0]), 8)  # alpha delta
+        prev = argb
+    wr.put(0, 1)  # end of transform list
+    # main stream: indices as green literals
+    wr.put(0, 1)  # no color cache
+    wr.put(0, 1)  # no meta prefix codes
+    _write_flat_code(wr, 256 + 24, 256)  # green (indices)
+    _write_single_code(wr, 0)  # red
+    _write_single_code(wr, 0)  # blue
+    _write_single_code(wr, 255)  # alpha
+    _write_single_code(wr, 0)  # distance
+    for idx in indices.reshape(-1):
+        wr.put_code(int(idx), 8)
+    return _vp8l_container(wr.bytes())
+
+
+# ---------------------------------------------------------------------------
+# q154: the registered query — the q108 pixel fixture through REAL
+# VP8L wire bytes; lossless, so the oracle is q108's closed form.
+# ---------------------------------------------------------------------------
+
+
+def synth_webp_payloads(ids_df):
+    """(doc_id) → (doc_id, payload): REAL WebP-lossless bytes of the
+    q108 deterministic pixel fixture."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .multimodal import spread_ids, synth_pixels
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_vp8l(synth_pixels(int(d))) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def _register_q154() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from ..catalog import load
+    from ..registry import register
+    from .multimodal import _PIXEL_STATS_ORACLE, decode_stats
+
+    @register(
+        "q154_webp_lossless_stats",
+        oracle=_PIXEL_STATS_ORACLE,
+        doc="REAL WebP-lossless (VP8L) decode (round-10 fourth pass — "
+        "the last named image seam becomes a working profile): the "
+        "q108 pixel fixture is written as genuine VP8L wire bytes — "
+        "RIFF container, LSB-first bit packing, flat canonical prefix "
+        "codes shipped through the code-length code, 0-bit simple "
+        "codes for the constant alpha and unused distance alphabets — "
+        "and decoded back from the spec alone (container walk, header, "
+        "transform list, the full prefix-code machinery incl. repeat "
+        "operators and the max-symbol cap, literals/LZ77/color-cache "
+        "pixel loop, inverse subtract-green and palette transforms). "
+        "Lossless, so the oracle is q108's closed form verbatim; LZ77, "
+        "color-cache, subtract-green, and palette decode paths are "
+        "pinned by hand-built wire streams in pytest. Remaining "
+        "in-format seams (loud): predictor/cross-color transforms, "
+        "meta prefix codes, pixel-bundled small palettes, the 120-entry "
+        "neighbor distance map; lossy VP8/VP8X stay out by design. "
+        "Plan shape as the codec family: ids fan-out + two MapInPandas, "
+        "payload bytes never shuffle.",
+    )
+    def q154_webp_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        return decode_stats(synth_webp_payloads(d)).orderBy("doc_id")
+
+
+_register_q154()

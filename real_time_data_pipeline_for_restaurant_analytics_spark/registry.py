@@ -197,6 +197,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         skew,
         text,
+        webp,
     )
     from .pipeline import replay  # noqa: F401
     from .sources import corpus  # noqa: F401
