@@ -36,9 +36,15 @@ def test_compressed_formats_fail_loudly():
     # JPEG-signature payload with garbage now fails as CORRUPT
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0JFIF....")
-    # the remaining codec-library formats stay the documented boundary
+    # lossy WebP is a named design boundary (not losslessly oracle-
+    # replayable); a well-formed container with a VP8 chunk says so
+    lossy = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+             + b"VP8 " + (4).to_bytes(4, "little") + b"xxxx")
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_image(lossy)
+    # the remaining codec-library format (AVIF) stays the boundary
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(b"RIFF....WEBPVP8 ")
+        decode_image(b"\x00\x00\x00 ftypavif....")
 
 
 def test_nn_thumbnail_sampling_grid():
@@ -315,7 +321,9 @@ def test_png_corruption_and_unsupported_variants_fail_loudly():
         decode_image,
     )
 
-    with pytest.raises(NotImplementedError, match="WebP"):
+    # a RIFF/WEBP container with garbage chunks is now CORRUPTION
+    # (VP8L decodes for real since round 10), not a seam
+    with pytest.raises(ValueError):
         decode_image(b"RIFFxxxxWEBP fake webp")
     # a JPEG signature now routes to the REAL baseline decoder
     # (round 10) — garbage after the signature is CORRUPTION
