@@ -270,7 +270,7 @@ def _login_digest() -> Column:
 
 
 def _digest_rows(
-    df: DataFrame, entity: str, layer: str, key: str, digest: Column
+    df: DataFrame, entity: str, layer: str, key: str | list[str], digest: Column
 ) -> DataFrame:
     base = F.lit(_BASE_DATE).cast("date")
     if layer == "dim":
@@ -284,10 +284,14 @@ def _digest_rows(
         eff_s = F.lit(_NO_DATE).cast("bigint")
         eff_e = F.lit(_NO_DATE).cast("bigint")
         cur = F.lit(True)
+    if isinstance(key, str):
+        key_str = F.col(key).cast("string")
+    else:  # composite business key (J3): '~'-joined, mirrored in SQL
+        key_str = F.concat_ws("~", *[F.col(k).cast("string") for k in key])
     return df.select(
         F.lit(entity).alias("entity"),
         F.lit(layer).alias("layer"),
-        F.col(key).cast("string").alias("key_str"),
+        key_str.alias("key_str"),
         eff_s.alias("eff_start_day"),
         eff_e.alias("eff_end_day"),
         cur.alias("is_current"),
@@ -453,11 +457,15 @@ def _login_clean_sql(src_cte: str) -> str:
   FROM {src_cte} WHERE loginid0 IS NOT NULL"""
 
 
-def _merge_replay_sql(e: str, key: str, cols: list[str]) -> str:
+def _merge_replay_sql(e: str, key: str | list[str], cols: list[str]) -> str:
     """Generic two-merge CTE replay for one entity: SCD2 three-branch
     (close-out / new-version / first-insert-from-created, mirroring
     apply_scd2 and `02 Location Entity.sql:266-345`) plus the clean
-    SCD1 upsert in prefer-source form."""
+    SCD1 upsert in prefer-source form. A list ``key`` replays the J3
+    composite-business-key MERGE (`10 Order Item.sql:91-93`) with
+    EXISTS-correlated membership in place of single-column IN."""
+    if not isinstance(key, str):
+        return _merge_replay_sql_composite(e, list(key), cols)
     attrs = [c for c in cols if c != key]
     collist = ", ".join(cols)
     t_collist = ", ".join(f"t.{c}" for c in cols)
@@ -501,6 +509,62 @@ def _merge_replay_sql(e: str, key: str, cols: list[str]) -> str:
 )"""
 
 
+def _merge_replay_sql_composite(e: str, keys: list[str], cols: list[str]) -> str:
+    """The composite-key (J3) flavor of :func:`_merge_replay_sql`:
+    every key-membership test becomes a correlated EXISTS over the full
+    key tuple, so two rows sharing a prefix of the key (same
+    order_item_id, different menuitem_id_fk) version independently —
+    exactly the `10 Order Item.sql:91-93` three-column ON clause."""
+    attrs = [c for c in cols if c not in keys]
+    collist = ", ".join(cols)
+    t_collist = ", ".join(f"t.{c}" for c in cols)
+    s_collist = ", ".join(f"s.{c}" for c in cols)
+    diff = " OR ".join(f"t.{a} IS DISTINCT FROM s.{a}" for a in attrs)
+    jon = " AND ".join(f"s.{k} = t.{k}" for k in keys)
+
+    def ex(cte: str, alias: str) -> str:
+        cond = " AND ".join(f"c.{k} = {alias}.{k}" for k in keys)
+        return f"EXISTS (SELECT 1 FROM {cte} c WHERE {cond})"
+
+    return f"""{e}_dim1 AS (
+  SELECT {collist}, created_ts AS eff_start_date,
+         CAST(NULL AS TIMESTAMP) AS eff_end_date, TRUE AS is_current
+  FROM {e}_clean1
+),
+{e}_chg AS (
+  SELECT {', '.join(f's.{k}' for k in keys)} FROM {e}_clean2 s
+  JOIN {e}_dim1 t ON {jon} WHERE {diff}
+),
+{e}_new AS (
+  SELECT {', '.join(f's.{k}' for k in keys)} FROM {e}_clean2 s
+  LEFT JOIN {e}_dim1 t ON {jon} WHERE t.{keys[0]} IS NULL
+),
+{e}_kept AS (
+  SELECT {t_collist}, t.eff_start_date,
+         CASE WHEN {ex(f'{e}_chg', 't')}
+              THEN TIMESTAMP '{_TS2}' ELSE t.eff_end_date END AS eff_end_date,
+         CASE WHEN {ex(f'{e}_chg', 't')}
+              THEN FALSE ELSE t.is_current END AS is_current
+  FROM {e}_dim1 t
+),
+{e}_ins AS (
+  SELECT {s_collist},
+         CASE WHEN {ex(f'{e}_new', 's')}
+              THEN s.created_ts ELSE TIMESTAMP '{_TS2}' END AS eff_start_date,
+         CAST(NULL AS TIMESTAMP) AS eff_end_date, TRUE AS is_current
+  FROM {e}_clean2 s
+  WHERE {ex(f'{e}_chg', 's')} OR {ex(f'{e}_new', 's')}
+),
+{e}_dim2 AS (SELECT * FROM {e}_kept UNION ALL SELECT * FROM {e}_ins),
+{e}_cleanF AS (
+  SELECT {collist} FROM {e}_clean2
+  UNION ALL
+  SELECT {collist} FROM {e}_clean1 t
+  WHERE NOT EXISTS (SELECT 1 FROM {e}_clean2 c
+                    WHERE {' AND '.join(f'c.{k} = t.{k}' for k in keys)})
+)"""
+
+
 _LOC_DIGEST_SQL = (
     "md5(concat_ws('|', city, state, state_code, is_union_territory, "
     "CAST(CAST(capital_city_flag AS INT) AS VARCHAR), city_tier, zip_code, "
@@ -517,12 +581,23 @@ _MENU_DIGEST_SQL = (
 )
 
 
-def _digest_rows_sql(e: str, entity: str, key: str, digest: str) -> str:
+def _digest_rows_sql(e: str, entity: str, key: str | list[str], digest: str) -> str:
     eff_s = f"CAST(date_diff('day', DATE '{_BASE_DATE}', CAST(eff_start_date AS DATE)) AS BIGINT)"
     eff_e = (
         f"CAST(COALESCE(date_diff('day', DATE '{_BASE_DATE}', "
         f"CAST(eff_end_date AS DATE)), {_NO_DATE}) AS BIGINT)"
     )
+    if not isinstance(key, str):  # composite key: '~'-joined, as in _digest_rows
+        key = "concat_ws('~', " + ", ".join(f"CAST({k} AS VARCHAR)" for k in key) + ")"
+        return f"""SELECT '{entity}' AS entity, 'dim' AS layer,
+       {key} AS key_str,
+       {eff_s} AS eff_start_day, {eff_e} AS eff_end_day,
+       is_current, {digest} AS digest
+  FROM {e}_dim2
+UNION ALL
+SELECT '{entity}', 'clean', {key},
+       CAST({_NO_DATE} AS BIGINT), CAST({_NO_DATE} AS BIGINT), TRUE, {digest}
+  FROM {e}_cleanF"""
     return f"""SELECT '{entity}' AS entity, 'dim' AS layer,
        CAST({key} AS VARCHAR) AS key_str,
        {eff_s} AS eff_start_day, {eff_e} AS eff_end_day,
@@ -945,5 +1020,390 @@ def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_digest_rows(wh.clean("delivery_agent").read(spark),
                                   "delivery_agent", "clean",
                                   "delivery_agent_id", _da_digest()))
+    )
+    return out.orderBy("entity", "layer", "key_str", "eff_start_day")
+
+
+# ---------------------------------------------------------------------------
+# q155: the orders + order_item PAIR under the same end-to-end oracle
+# (round-10 verdict item 1) — the last §2 join flavor outside the
+# driver hash:
+#
+#   - J3, the COMPOSITE business-key MERGE: order_item merges on
+#     (order_item_id, order_id_fk, menuitem_id_fk)
+#     (`10 Order Item.sql:91-93`). The fixture writes TWO rows per key
+#     k sharing order_item_id and order_id_fk but differing in
+#     menuitem_id_fk (arms m=1 and m=2); day 2 changes ONLY the m=1
+#     arm, so a merge that keyed on any prefix of the composite key
+#     would either collapse the sibling rows (row-count mismatch) or
+#     version the untouched m=2 arm (digest mismatch) — the
+#     compositeness is load-bearing, not decorative;
+#   - P16, the coupon constant-fill: k%5==0 orders carry the CSV
+#     format's `\\N` null token in couponcode and must surface as
+#     'Not Applied' in clean and dim (`09 Order Entity.sql:166-168`);
+#   - NUMBER(10,2) decimal money through the full chain: five decimal
+#     measures (three of them nullable in the raw file) digest as
+#     exact cents on both engines;
+#   - the same changed / no-op / modified_ts-only / new day-2 key
+#     classes as q145, plus the rerun-idempotence ledger check.
+# ---------------------------------------------------------------------------
+
+ORDER_STATUSES = ["Delivered", "Cancelled", "In Transit"]
+PAY_METHODS = ["UPI", "Card", "COD"]
+
+
+def _orders_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    status = _pick(ORDER_STATUSES, k, 3)
+    total_cents: Column = F.lit(".50")
+    final_cents: Column = F.lit(".25")
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        modified = F.lit(_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+        total_cents = F.when(_changed(k), ".75").otherwise(".50")
+        final_cents = F.when(_changed(k), ".95").otherwise(".25")
+        status = F.when(_changed(k), _pick(ORDER_STATUSES, k + 1, 3)).otherwise(status)
+        modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+    ts = F.concat(
+        F.lit("2024-05-01 "),
+        F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad((k % 60).cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(((k * 3) % 60).cast("string"), 2, "0"),
+    )
+    return df.select(
+        k.cast("string").alias("orderid"),
+        (k % 500).cast("string").alias("customerid"),
+        (k % 97).cast("string").alias("restaurantid"),
+        ts.alias("orderdate"),
+        F.concat((k % 900).cast("string"), total_cents).alias("totalamount"),
+        # \N → NULL (the format's null_if token): nullable decimal
+        F.when(k % 7 == 0, _NULL)
+        .otherwise(F.concat((k % 50).cast("string"), F.lit(".00")))
+        .alias("discountamount"),
+        F.concat((k % 5).cast("string"), F.lit(".25")).alias("deliverycharges"),
+        F.concat((k % 900).cast("string"), final_cents).alias("finalamount"),
+        status.alias("status"),
+        _pick(PAY_METHODS, k, 3).alias("paymentmethod"),
+        _pick(AVAIL, k, 3).alias("isfirstorder"),  # 'maybe' → NULL (P9)
+        # \N coupon → 'Not Applied' in clean (P16, `09:166-168`)
+        F.when(k % 5 == 0, _NULL)
+        .otherwise(F.concat(F.lit("CP"), (k % 20).cast("string")))
+        .alias("couponcode"),
+        F.lit(_CREATED).alias("createddate"),
+        modified.alias("modifieddate"),
+    )
+
+
+def _order_item_src(cust: DataFrame, day: int) -> DataFrame:
+    """Two composite-sibling rows per key k (arms m=1/m=2 share
+    order_item_id + order_id_fk, differ in menuitem_id_fk). Day-2
+    change/modified-only classes touch ONLY the m=1 arm; the m=2 arm
+    re-appears byte-identical (a pure no-op), pinning per-composite-row
+    versioning."""
+    k = F.col("c_custkey")
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+
+    def arm(m: int) -> DataFrame:
+        qty = k % 5 + m
+        modified: Column = F.lit(_MOD1)
+        if day == 2 and m == 1:
+            qty = qty + F.when(_changed(k), 7).otherwise(0)
+            modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+        return df.select(
+            k.cast("string").alias("orderitemid"),
+            (k % 500).cast("string").alias("orderid"),
+            F.lit(str(m)).alias("menuitemid"),
+            F.concat(qty.cast("string"), F.lit(".00")).alias("quantity"),
+            F.concat((k % 90).cast("string"), F.lit(".25")).alias("price"),
+            F.concat(((k + m) % 100).cast("string"), F.lit(".50")).alias("subtotal"),
+            F.when(k % 4 == 0, _NULL)
+            .otherwise(
+                F.concat((k % 5).cast("string"), F.lit("."), (k % 10).cast("string"))
+            )
+            .alias("ratings"),
+            F.lit(_CREATED).alias("createddate"),
+            modified.alias("modifieddate"),
+        )
+
+    return arm(1).unionByName(arm(2))
+
+
+def _orders_digest() -> Column:
+    """Nullable fields (discount_amount, is_first_order) ride with
+    explicit '-' sentinels (same rationale as _login_digest)."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("customer_id_fk").cast("string"),
+            F.col("restaurant_id_fk").cast("string"),
+            F.unix_micros(F.col("order_date")).cast("string"),
+            (F.col("total_amount") * 100).cast("bigint").cast("string"),
+            F.coalesce(
+                (F.col("discount_amount") * 100).cast("bigint").cast("string"),
+                F.lit("-"),
+            ),
+            (F.col("delivery_charges") * 100).cast("bigint").cast("string"),
+            (F.col("final_amount") * 100).cast("bigint").cast("string"),
+            F.col("status"),
+            F.col("payment_method"),
+            F.coalesce(F.col("is_first_order").cast("int").cast("string"), F.lit("-")),
+            F.col("coupon_code"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _order_item_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            (F.col("quantity") * 100).cast("bigint").cast("string"),
+            (F.col("price") * 100).cast("bigint").cast("string"),
+            (F.col("subtotal") * 100).cast("bigint").cast("string"),
+            F.coalesce(
+                (F.col("ratings") * 100).cast("bigint").cast("string"), F.lit("-")
+            ),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _orders_src_sql(day: int) -> str:
+    statuses = _sql_str_list(ORDER_STATUSES)
+    if day == 1:
+        filt = "k % 10 <> 9"
+        total, final = "'.50'", "'.25'"
+        status = f"({statuses})[CAST(k % 3 AS INT) + 1]"
+        modified = f"'{_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
+        total = "CASE WHEN k % 10 IN (0, 1, 2) THEN '.75' ELSE '.50' END"
+        final = "CASE WHEN k % 10 IN (0, 1, 2) THEN '.95' ELSE '.25' END"
+        status = (
+            f"CASE WHEN k % 10 IN (0, 1, 2) THEN ({statuses})[CAST((k + 1) % 3 AS INT) + 1] "
+            f"ELSE ({statuses})[CAST(k % 3 AS INT) + 1] END"
+        )
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS orderid0,
+       CAST(k % 500 AS VARCHAR) AS customerid0,
+       CAST(k % 97 AS VARCHAR) AS restaurantid0,
+       '2024-05-01 ' || lpad(CAST(k % 24 AS VARCHAR), 2, '0') || ':'
+                     || lpad(CAST(k % 60 AS VARCHAR), 2, '0') || ':'
+                     || lpad(CAST((k * 3) % 60 AS VARCHAR), 2, '0') AS orderdate0,
+       CAST(k % 900 AS VARCHAR) || {total} AS totalamount0,
+       CASE WHEN k % 7 = 0 THEN NULL
+            ELSE CAST(k % 50 AS VARCHAR) || '.00' END AS discountamount0,
+       CAST(k % 5 AS VARCHAR) || '.25' AS deliverycharges0,
+       CAST(k % 900 AS VARCHAR) || {final} AS finalamount0,
+       {status} AS status0,
+       ({_sql_str_list(PAY_METHODS)})[CAST(k % 3 AS INT) + 1] AS paymentmethod0,
+       ({_sql_str_list(AVAIL)})[CAST(k % 3 AS INT) + 1] AS isfirstorder0,
+       CASE WHEN k % 5 = 0 THEN NULL
+            ELSE 'CP' || CAST(k % 20 AS VARCHAR) END AS couponcode0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _orders_clean_sql(src_cte: str) -> str:
+    """`order_proc` clean transform in SQL, incl. the P16 coupon
+    constant-fill as COALESCE (the reference's post-load UPDATE
+    `09 Order Entity.sql:166-168` folded into the transform, exactly
+    like _clean_orders)."""
+    return f"""SELECT TRY_CAST(orderid0 AS BIGINT) AS order_id,
+       TRY_CAST(customerid0 AS BIGINT) AS customer_id_fk,
+       TRY_CAST(restaurantid0 AS BIGINT) AS restaurant_id_fk,
+       CAST(orderdate0 AS TIMESTAMP) AS order_date,
+       TRY_CAST(totalamount0 AS DECIMAL(10,2)) AS total_amount,
+       TRY_CAST(discountamount0 AS DECIMAL(10,2)) AS discount_amount,
+       TRY_CAST(deliverycharges0 AS DECIMAL(10,2)) AS delivery_charges,
+       TRY_CAST(finalamount0 AS DECIMAL(10,2)) AS final_amount,
+       status0 AS status,
+       paymentmethod0 AS payment_method,
+       CASE WHEN LOWER(TRIM(isfirstorder0)) = 'true' THEN TRUE
+            WHEN LOWER(TRIM(isfirstorder0)) = 'false' THEN FALSE
+            ELSE NULL END AS is_first_order,
+       COALESCE(couponcode0, 'Not Applied') AS coupon_code,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE orderid0 IS NOT NULL"""
+
+
+def _order_item_arm_sql(day: int, m: int) -> str:
+    if day == 1:
+        filt = "k % 10 <> 9"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
+    qty = f"k % 5 + {m}"
+    modified = f"'{_MOD1}'"
+    if day == 2 and m == 1:
+        qty = f"k % 5 + {m} + CASE WHEN k % 10 IN (0, 1, 2) THEN 7 ELSE 0 END"
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS orderitemid0,
+       CAST(k % 500 AS VARCHAR) AS orderid0,
+       '{m}' AS menuitemid0,
+       CAST({qty} AS VARCHAR) || '.00' AS quantity0,
+       CAST(k % 90 AS VARCHAR) || '.25' AS price0,
+       CAST((k + {m}) % 100 AS VARCHAR) || '.50' AS subtotal0,
+       CASE WHEN k % 4 = 0 THEN NULL
+            ELSE CAST(k % 5 AS VARCHAR) || '.' || CAST(k % 10 AS VARCHAR)
+            END AS ratings0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _order_item_src_sql(day: int) -> str:
+    return f"{_order_item_arm_sql(day, 1)}\nUNION ALL\n{_order_item_arm_sql(day, 2)}"
+
+
+def _order_item_clean_sql(src_cte: str) -> str:
+    return f"""SELECT TRY_CAST(orderitemid0 AS BIGINT) AS order_item_id,
+       TRY_CAST(orderid0 AS BIGINT) AS order_id_fk,
+       TRY_CAST(menuitemid0 AS BIGINT) AS menuitem_id_fk,
+       TRY_CAST(quantity0 AS DECIMAL(10,2)) AS quantity,
+       TRY_CAST(price0 AS DECIMAL(10,2)) AS price,
+       TRY_CAST(subtotal0 AS DECIMAL(10,2)) AS subtotal,
+       TRY_CAST(ratings0 AS DECIMAL(10,2)) AS ratings,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE orderitemid0 IS NOT NULL"""
+
+
+_ORD_COLS = [
+    "order_id", "customer_id_fk", "restaurant_id_fk", "order_date",
+    "total_amount", "discount_amount", "delivery_charges", "final_amount",
+    "status", "payment_method", "is_first_order", "coupon_code",
+    "created_ts", "modified_ts",
+]
+_OI_KEY = ["order_item_id", "order_id_fk", "menuitem_id_fk"]
+_OI_COLS = [
+    "order_item_id", "order_id_fk", "menuitem_id_fk", "quantity", "price",
+    "subtotal", "ratings", "created_ts", "modified_ts",
+]
+
+_ORD_DIGEST_SQL = (
+    "md5(concat_ws('|', CAST(customer_id_fk AS VARCHAR), "
+    "CAST(restaurant_id_fk AS VARCHAR), "
+    "CAST(epoch_us(order_date) AS VARCHAR), "
+    "CAST(CAST(total_amount * 100 AS BIGINT) AS VARCHAR), "
+    "COALESCE(CAST(CAST(discount_amount * 100 AS BIGINT) AS VARCHAR), '-'), "
+    "CAST(CAST(delivery_charges * 100 AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(final_amount * 100 AS BIGINT) AS VARCHAR), "
+    "status, payment_method, "
+    "COALESCE(CAST(CAST(is_first_order AS INT) AS VARCHAR), '-'), "
+    "coupon_code, "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+_OI_DIGEST_SQL = (
+    "md5(concat_ws('|', "
+    "CAST(CAST(quantity * 100 AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(price * 100 AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(subtotal * 100 AS BIGINT) AS VARCHAR), "
+    "COALESCE(CAST(CAST(ratings * 100 AS BIGINT) AS VARCHAR), '-'), "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+
+_ORDER_PAIR_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+ord_src1 AS ({_orders_src_sql(1)}),
+ord_src2 AS ({_orders_src_sql(2)}),
+ord_clean1 AS ({_orders_clean_sql('ord_src1')}),
+ord_clean2 AS ({_orders_clean_sql('ord_src2')}),
+{_merge_replay_sql('ord', 'order_id', _ORD_COLS)},
+oi_src1 AS ({_order_item_src_sql(1)}),
+oi_src2 AS ({_order_item_src_sql(2)}),
+oi_clean1 AS ({_order_item_clean_sql('oi_src1')}),
+oi_clean2 AS ({_order_item_clean_sql('oi_src2')}),
+{_merge_replay_sql('oi', _OI_KEY, _OI_COLS)}
+SELECT * FROM (
+{_digest_rows_sql('ord', 'orders', 'order_id', _ORD_DIGEST_SQL)}
+UNION ALL
+{_digest_rows_sql('oi', 'order_item', _OI_KEY, _OI_DIGEST_SQL)}
+) ORDER BY entity, layer, key_str, eff_start_day"""
+
+
+@register(
+    "q155_order_pair_replay",
+    oracle=_ORDER_PAIR_ORACLE,
+    doc="The orders + order_item PAIR under the q145 end-to-end oracle "
+    "(round-10 verdict item 1): a deterministic two-day CSV drop for "
+    "both entities runs through the REAL run_all fan-out — ledger, "
+    "clean SCD1 upsert, SCD2 three-branch dim merge — then all four "
+    "tables are read back as digest rows and hash-checked against a "
+    "DuckDB oracle replaying the merges as CTEs. This closes the last "
+    "§2 join flavor outside the driver hash: J3, the COMPOSITE "
+    "business-key MERGE (`10 Order Item.sql:91-93`) — each key "
+    "carries two sibling rows sharing order_item_id + order_id_fk but "
+    "differing in menuitem_id_fk, and day 2 touches only one arm, so "
+    "prefix-keyed merging would collapse or mis-version the sibling — "
+    "plus P16's coupon constant-fill ('\\\\N' couponcode → "
+    "'Not Applied', `09 Order Entity.sql:166-168`) and NUMBER(10,2) "
+    "decimal money (five measures, three nullable) digested as exact "
+    "cents. Day-2 carries the same changed/no-op/modified_ts-only/new "
+    "key classes as q145, and a day-2 rerun must be a ledger no-op "
+    "(asserted in-query).",
+)
+def q155_order_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.paths import entity_file
+    from .entities import ENTITIES
+    from .runner import Warehouse, run_all
+
+    work = replay_workdir("order_pair_replay")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
+                os.path.join(work, "drops", "2024", "6", "2"))
+    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
+        _write_drop_csv(
+            _orders_src(cust, day),
+            entity_file(ddir, ENTITIES["orders"].source_file_stem),
+            work,
+        )
+        _write_drop_csv(
+            _order_item_src(cust, day),
+            entity_file(ddir, ENTITIES["order_item"].source_file_stem),
+            work,
+        )
+
+    wh = Warehouse(os.path.join(work, "wh"))
+    r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    for res, day in ((r1, 1), (r2, 2)):
+        loaded = {r["entity"] for r in res if not r["skipped"]}
+        if loaded != {"orders", "order_item"}:
+            raise RuntimeError(
+                f"q155_order_pair_replay: day-{day} fan-out loaded {loaded}, "
+                "expected exactly {'orders', 'order_item'}"
+            )
+    r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
+    if not_skipped:
+        raise RuntimeError(
+            f"q155_order_pair_replay: day-2 rerun re-processed {not_skipped} "
+            "— the ledger's exactly-once contract is broken"
+        )
+
+    out = (
+        _digest_rows(wh.dim("orders").read(spark), "orders", "dim",
+                     "order_id", _orders_digest())
+        .unionByName(_digest_rows(wh.clean("orders").read(spark), "orders",
+                                  "clean", "order_id", _orders_digest()))
+        .unionByName(_digest_rows(wh.dim("order_item").read(spark),
+                                  "order_item", "dim", _OI_KEY,
+                                  _order_item_digest()))
+        .unionByName(_digest_rows(wh.clean("order_item").read(spark),
+                                  "order_item", "clean", _OI_KEY,
+                                  _order_item_digest()))
     )
     return out.orderBy("entity", "layer", "key_str", "eff_start_day")

@@ -436,3 +436,62 @@ def test_q147_json_replay_structure_and_dedup(spark):
     clean = [int(r.key_str) for r in rows if r.layer == "clean"]
     assert len(clean) == len(set(clean))
     assert any(k % 4 == 0 for k in clean)
+
+
+def test_q155_order_pair_composite_versioning(spark):
+    """q155 (round-11): the J3 composite-key contract in one readable
+    place. Every key k carries two order_item sibling rows sharing
+    (order_item_id, order_id_fk) but differing in menuitem_id_fk; day 2
+    changes only the m=1 arm, so:
+
+    - the m=1 arm versions per the q145 key classes (changed /
+      modified_ts-only → two versions; no-op / day-1-only / new → one);
+    - the m=2 sibling NEVER versions — a merge keyed on any prefix of
+      the composite key would collapse it (row count) or close it out
+      (is_current), both caught here and by the oracle hash;
+    - orders (single-key, P16 coupon fill + decimal money) follows the
+      same classes as q145's location dim.
+    """
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    rows = (
+        all_queries()["q155_order_pair_replay"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    oi_dim: dict[tuple[int, int], list] = {}
+    ord_dim: dict[int, list] = {}
+    for r in rows:
+        if r.layer != "dim":
+            continue
+        if r.entity == "order_item":
+            a, _oid, m = r.key_str.split("~")
+            oi_dim.setdefault((int(a), int(m)), []).append(r)
+        elif r.entity == "orders":
+            ord_dim.setdefault(int(r.key_str), []).append(r)
+    assert oi_dim and ord_dim
+
+    def check(versions: list, expect_two: bool, ctx) -> None:
+        versions.sort(key=lambda r: r.eff_start_day)
+        if expect_two:
+            assert len(versions) == 2, (ctx, versions)
+            v1, v2 = versions
+            assert (v1.eff_start_day, v1.eff_end_day, v1.is_current) == (-31, 1, False)
+            assert (v2.eff_start_day, v2.eff_end_day, v2.is_current) == (1, 9999, True)
+        else:
+            assert len(versions) == 1, (ctx, versions)
+            (v,) = versions
+            assert (v.eff_start_day, v.eff_end_day, v.is_current) == (-31, 9999, True)
+
+    for (k, m), versions in oi_dim.items():
+        check(versions, m == 1 and k % 10 in (0, 1, 2, 4), (k, m))
+    for k, versions in ord_dim.items():
+        check(versions, k % 10 in (0, 1, 2, 4), k)
+    # the sibling coverage is non-vacuous: m=2 arms of CHANGED keys
+    # exist and stayed single-version
+    assert any(m == 2 and k % 10 in (0, 1, 2) for (k, m) in oi_dim)
+    # both arms of every key present (compositeness preserved row count)
+    ks = {k for (k, _m) in oi_dim}
+    assert all((k, 1) in oi_dim and (k, 2) in oi_dim for k in ks)
