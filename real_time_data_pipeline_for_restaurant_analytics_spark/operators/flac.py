@@ -329,7 +329,12 @@ def _write_subframe(w: _BitWriter, chan: list[int], bps: int = 16) -> None:
             break
         resid = _residuals(chan, order)
         p, bits = _best_rice_param(resid)
-        total = order * bps + bits
+        # + the residual section's framing the rice path pays and
+        # VERBATIM doesn't: 2-bit coding method + 4-bit partition
+        # order + 4-bit rice parameter (ADVICE r11 — omitting it let
+        # FIXED win by a few bits right at the break-even point; a
+        # constant, so the best-order choice is unaffected)
+        total = order * bps + bits + 10
         if best is None or total < best[3]:
             best = (order, resid, p, total)
     order, resid, p, _ = best
@@ -676,4 +681,6 @@ FROM base ORDER BY doc_id
 )
 def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return flac_decode_stats(synth_flac_payloads(d)).orderBy("doc_id")
+    from . import flac as _m, multimodal as _mm
+    payloads = _mm.cached_payloads(spark, sf_dir, "flac149", synth_flac_payloads, d, (_m,))
+    return flac_decode_stats(payloads).orderBy("doc_id")

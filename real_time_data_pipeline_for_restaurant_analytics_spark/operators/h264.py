@@ -159,10 +159,19 @@ def ebsp_unescape(ebsp: bytes) -> bytes:
             zeros = 0
             i += 1
             continue
-        if zeros >= 2 and b <= 0x02 and b != 0x00:
-            # 00 00 01 / 00 00 02 inside a NAL body: the escape the
-            # encoder was REQUIRED to insert is missing
-            raise ValueError("unescaped start-code prefix inside NAL body")
+        if zeros >= 2 and b <= 0x02:
+            # 00 00 00 / 00 00 01 / 00 00 02 inside a NAL body: all
+            # three are patterns valid EBSP cannot contain (spec
+            # 7.4.1.1 requires 00 00 03 before every 00/01/02/03 that
+            # would complete a zero pair) — the escape the encoder was
+            # REQUIRED to insert is missing (ADVICE r11 closed the
+            # 00 00 00 leniency: zero runs now fail as loudly as
+            # start-code prefixes)
+            raise ValueError(
+                "unescaped 00 00 0x sequence inside NAL body"
+                if b == 0x00
+                else "unescaped start-code prefix inside NAL body"
+            )
         out.append(b)
         zeros = zeros + 1 if b == 0 else 0
         i += 1
@@ -610,4 +619,6 @@ ORDER BY d.doc_id
 )
 def q152_h264_nal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return h264_stream_stats(synth_h264_payloads(d)).orderBy("doc_id")
+    from . import h264 as _m, multimodal as _mm
+    payloads = _mm.cached_payloads(spark, sf_dir, "h264152", synth_h264_payloads, d, (_m,))
+    return h264_stream_stats(payloads).orderBy("doc_id")

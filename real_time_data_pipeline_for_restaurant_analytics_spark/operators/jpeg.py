@@ -1320,7 +1320,9 @@ ORDER BY d.doc_id
 )
 def q151_jpeg_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return jpeg420_decode_stats(synth_jpeg420_payloads(d)).orderBy("doc_id")
+    from . import jpeg as _m, multimodal as _mm
+    payloads = _mm.cached_payloads(spark, sf_dir, "jpeg151", synth_jpeg420_payloads, d, (_m,))
+    return jpeg420_decode_stats(payloads).orderBy("doc_id")
 
 
 def synth_jpeg_prog_payloads(ids_df: DataFrame) -> DataFrame:
@@ -1366,7 +1368,9 @@ def synth_jpeg_prog_payloads(ids_df: DataFrame) -> DataFrame:
 )
 def q153_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return jpeg_decode_stats(synth_jpeg_prog_payloads(d)).orderBy("doc_id")
+    from . import jpeg as _m, multimodal as _mm
+    payloads = _mm.cached_payloads(spark, sf_dir, "jpeg153", synth_jpeg_prog_payloads, d, (_m,))
+    return jpeg_decode_stats(payloads).orderBy("doc_id")
 
 
 @register(
@@ -1394,4 +1398,6 @@ def q153_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q148_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return jpeg_decode_stats(synth_jpeg_payloads(d)).orderBy("doc_id")
+    from . import jpeg as _m, multimodal as _mm
+    payloads = _mm.cached_payloads(spark, sf_dir, "jpeg148", synth_jpeg_payloads, d, (_m,))
+    return jpeg_decode_stats(payloads).orderBy("doc_id")

@@ -36,6 +36,7 @@ the heavy bytes are touched exactly once.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -193,6 +194,134 @@ def spread_ids(ids_df: DataFrame) -> DataFrame:
     pre-payload frame is free to move."""
     n = ids_df.sparkSession.sparkContext.defaultParallelism
     return ids_df.repartition(n)
+
+
+#: cache hit/miss counters, read by bench.py to record the fixture
+#: warmth in the bench JSON (round-11, verdict item 4)
+PAYLOAD_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _modules_md5(mods: tuple) -> str:
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for m in mods:
+        src = inspect.getsourcefile(m)
+        with open(src, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _payload_lookup_table(path: str) -> dict:
+    """Per-Python-worker memo: doc_id → payload bytes from the cached
+    parquet. Loaded once per worker process, shared across batches."""
+    global _PAYLOAD_MEMO
+    try:
+        memo = _PAYLOAD_MEMO
+    except NameError:
+        memo = _PAYLOAD_MEMO = {}
+    tbl = memo.get(path)
+    if tbl is None:
+        pdf = pd.read_parquet(path, columns=["doc_id", "payload"])
+        tbl = memo[path] = dict(
+            zip(pdf["doc_id"].astype("int64"), pdf["payload"])
+        )
+    return tbl
+
+
+def cached_payloads(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    synth_fn,
+    ids_df: DataFrame,
+    mods: tuple = (),
+) -> DataFrame:
+    """Deterministic-codec-fixture cache (round-11, verdict item 4):
+    the synthetic payloads are a pure function of (sf, query, doc_id),
+    yet the encode side was ⅔ of every codec query's wall (SCALE_r10
+    §2 measured FLAC: 5.0 s encode vs 2.4 s decode at sf1.0) — so
+    bench and scale numbers were measuring the fixture factory, not
+    the decoder under test. First run per (family, sf_dir, encoder
+    source) encodes once and persists the payload parquet under the
+    scratch root; later runs serve payloads from it.
+
+    The returned frame keeps the EXACT plan shape of
+    ``synth_fn(ids_df)`` — 8-byte ids fan-out + Arrow ``mapInPandas``,
+    payload bytes materialize inside the Python worker and never
+    shuffle — because the lookup replaces the encoder INSIDE the
+    worker (a naive ``spark.read.parquet`` of the cache would collapse
+    the ~15 MB file into one input split and serialize the decode).
+    Each worker memoizes the table once; at bench scale that is a few
+    MB per worker. TEST-HARNESS-ONLY by construction: a real stored
+    corpus has no fixture factory to cache — its payloads arrive from
+    the table scan and this helper never enters the plan.
+
+    Cache key: family + sf_dir + documents.parquet (size, mtime) +
+    md5 of the encoder modules' source — editing an encoder
+    invalidates its cache automatically. Misses build via one Spark
+    job (encode parallelism unchanged); a concurrent builder losing
+    the publish race discards its copy. ``SPARK_GRAFT_PAYLOAD_CACHE=
+    off`` bypasses entirely (plan-identical either way)."""
+    import hashlib
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    if os.environ.get("SPARK_GRAFT_PAYLOAD_CACHE") == "off":
+        return synth_fn(ids_df)
+    base = os.environ.get("SPARK_GRAFT_TMPDIR") or tempfile.gettempdir()
+    root = os.path.join(base, "spark_graft_payload_cache")
+    os.makedirs(root, exist_ok=True)
+    doc = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc)
+    key = hashlib.md5(
+        "|".join(
+            [
+                family,
+                os.path.abspath(sf_dir),
+                str(st.st_size),
+                str(int(st.st_mtime)),
+                _modules_md5(mods),
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    dest = os.path.join(root, f"{family}-{key}")
+    if not os.path.isdir(dest):
+        # purge stale siblings (old sf dirs / old encoder versions)
+        now = _time.time()
+        for e in os.listdir(root):
+            p = os.path.join(root, e)
+            try:
+                if now - os.path.getmtime(p) > 48 * 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+        PAYLOAD_CACHE_STATS["misses"] += 1
+        tmp = os.path.join(root, f".build-{uuid.uuid4().hex}")
+        synth_fn(ids_df).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, dest)  # atomic publish
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    else:
+        PAYLOAD_CACHE_STATS["hits"] += 1
+
+    def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tbl = _payload_lookup_table(dest)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [tbl[int(d)] for d in pdf["doc_id"]],
+                }
+            )
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        lookup, schema="doc_id bigint, payload binary"
+    )
 
 
 def encode_ppm(pix: "np.ndarray") -> bytes:
@@ -423,6 +552,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError(f"PNG bit depth {depth} is not in the spec")
     if depth < 8 and color not in (0, 3):
         raise ValueError(f"{depth}-bit PNG with multi-channel color type {color}")
+    if color == 3 and depth == 16:
+        # palette indices cap at 8 bits (spec 11.2.2, ADVICE r11) —
+        # without this check 16-bit samples would silently decode as
+        # palette indices
+        raise ValueError("16-bit PNG with palette color type is not in the spec")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} is not in the spec")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
@@ -802,7 +936,10 @@ def synth_png_payloads(ids_df: DataFrame) -> DataFrame:
 )
 def q146_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return decode_stats(synth_png_payloads(d)).orderBy("doc_id")
+    import sys as _sys
+    _self = _sys.modules[__name__]
+    payloads = cached_payloads(spark, sf_dir, "png146", synth_png_payloads, d, (_self,))
+    return decode_stats(payloads).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1339,6 +1476,40 @@ def encode_gif(
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
     out += palette.astype(np.uint8).tobytes()
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    return _gif_finish(out, indices, h, mcs, interlace)
+
+
+def encode_gif89a_transparent(
+    indices: "np.ndarray",
+    palette: "np.ndarray",
+    transparent_idx: int,
+    interlace: bool = False,
+) -> bytes:
+    """GIF89a writer with a Graphic Control Extension marking
+    ``transparent_idx`` transparent (round-11, verdict item 6) — the
+    wire shape real web GIFs carry; pairs with decode_gif's
+    alpha-channel output for GCE streams."""
+    import struct
+
+    h, w = indices.shape
+    n = palette.shape[0]
+    assert n & (n - 1) == 0 and 2 <= n <= 256
+    assert 0 <= transparent_idx < n
+    depth = n.bit_length() - 1
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    # GCE: label 0xF9, 4-byte block: flags(bit0=transparency), delay,
+    # transparent color index; then the block terminator
+    out += bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, transparent_idx, 0x00])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    return _gif_finish(out, indices, h, mcs, interlace)
+
+
+def _gif_finish(
+    out: bytearray, indices: "np.ndarray", h: int, mcs: int, interlace: bool
+) -> bytes:
     rows = indices[_gif_row_order(h)] if interlace else indices
     out.append(mcs)
     lzw = _lzw_encode(rows.astype(np.uint8).tobytes(), mcs)
@@ -1351,11 +1522,16 @@ def encode_gif(
 
 
 def decode_gif(payload: bytes) -> "np.ndarray":
-    """REAL GIF decode → (h, w, 3) uint8 RGB: header + logical screen
-    descriptor, global/local color tables, extension blocks skipped by
-    their sub-block structure, interlaced row de-permutation, and the
-    canonical variable-width LZW. Single-image GIFs only — a second
-    image descriptor (animation) raises NotImplementedError."""
+    """REAL GIF decode → (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when a
+    GIF89a Graphic Control Extension declares a transparent index
+    (round-11, verdict item 6 — transparency changes decoded pixels of
+    real web corpora, so skipping the GCE wholesale was a silent
+    wrong-answer path; other extensions are structurally skipped by
+    their sub-block framing, which only reorders nothing). Header +
+    logical screen descriptor, global/local color tables, interlaced
+    row de-permutation, and the canonical variable-width LZW.
+    Single-image GIFs only — a second image descriptor (animation)
+    raises NotImplementedError."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1370,17 +1546,29 @@ def decode_gif(payload: bytes) -> "np.ndarray":
         global_pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     image = None
+    transparent_idx = None
     while pos < len(payload):
         b0 = payload[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
             break
         if b0 == 0x21:  # extension: label + sub-blocks
+            label = payload[pos] if pos < len(payload) else None
             pos += 1
+            first_block = True
             while True:
                 if pos >= len(payload):
                     raise ValueError("truncated GIF extension")
                 sz = payload[pos]
+                if label == 0xF9 and first_block and sz == 4:
+                    # Graphic Control Extension: flags bit0 =
+                    # transparency; byte 3 = transparent color index.
+                    # Applies to the NEXT image (latest GCE wins).
+                    gce_flags = payload[pos + 1]
+                    transparent_idx = (
+                        payload[pos + 4] if gce_flags & 0x01 else None
+                    )
+                first_block = False
                 pos += 1 + sz
                 if sz == 0:
                     break
@@ -1421,7 +1609,11 @@ def decode_gif(payload: bytes) -> "np.ndarray":
             de = np.empty_like(idx)
             de[_gif_row_order(h)] = idx
             idx = de
-        image = pal[idx]
+        if transparent_idx is not None:
+            alpha = np.where(idx == transparent_idx, 0, 255).astype(np.uint8)
+            image = np.dstack([pal[idx], alpha])
+        else:
+            image = pal[idx]
     if image is None:
         raise ValueError("GIF without an image descriptor")
     return image
@@ -1496,4 +1688,7 @@ FROM px GROUP BY doc_id, w, h ORDER BY doc_id
 )
 def q150_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return decode_stats(synth_gif_payloads(d)).orderBy("doc_id")
+    import sys as _sys
+    _self = _sys.modules[__name__]
+    payloads = cached_payloads(spark, sf_dir, "gif150", synth_gif_payloads, d, (_self,))
+    return decode_stats(payloads).orderBy("doc_id")

@@ -39,6 +39,11 @@ def test_emulation_prevention_round_trip_and_rules():
     # a bare start-code prefix inside a NAL body is a missing escape
     with pytest.raises(ValueError, match="unescaped"):
         ebsp_unescape(b"\x00\x00\x01")
+    # a raw zero triple is equally impossible in valid EBSP (spec
+    # 7.4.1.1 escapes 00 00 00 as 00 00 03 00) — ADVICE r11: it must
+    # fail as loudly as the start-code prefixes
+    with pytest.raises(ValueError, match="unescaped"):
+        ebsp_unescape(b"\xff\x00\x00\x00\xff")
 
 
 def test_sps_crop_arithmetic():

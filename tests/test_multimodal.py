@@ -430,3 +430,69 @@ def test_q150_matches_oracle(spark):
 
     q = all_queries()["q150_gif_decode_stats"]
     assert compare(spark, "q150", q.build, q.oracle, "/root/testdata/sf0.001") == []
+
+
+def test_png_palette_depth16_rejected():
+    """ADVICE r11: color type 3 (palette) with bit depth 16 is illegal
+    per the PNG spec (palette indices cap at 8 bits) — the validator
+    must reject it instead of decoding 16-bit samples as indices."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\x00\x00\x00")
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(payload)
+
+
+def test_gif89a_gce_transparency_round_trip():
+    """Round-11 (verdict item 6): a GIF89a Graphic Control Extension
+    declaring a transparent index must surface as an alpha channel —
+    transparent pixels alpha=0, all others 255, RGB unchanged — in
+    both sequential and interlaced streams; a GCE with the
+    transparency flag CLEAR must not add alpha; plain GIF87a output
+    stays 3-channel."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+        encode_gif89a_transparent,
+    )
+
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (9, 13), dtype=np.uint8)
+    idx[0, 0] = 3  # make sure the transparent index occurs
+    for il in (False, True):
+        out = decode_gif(encode_gif89a_transparent(idx, pal, 3, interlace=il))
+        assert out.shape == (9, 13, 4), il
+        assert (out[:, :, :3] == pal[idx]).all(), il
+        assert (out[:, :, 3] == np.where(idx == 3, 0, 255)).all(), il
+    # GCE present but transparency flag clear → still RGB
+    payload = bytearray(encode_gif89a_transparent(idx, pal, 3))
+    at = payload.index(bytes([0x21, 0xF9, 0x04]))
+    payload[at + 3] = 0x00  # clear the transparency flag
+    assert decode_gif(bytes(payload)).shape == (9, 13, 3)
+    # plain 87a unchanged
+    assert decode_gif(encode_gif(idx, pal)).shape == (9, 13, 3)
