@@ -92,9 +92,9 @@ class CommitProtocol:
       recovery distinguish a live writer's in-flight staging from a
       dead writer's reclaimable garbage.
 
-    Object-store mapping (documented, not shipped — this sandbox has
-    no object store): ``cas_create`` becomes a conditional PUT of the
-    log entry (S3 ``If-None-Match: *``, GCS
+    Object-store mapping (IN-TREE since round 11 —
+    :class:`HeartbeatLeaseProtocol`): ``cas_create`` becomes a
+    conditional PUT of the log entry (S3 ``If-None-Match: *``, GCS
     ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``);
     liveness becomes a heartbeat object the writer refreshes every T
     seconds with ``probe_dead`` = heartbeat age > k·T (POSIX's
@@ -104,10 +104,14 @@ class CommitProtocol:
     under a manifest, which the existing recovery machinery already
     brackets.
 
-    The two in-tree implementations INTEROPERATE: both claim a
-    version by atomic fail-if-exists creation of the same path, so
-    writers using different protocols against one table still
-    serialize correctly (pinned by test).
+    All three in-tree implementations INTEROPERATE on the CAS: each
+    claims a version by atomic fail-if-exists creation of the same
+    path, so writers using different protocols against one table
+    still serialize their COMMITS correctly (pinned by test). The
+    LIVENESS side is homogeneous-per-fleet by design: a flock probe
+    cannot read a heartbeat lease and vice versa, exactly as a POSIX
+    writer fleet and an object-store writer fleet never share one
+    table in deployment.
     """
 
     def cas_create(self, path: str, data: bytes) -> None:
@@ -222,15 +226,139 @@ class ExclCreateProtocol(_FlockLivenessMixin, CommitProtocol):
             os.close(fd)
 
 
+class HeartbeatLeaseProtocol(CommitProtocol):
+    """The object-store mapping, in-tree (round-11 verdict item 2):
+    conditional-PUT CAS + heartbeat-lease liveness, against a local
+    filesystem SIMULATION of the object-store surface — the protocol
+    uses only operations an object store offers:
+
+    - :meth:`cas_create` — a conditional PUT (``If-None-Match: *``):
+      the object becomes visible atomically, complete, and only if the
+      key was unclaimed. Simulated with private-staging + ``os.link``
+      (claim and full content in one atomic step — the same visibility
+      contract as S3's conditional PUT; there is never a
+      partial-content window, unlike O_EXCL-create-then-write);
+    - :meth:`acquire_liveness` — PUT a heartbeat object and refresh
+      its LastModified every ``interval_s`` from a daemon thread
+      (refresh = metadata touch; a real store re-PUTs or
+      copies-in-place);
+    - :meth:`probe_dead` — heartbeat age > ``dead_after_s`` (or the
+      object is absent). POSIX's crash-RELEASE becomes lease-EXPIRY:
+      a crashed writer's lease reads dead only after the grace period,
+      and — the documented boundary — a writer PAUSED longer than the
+      lease (the GC-pause hazard) can be swept while alive. Production
+      deployments add fencing tokens on top; ``dead_after_s`` defaults
+      to many multiples of the refresh interval so only a truly wedged
+      writer ever crosses it.
+
+    The probe reads the store's clock (here: the local filesystem
+    mtime — same host, same clock); a real deployment compares the
+    object's ``LastModified`` against the store-issued ``Date`` header
+    for the same reason.
+
+    CAS interop with the POSIX protocols holds (same atomic
+    fail-if-exists path claim); liveness markers are
+    protocol-homogeneous per fleet (class docstring above).
+    """
+
+    def __init__(self, interval_s: float = 0.5, dead_after_s: float = 15.0):
+        if dead_after_s <= interval_s:
+            raise ValueError(
+                f"dead_after_s ({dead_after_s}) must exceed the refresh "
+                f"interval ({interval_s}) — a lease shorter than one "
+                "heartbeat period declares every live writer dead."
+            )
+        self.interval_s = float(interval_s)
+        self.dead_after_s = float(dead_after_s)
+        self._leases: dict[int, object] = {}
+        self._next_token = 0
+
+    def cas_create(self, path: str, data: bytes) -> None:
+        import os
+        import uuid
+
+        tmp = f"{path}.{uuid.uuid4().hex}.put"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)  # conditional PUT: FileExistsError if claimed
+        finally:
+            os.remove(tmp)
+
+    def acquire_liveness(self, path: str) -> int:
+        import os
+        import threading
+
+        with open(path, "wb") as f:  # the initial heartbeat PUT
+            f.write(b"lease")
+
+        stop = threading.Event()
+
+        def beat() -> None:
+            while not stop.wait(self.interval_s):
+                try:
+                    os.utime(path, None)  # refresh LastModified
+                except OSError:
+                    # swept by an expired-lease reclaim (the documented
+                    # pause hazard) or already released — nothing to
+                    # refresh; keep trying in case the release races us
+                    pass
+
+        t = threading.Thread(target=beat, daemon=True, name=f"lease:{path}")
+        t.start()
+        self._next_token += 1
+        token = self._next_token
+        self._leases[token] = (stop, t)
+        return token
+
+    def release_liveness(self, path: str, fd: int) -> None:
+        import os
+
+        lease = self._leases.pop(fd, None)
+        if lease is not None:
+            stop, t = lease
+            stop.set()
+            t.join(timeout=5.0)
+        try:
+            os.remove(path)  # DELETE the heartbeat object
+        except OSError:
+            pass
+
+    def probe_dead(self, path: str) -> bool:
+        import os
+        import time
+
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return True  # no heartbeat object at all
+        return (time.time() - st.st_mtime) > self.dead_after_s
+
+    def _simulate_writer_crash(self, fd: int) -> None:
+        """TEST HOOK: stop the refresher WITHOUT deleting the heartbeat
+        — the on-disk state a hard-killed process leaves behind (its
+        daemon thread dies with it, its heartbeat object remains and
+        goes stale). Production code never calls this."""
+        lease = self._leases.pop(fd, None)
+        if lease is not None:
+            stop, t = lease
+            stop.set()
+            t.join(timeout=5.0)
+
+
 def default_protocol() -> CommitProtocol:
     """Protocol selection: ``SPARK_GRAFT_COMMIT_PROTOCOL=excl`` swaps
-    the O_EXCL implementation in process-wide (the env var propagates
-    to child processes, so the cross-process race tests exercise
-    whichever protocol is selected); anything else → link CAS."""
+    the O_EXCL implementation in process-wide, ``=lease`` the
+    object-store heartbeat mapping (the env var propagates to child
+    processes, so the cross-process race tests exercise whichever
+    protocol is selected); anything else → link CAS."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_COMMIT_PROTOCOL") == "excl":
+    choice = os.environ.get("SPARK_GRAFT_COMMIT_PROTOCOL")
+    if choice == "excl":
         return ExclCreateProtocol()
+    if choice == "lease":
+        return HeartbeatLeaseProtocol()
     return LinkCasProtocol()
 
 
@@ -338,12 +466,14 @@ class BucketPrunedMergeBackend:
     (FileNotFound → retried like a conflict) or produces a stale
     result the CAS rejects — never a silent lost update.
 
-    Remaining boundary, narrowed round-10: the CAS and liveness
-    primitives now live behind :class:`CommitProtocol` (two in-tree
-    POSIX implementations — os.link and O_EXCL-create — pass the same
-    race/crash matrix; the object-store mapping is documented on the
-    seam: conditional-PUT CAS + heartbeat-lease liveness). Still
-    POSIX-only in-tree: the bucket swaps (os.replace) and the short
+    Remaining boundary, narrowed round-11: the CAS and liveness
+    primitives live behind :class:`CommitProtocol` with THREE in-tree
+    implementations passing the same race/crash matrix — os.link,
+    O_EXCL-create, and the object-store mapping
+    (:class:`HeartbeatLeaseProtocol`: conditional-PUT CAS +
+    heartbeat-lease liveness, simulated on the local filesystem with
+    only object-store-shaped operations). Still POSIX-only in-tree:
+    the bucket swaps (os.replace) and the short
     commit flock. Concurrent READERS racing a swap may
     also observe a bucket mid-replace (retry the read); snapshot
     isolation for readers needs immutable-file versioning — the other
