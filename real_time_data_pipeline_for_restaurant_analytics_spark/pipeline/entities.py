@@ -21,7 +21,12 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.casts import try_to_boolean, try_to_decimal, try_to_timestamp
+from ..functions.casts import (
+    try_to_boolean,
+    try_to_date,
+    try_to_decimal,
+    try_to_timestamp,
+)
 from ..functions.enrich import case_map, device_enrichment, flag_in, tier_bucket
 from ..functions.keys import smart_date_key, smart_time_key
 from . import geography as geo
@@ -130,8 +135,11 @@ def _clean_customer(df: DataFrame) -> DataFrame:
         F.col("mobile").alias("mobile"),
         F.col("loginbyusing").alias("login_by_using"),
         F.col("gender").alias("gender"),
-        F.to_date(F.col("dob"), "yyyy-MM-dd").alias("dob"),
-        F.to_date(F.col("anniversary"), "yyyy-MM-dd").alias("anniversary"),
+        # TRY semantics, not TO_DATE (`customer_proc.sql:137-138`):
+        # under Spark's ANSI default a malformed date would otherwise
+        # ABORT the load the reference's TRY_TO_DATE nulls through
+        try_to_date("dob").alias("dob"),
+        try_to_date("anniversary").alias("anniversary"),
         F.col("rating").try_cast("double").alias("rating"),
         F.col("preferences").alias("preferences"),
         parse_ts("createddate").alias("created_ts"),

@@ -1407,3 +1407,405 @@ def q155_order_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   _order_item_digest()))
     )
     return out.orderBy("entity", "layer", "key_str", "eff_start_day")
+
+
+# ---------------------------------------------------------------------------
+# q156: customer + customer_address — the reference's two DOCUMENTED
+# data bugs under the end-to-end driver hash (round-10 verdict item 5):
+#
+#   - the v2-vs-v3 email/mobile SWAP: v2 binds $4→email, $3→mobile
+#     (`04 Customer Entity.sql:42-43`); v3 binds them straight
+#     (`customer_proc.sql:106-109`). The engine implements v3, and the
+#     fixture makes the choice FALSIFIABLE: emails and mobiles are
+#     structurally different values, and the oracle's source CTE binds
+#     column 3 → email, column 4 → mobile explicitly — a v2-style swap
+#     anywhere in the engine's positional binding breaks the hash;
+#   - the customer_address pincode type drift: NUMBER in clean
+#     (`05:84`) vs STRING in the dim (`05:213`). The engine resolves it
+#     as typed-once (TRY_TO_NUMBER in clean, carried through), and the
+#     fixture includes non-numeric pincodes ('N/A') that must become
+#     NULL under TRY semantics — not abort, not the raw string;
+#   - plus TRY_TO_DATE for dob/anniversary (`customer_proc.sql:137-138`
+#     — malformed dates NULL through; under Spark's ANSI default a raw
+#     to_date would ABORT, the fidelity bug this round fixed in
+#     _clean_customer), nullable doubles, and raw-text preferences.
+#
+# Same two-day key classes and rerun-idempotence contract as q145.
+# ---------------------------------------------------------------------------
+
+LOGIN_BY = ["Gmail", "Facebook", "App"]
+CUISINES = ["Indian", "Chinese", "Italian"]
+ADDR_TYPES = ["Home", "Work", "Other"]
+RATINGS = ["1.0", "2.5", "3.0", "4.5"]  # exact halves: *10 is integral
+# in BOTH engines, so the bigint digest cannot hit the trunc-vs-round
+# cross-engine cast divergence
+
+
+def _customer_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    name = F.concat(F.lit(" User "), k.cast("string"), F.lit(" "))
+    rating = _pick(RATINGS, k, 4)
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        modified = F.lit(_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+        name = F.when(_changed(k),
+                      F.concat(F.lit(" User "), k.cast("string"), F.lit(" v2 "))
+                      ).otherwise(name)
+        rating = F.when(_changed(k), _pick(RATINGS, k + 1, 4)).otherwise(rating)
+        modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+    dob = F.when(
+        k % 13 == 0, F.lit("N/A")  # malformed → NULL via TRY_TO_DATE
+    ).otherwise(
+        F.date_format(
+            F.date_add(F.lit("1990-01-01").cast("date"), (k % 3650).cast("int")),
+            "yyyy-MM-dd",
+        )
+    )
+    anniversary = F.when(k % 6 == 0, _NULL).otherwise(
+        F.date_format(
+            F.date_add(F.lit("2015-01-01").cast("date"), (k % 3000).cast("int")),
+            "yyyy-MM-dd",
+        )
+    )
+    return df.select(
+        k.cast("string").alias("customerid"),
+        name.alias("name"),
+        # the v3 pin: column 3 IS the email, column 4 IS the mobile —
+        # structurally distinct values, so a v2-style swap breaks the
+        # digest on every row
+        F.concat(F.lit("u"), k.cast("string"), F.lit("@mail.com")).alias("email"),
+        (k + 7000000000).cast("string").alias("mobile"),
+        _pick(LOGIN_BY, k, 3).alias("loginbyusing"),
+        _pick(GENDERS, k, 3).alias("gender"),
+        dob.alias("dob"),
+        anniversary.alias("anniversary"),
+        F.when(k % 9 == 0, _NULL).otherwise(rating).alias("rating"),
+        F.concat(F.lit("cuisine="), _pick(CUISINES, k, 3), F.lit(";veg="),
+                 F.when(k % 2 == 0, "true").otherwise("false")).alias("preferences"),
+        F.lit(_CREATED).alias("createddate"),
+        modified.alias("modifieddate"),
+    )
+
+
+def _address_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    building = F.concat(F.lit("B"), (k % 50).cast("string"))
+    locality = _pick(CITIES, k, 7)
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        modified = F.lit(_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+        building = F.when(_changed(k),
+                          F.concat(F.lit("B"), ((k + 1) % 50).cast("string"))
+                          ).otherwise(building)
+        locality = F.when(_changed(k), _pick(CITIES, k + 1, 7)).otherwise(locality)
+        modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+    return df.select(
+        k.cast("string").alias("addressid"),
+        (k % 500).cast("string").alias("customerid"),
+        (k % 120 + 1).cast("string").alias("flatno"),
+        (k % 20).cast("string").alias("floor"),
+        building.alias("building"),
+        F.when(k % 8 == 0, _NULL)
+        .otherwise(F.concat(F.lit("Near "), _pick(CITIES, k + 2, 7)))
+        .alias("landmark"),
+        locality.alias("locality"),
+        _pick(CITIES, k, 7).alias("city"),
+        _pick(STATES, k, 26).alias("state"),
+        # the TRY_TO_NUMBER pin: non-numeric pincodes NULL through
+        F.when(k % 17 == 0, "N/A")
+        .otherwise((F.lit(110000) + k % 890000).cast("string"))
+        .alias("pincode"),
+        F.concat((k % 90).cast("string"), F.lit("."),
+                 F.lpad((k % 1000).cast("string"), 3, "0"), F.lit(","),
+                 (k % 180).cast("string")).alias("coordinates"),
+        F.when(k % 2 == 0, "Y").otherwise("N").alias("primaryflag"),
+        _pick(ADDR_TYPES, k, 3).alias("addresstype"),
+        F.lit(_CREATED).alias("createddate"),
+        modified.alias("modifieddate"),
+    )
+
+
+def _customer_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("name"),
+            F.col("email"),
+            F.col("mobile"),
+            F.col("login_by_using"),
+            F.col("gender"),
+            F.coalesce(F.col("dob").cast("string"), F.lit("-")),
+            F.coalesce(F.col("anniversary").cast("string"), F.lit("-")),
+            F.coalesce((F.col("rating") * 10).cast("bigint").cast("string"),
+                       F.lit("-")),
+            F.col("preferences"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _address_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("customer_id_fk").cast("string"),
+            F.col("flat_no"),
+            F.col("floor"),
+            F.col("building"),
+            F.coalesce(F.col("landmark"), F.lit("-")),
+            F.col("locality"),
+            F.col("city"),
+            F.col("state"),
+            F.coalesce(F.col("pincode").cast("string"), F.lit("-")),
+            F.col("coordinates"),
+            F.col("primary_flag"),
+            F.col("address_type"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _customer_src_sql(day: int) -> str:
+    if day == 1:
+        filt = "k % 10 <> 9"
+        name = "' User ' || CAST(k AS VARCHAR) || ' '"
+        rating = f"({_sql_str_list(RATINGS)})[CAST(k % 4 AS INT) + 1]"
+        modified = f"'{_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
+        name = ("CASE WHEN k % 10 IN (0, 1, 2) THEN ' User ' || CAST(k AS VARCHAR) || ' v2 ' "
+                "ELSE ' User ' || CAST(k AS VARCHAR) || ' ' END")
+        rating = (
+            f"CASE WHEN k % 10 IN (0, 1, 2) THEN ({_sql_str_list(RATINGS)})[CAST((k + 1) % 4 AS INT) + 1] "
+            f"ELSE ({_sql_str_list(RATINGS)})[CAST(k % 4 AS INT) + 1] END"
+        )
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS customerid0,
+       {name} AS name0,
+       'u' || CAST(k AS VARCHAR) || '@mail.com' AS email0,
+       CAST(k + 7000000000 AS VARCHAR) AS mobile0,
+       ({_sql_str_list(LOGIN_BY)})[CAST(k % 3 AS INT) + 1] AS loginbyusing0,
+       ({_sql_str_list(GENDERS)})[CAST(k % 3 AS INT) + 1] AS gender0,
+       CASE WHEN k % 13 = 0 THEN 'N/A'
+            ELSE strftime(DATE '1990-01-01' + CAST(k % 3650 AS INT), '%Y-%m-%d')
+            END AS dob0,
+       CASE WHEN k % 6 = 0 THEN NULL
+            ELSE strftime(DATE '2015-01-01' + CAST(k % 3000 AS INT), '%Y-%m-%d')
+            END AS anniversary0,
+       CASE WHEN k % 9 = 0 THEN NULL ELSE {rating} END AS rating0,
+       'cuisine=' || ({_sql_str_list(CUISINES)})[CAST(k % 3 AS INT) + 1]
+           || ';veg=' || CASE WHEN k % 2 = 0 THEN 'true' ELSE 'false' END
+           AS preferences0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _customer_clean_sql(src_cte: str) -> str:
+    """v3 binding made explicit (`customer_proc.sql:106-109`): email0
+    (file column 3) → email, mobile0 (file column 4) → mobile, plus
+    TRY_TO_DATE / TRY_TO_DOUBLE semantics."""
+    return f"""SELECT customerid0 AS customer_id,
+       TRIM(name0) AS name,
+       email0 AS email,
+       mobile0 AS mobile,
+       loginbyusing0 AS login_by_using,
+       gender0 AS gender,
+       TRY_CAST(dob0 AS DATE) AS dob,
+       TRY_CAST(anniversary0 AS DATE) AS anniversary,
+       TRY_CAST(rating0 AS DOUBLE) AS rating,
+       preferences0 AS preferences,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE customerid0 IS NOT NULL"""
+
+
+def _address_src_sql(day: int) -> str:
+    cities = _sql_str_list(CITIES)
+    if day == 1:
+        filt = "k % 10 <> 9"
+        building = "'B' || CAST(k % 50 AS VARCHAR)"
+        locality = f"({cities})[CAST(k % 7 AS INT) + 1]"
+        modified = f"'{_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
+        building = ("CASE WHEN k % 10 IN (0, 1, 2) THEN 'B' || CAST((k + 1) % 50 AS VARCHAR) "
+                    "ELSE 'B' || CAST(k % 50 AS VARCHAR) END")
+        locality = (
+            f"CASE WHEN k % 10 IN (0, 1, 2) THEN ({cities})[CAST((k + 1) % 7 AS INT) + 1] "
+            f"ELSE ({cities})[CAST(k % 7 AS INT) + 1] END"
+        )
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS addressid0,
+       CAST(k % 500 AS VARCHAR) AS customerid0,
+       CAST(k % 120 + 1 AS VARCHAR) AS flatno0,
+       CAST(k % 20 AS VARCHAR) AS floor0,
+       {building} AS building0,
+       CASE WHEN k % 8 = 0 THEN NULL
+            ELSE 'Near ' || ({cities})[CAST((k + 2) % 7 AS INT) + 1] END AS landmark0,
+       {locality} AS locality0,
+       ({cities})[CAST(k % 7 AS INT) + 1] AS city0,
+       ({_sql_str_list(STATES)})[CAST(k % 26 AS INT) + 1] AS state0,
+       CASE WHEN k % 17 = 0 THEN 'N/A'
+            ELSE CAST(110000 + (k % 890000) AS VARCHAR) END AS pincode0,
+       CAST(k % 90 AS VARCHAR) || '.' || lpad(CAST(k % 1000 AS VARCHAR), 3, '0')
+           || ',' || CAST(k % 180 AS VARCHAR) AS coordinates0,
+       CASE WHEN k % 2 = 0 THEN 'Y' ELSE 'N' END AS primaryflag0,
+       ({_sql_str_list(ADDR_TYPES)})[CAST(k % 3 AS INT) + 1] AS addresstype0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _address_clean_sql(src_cte: str) -> str:
+    """TRY_TO_NUMBER pincode (`05:84`, non-numeric → NULL) — the
+    engine's resolution of the clean-NUMBER/dim-STRING drift is
+    typed-once; the digest casts back to VARCHAR so both engines
+    compare the same canonical form."""
+    return f"""SELECT TRY_CAST(addressid0 AS INT) AS address_id,
+       TRY_CAST(customerid0 AS INT) AS customer_id_fk,
+       flatno0 AS flat_no,
+       floor0 AS floor,
+       building0 AS building,
+       landmark0 AS landmark,
+       locality0 AS locality,
+       city0 AS city,
+       state0 AS state,
+       TRY_CAST(pincode0 AS BIGINT) AS pincode,
+       coordinates0 AS coordinates,
+       primaryflag0 AS primary_flag,
+       addresstype0 AS address_type,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE addressid0 IS NOT NULL"""
+
+
+_CUST_COLS = [
+    "customer_id", "name", "email", "mobile", "login_by_using", "gender",
+    "dob", "anniversary", "rating", "preferences", "created_ts", "modified_ts",
+]
+_ADDR_COLS = [
+    "address_id", "customer_id_fk", "flat_no", "floor", "building", "landmark",
+    "locality", "city", "state", "pincode", "coordinates", "primary_flag",
+    "address_type", "created_ts", "modified_ts",
+]
+
+_CUST_DIGEST_SQL = (
+    "md5(concat_ws('|', name, email, mobile, login_by_using, gender, "
+    "COALESCE(CAST(dob AS VARCHAR), '-'), "
+    "COALESCE(CAST(anniversary AS VARCHAR), '-'), "
+    "COALESCE(CAST(CAST(rating * 10 AS BIGINT) AS VARCHAR), '-'), "
+    "preferences, "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+_ADDR_DIGEST_SQL = (
+    "md5(concat_ws('|', CAST(customer_id_fk AS VARCHAR), flat_no, floor, "
+    "building, COALESCE(landmark, '-'), locality, city, state, "
+    "COALESCE(CAST(pincode AS VARCHAR), '-'), coordinates, primary_flag, "
+    "address_type, "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+
+_CUSTOMER_PAIR_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+cu_src1 AS ({_customer_src_sql(1)}),
+cu_src2 AS ({_customer_src_sql(2)}),
+cu_clean1 AS ({_customer_clean_sql('cu_src1')}),
+cu_clean2 AS ({_customer_clean_sql('cu_src2')}),
+{_merge_replay_sql('cu', 'customer_id', _CUST_COLS)},
+ad_src1 AS ({_address_src_sql(1)}),
+ad_src2 AS ({_address_src_sql(2)}),
+ad_clean1 AS ({_address_clean_sql('ad_src1')}),
+ad_clean2 AS ({_address_clean_sql('ad_src2')}),
+{_merge_replay_sql('ad', 'address_id', _ADDR_COLS)}
+SELECT * FROM (
+{_digest_rows_sql('cu', 'customer', 'customer_id', _CUST_DIGEST_SQL)}
+UNION ALL
+{_digest_rows_sql('ad', 'customer_address', 'address_id', _ADDR_DIGEST_SQL)}
+) ORDER BY entity, layer, key_str, eff_start_day"""
+
+
+@register(
+    "q156_customer_pair_replay",
+    oracle=_CUSTOMER_PAIR_ORACLE,
+    doc="customer + customer_address under the q145 end-to-end oracle "
+    "(round-10 verdict item 5): the reference's two DOCUMENTED data "
+    "bugs pinned under the driver value hash. (1) The v2-vs-v3 "
+    "email/mobile swap (`04 Customer Entity.sql:42-43` vs "
+    "`customer_proc.sql:106-109`): the engine implements v3 straight "
+    "binding, the fixture's emails and mobiles are structurally "
+    "distinct, and the oracle binds file column 3 → email / column 4 "
+    "→ mobile explicitly — a v2-style swap breaks every row's digest. "
+    "(2) The pincode NUMBER-in-clean vs STRING-in-dim type drift "
+    "(`05:84` vs `05:213`): resolved typed-once via TRY_TO_NUMBER, "
+    "with non-numeric pincodes ('N/A') NULLing through — not aborting, "
+    "not surviving as text. Also under the hash: TRY_TO_DATE for "
+    "dob/anniversary (malformed 'N/A' dates NULL through — the raw "
+    "to_date this round replaced would ABORT under Spark's ANSI "
+    "default), nullable rating doubles digested as exact half-star "
+    "integers, and raw-text preferences. Same two-day "
+    "changed/no-op/modified_ts-only/new key classes and ledger "
+    "rerun-idempotence assertion as q145.",
+)
+def q156_customer_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.paths import entity_file
+    from .entities import ENTITIES
+    from .runner import Warehouse, run_all
+
+    work = replay_workdir("customer_pair_replay")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
+                os.path.join(work, "drops", "2024", "6", "2"))
+    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
+        _write_drop_csv(
+            _customer_src(cust, day),
+            entity_file(ddir, ENTITIES["customer"].source_file_stem),
+            work,
+        )
+        _write_drop_csv(
+            _address_src(cust, day),
+            entity_file(ddir, ENTITIES["customer_address"].source_file_stem),
+            work,
+        )
+
+    wh = Warehouse(os.path.join(work, "wh"))
+    r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    for res, day in ((r1, 1), (r2, 2)):
+        loaded = {r["entity"] for r in res if not r["skipped"]}
+        if loaded != {"customer", "customer_address"}:
+            raise RuntimeError(
+                f"q156_customer_pair_replay: day-{day} fan-out loaded "
+                f"{loaded}, expected exactly {{'customer', 'customer_address'}}"
+            )
+    r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
+    if not_skipped:
+        raise RuntimeError(
+            f"q156_customer_pair_replay: day-2 rerun re-processed "
+            f"{not_skipped} — the ledger's exactly-once contract is broken"
+        )
+
+    out = (
+        _digest_rows(wh.dim("customer").read(spark), "customer", "dim",
+                     "customer_id", _customer_digest())
+        .unionByName(_digest_rows(wh.clean("customer").read(spark), "customer",
+                                  "clean", "customer_id", _customer_digest()))
+        .unionByName(_digest_rows(wh.dim("customer_address").read(spark),
+                                  "customer_address", "dim", "address_id",
+                                  _address_digest()))
+        .unionByName(_digest_rows(wh.clean("customer_address").read(spark),
+                                  "customer_address", "clean", "address_id",
+                                  _address_digest()))
+    )
+    return out.orderBy("entity", "layer", "key_str", "eff_start_day")

@@ -495,3 +495,46 @@ def test_q155_order_pair_composite_versioning(spark):
     # both arms of every key present (compositeness preserved row count)
     ks = {k for (k, _m) in oi_dim}
     assert all((k, 1) in oi_dim and (k, 2) in oi_dim for k in ks)
+
+
+def test_q156_customer_pair_quirks(spark):
+    """q156 (round-11): the two documented reference data bugs in one
+    readable place — v3 email/mobile straight binding (emails land in
+    email, mobiles in mobile) and TRY-semantics nulls (malformed 'N/A'
+    dob and pincode rows NULL through instead of aborting) — plus the
+    q145 SCD2 key classes on both entities. The DuckDB oracle
+    hash-checks every value; this pins the intended shape."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import (
+        ENTITIES,
+    )
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    rows = (
+        all_queries()["q156_customer_pair_replay"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    cu_dim: dict[int, list] = {}
+    ad_dim: dict[int, list] = {}
+    for r in rows:
+        if r.layer != "dim":
+            continue
+        (cu_dim if r.entity == "customer" else ad_dim).setdefault(
+            int(r.key_str), []
+        ).append(r)
+    assert cu_dim and ad_dim
+    for dim in (cu_dim, ad_dim):
+        for k, versions in dim.items():
+            versions.sort(key=lambda r: r.eff_start_day)
+            if k % 10 in (0, 1, 2, 4):
+                assert len(versions) == 2, (k, versions)
+            else:
+                assert len(versions) == 1, (k, versions)
+    # the malformed-value key classes are populated (non-vacuous TRY
+    # pins: k%13==0 dob rows and k%17==0 pincode rows exist)
+    assert any(k % 13 == 0 for k in cu_dim)
+    assert any(k % 17 == 0 for k in ad_dim)
+    # the v3 binding is the engine's (positional) contract
+    assert ENTITIES["customer"].source_columns[2:4] == ["email", "mobile"]
