@@ -716,7 +716,7 @@ def decode_image(payload: bytes) -> "np.ndarray":
         pix = decode_jpeg(payload)
         return np.repeat(pix[:, :, None], 3, axis=2) if pix.ndim == 2 else pix
     if payload[:4] == b"GIF8":
-        return decode_gif(payload)
+        return decode_gif(payload)[:, :, :3]  # GCE alpha dropped here
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .webp import decode_vp8l
 

@@ -31,13 +31,19 @@ Implemented from the spec:
   delta-coded color tables — so the decoder is tested against real
   wire formats, not its own shortcuts.
 
-Honest remaining seams (all raise NotImplementedError, named): the
-predictor and cross-color transforms, meta prefix codes (the entropy
-image), pixel-bundled palettes (≤ 16 colors pack several pixels per
-byte), and the 120-entry 2D neighbor distance map (our encoder emits
-absolute distances; transcribing the spec's neighbor table enables
-the short-distance codes real encoders favor). Lossy VP8/VP8X stay
-out — they are not losslessly oracle-replayable.
+Round-11 closed two more format seams: META PREFIX CODES (the entropy
+image — a recursively-decoded block-resolution stream assigning each
+block its own five-code group) and PIXEL-BUNDLED PALETTES (≤ 16
+colors pack 2/4/8 indices per green byte at a narrowed coded width);
+both decode AND encode, pinned by hand-built wire streams and the
+q157 oracle. Honest remaining seams (all raise NotImplementedError,
+named): the predictor and cross-color transforms, and the 120-entry
+2D neighbor distance map (our encoder emits absolute distances;
+transcribing the spec's neighbor table enables the short-distance
+codes real encoders favor — not done from memory, deliberately: a
+mis-remembered entry would be a silently-wrong decoder, worse than a
+loud seam). Lossy VP8/VP8X stay out — they are not losslessly
+oracle-replayable.
 
 Scale contract: identical to the codec family — Arrow-batched
 ``mapInPandas`` via decode_image, payload bytes touched once, zero
@@ -363,22 +369,43 @@ def _lz77_value(r: _LsbReader, code: int) -> int:
 def _read_image_stream(
     r: _LsbReader, w: int, h: int, spatially_coded: bool
 ) -> list[int]:
-    """One VP8L-coded pixel stream → list of packed ARGB ints."""
+    """One VP8L-coded pixel stream → list of packed ARGB ints.
+
+    Stream order matches the spec / reference decoder: color-cache
+    info, then (for the spatially-coded main image only) the
+    meta-prefix bit; when set, an ENTROPY IMAGE — itself a full
+    recursively-decoded VP8L stream at block resolution — assigns
+    every ``prefix_bits`` block its prefix-code GROUP via
+    ``(red << 8) | green``, and each of the ``max+1`` groups ships its
+    own five prefix codes (round-11: the meta-prefix seam closed).
+    The color cache stays GLOBAL across groups."""
     cache_bits = 0
     if r.bit():
         cache_bits = r.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"VP8L color-cache size bits {cache_bits}")
+    metas: list[int] | None = None
+    prefix_bits = 0
+    bw = 1
+    n_groups = 1
     if spatially_coded and r.bit():
-        raise NotImplementedError(
-            "VP8L meta prefix codes (entropy image) — the remaining seam"
-        )
+        prefix_bits = r.bits(3) + 2
+        bw = (w + (1 << prefix_bits) - 1) >> prefix_bits
+        bh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+        entropy = _read_image_stream(r, bw, bh, spatially_coded=False)
+        metas = [(px >> 8) & 0xFFFF for px in entropy]
+        n_groups = max(metas) + 1
     n_green = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
-    green = _read_prefix_code(r, n_green)
-    red = _read_prefix_code(r, 256)
-    blue = _read_prefix_code(r, 256)
-    alpha = _read_prefix_code(r, 256)
-    dist = _read_prefix_code(r, 40)
+    groups = [
+        (
+            _read_prefix_code(r, n_green),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 256),
+            _read_prefix_code(r, 40),
+        )
+        for _ in range(n_groups)
+    ]
     cache = [0] * (1 << cache_bits) if cache_bits else None
 
     n = w * h
@@ -391,8 +418,18 @@ def _read_image_stream(
 
     # bound-method locals: the loop body runs 1-4 table decodes per
     # pixel — attribute lookups in the hot path are pure overhead
+    green, red, blue, alpha, dist = groups[0]
     dec_g, dec_r, dec_b, dec_a = green.decode, red.decode, blue.decode, alpha.decode
+    dec_d = dist.decode
     while pos < n:
+        if metas is not None:
+            # the prefix-code group is a function of the CURRENT pixel
+            # position (the entropy image's block grid)
+            g = groups[metas[((pos // w) >> prefix_bits) * bw + ((pos % w) >> prefix_bits)]]
+            dec_g, dec_r, dec_b, dec_a = (
+                g[0].decode, g[1].decode, g[2].decode, g[3].decode,
+            )
+            dec_d = g[4].decode
         s = dec_g(r)
         if s < 256:
             rr = dec_r(r)
@@ -404,7 +441,7 @@ def _read_image_stream(
             pos += 1
         elif s < 280:
             length = _lz77_value(r, s - 256)
-            dval = _lz77_value(r, dist.decode(r))
+            dval = _lz77_value(r, dec_d(r))
             if dval <= 120:
                 raise NotImplementedError(
                     "VP8L 2D neighbor distance codes (the 120-entry map) — "
@@ -474,11 +511,17 @@ def decode_vp8l(payload: bytes) -> "np.ndarray":
             transforms.append(("subtract_green", None))
         elif ttype == 3:  # color indexing
             psize = r.bits(8) + 1
-            if psize <= 16:
-                raise NotImplementedError(
-                    "VP8L pixel-bundled palette (≤ 16 colors) — the "
-                    "remaining seam; larger palettes decode"
-                )
+            # ≤ 16 colors: several pixels BUNDLE into one green byte
+            # and the coded image narrows accordingly (round-11: the
+            # pixel-bundling seam closed). xbits = log2(pixels/byte).
+            if psize <= 2:
+                xbits = 3
+            elif psize <= 4:
+                xbits = 2
+            elif psize <= 16:
+                xbits = 1
+            else:
+                xbits = 0
             deltas = _read_image_stream(r, psize, 1, spatially_coded=False)
             pal = []
             prev = 0
@@ -491,12 +534,18 @@ def decode_vp8l(payload: bytes) -> "np.ndarray":
                 )
                 pal.append(px)
                 prev = px
-            transforms.append(("palette", pal))
+            transforms.append(("palette", (pal, xbits)))
         else:
             raise NotImplementedError(
                 "VP8L predictor/cross-color transforms — the remaining seam"
             )
-    argb = _read_image_stream(r, w, h, spatially_coded=True)
+    # a bundling palette narrows the CODED image: the main stream is
+    # decoded at packed width and widened by the inverse transform
+    coded_w = w
+    for name, arg in transforms:
+        if name == "palette" and arg[1]:
+            coded_w = (w + (1 << arg[1]) - 1) >> arg[1]
+    argb = _read_image_stream(r, coded_w, h, spatially_coded=True)
 
     for name, arg in reversed(transforms):
         if name == "subtract_green":
@@ -506,8 +555,28 @@ def decode_vp8l(payload: bytes) -> "np.ndarray":
                 bb = ((px & 0xFF) + g) & 0xFF
                 argb[i] = (px & 0xFF00FF00) | (rr << 16) | bb
         else:  # palette
-            pal = arg
+            pal, xbits = arg
             npal = len(pal)
+            if xbits:
+                # unbundle: each green byte packs 8 >> xbits-bit
+                # indices, leftmost pixel in the LEAST significant
+                # bits (the reference decoder's convention)
+                ppb = 1 << xbits
+                bits_px = 8 >> xbits
+                mask = (1 << bits_px) - 1
+                cw = coded_w
+                full = [0] * (w * h)
+                for y in range(h):
+                    row_c = y * cw
+                    row_f = y * w
+                    for x in range(w):
+                        g = (argb[row_c + (x >> xbits)] >> 8) & 0xFF
+                        full[row_f + x] = (
+                            (g >> ((x & (ppb - 1)) * bits_px)) & mask
+                        ) << 8
+                argb = full
+                coded_w = w  # any earlier (stream-order) transform
+                # operates at full width again
             for i, px in enumerate(argb):
                 idx = (px >> 8) & 0xFF
                 if idx >= npal:
@@ -675,11 +744,21 @@ def encode_vp8l_palette(
 ) -> bytes:
     """Palette (color-indexing transform) VP8L writer: delta-coded
     RGB palette sub-image + literal index stream in the green
-    channel. Palette must have > 16 entries (smaller ones would
-    require pixel bundling, the documented seam)."""
+    channel. Palettes ≤ 16 entries emit the PIXEL-BUNDLED form
+    (round-11): 2/4/8 indices pack into each green byte, leftmost
+    pixel in the least-significant bits, and the main stream is coded
+    at the packed width."""
     npal = palette.shape[0]
-    if not 16 < npal <= 256:
-        raise ValueError("palette size must be in 17..256")
+    if not 2 <= npal <= 256:
+        raise ValueError("palette size must be in 2..256")
+    if npal <= 2:
+        xbits = 3
+    elif npal <= 4:
+        xbits = 2
+    elif npal <= 16:
+        xbits = 1
+    else:
+        xbits = 0
     h, w = indices.shape
     wr = _LsbWriter()
     wr.put(w - 1, 14)
@@ -708,7 +787,7 @@ def encode_vp8l_palette(
         wr.put_code(int(d[0]), 8)  # alpha delta
         prev = argb
     wr.put(0, 1)  # end of transform list
-    # main stream: indices as green literals
+    # main stream: (packed) indices as green literals
     wr.put(0, 1)  # no color cache
     wr.put(0, 1)  # no meta prefix codes
     _write_flat_code(wr, 256 + 24, 256)  # green (indices)
@@ -716,9 +795,89 @@ def encode_vp8l_palette(
     _write_single_code(wr, 0)  # blue
     _write_single_code(wr, 255)  # alpha
     _write_single_code(wr, 0)  # distance
-    for idx in indices.reshape(-1):
-        wr.put_code(int(idx), 8)
+    if xbits:
+        ppb = 1 << xbits
+        bits_px = 8 >> xbits
+        packed_w = (w + ppb - 1) // ppb
+        for y in range(h):
+            row = indices[y]
+            for xb in range(packed_w):
+                g = 0
+                for i in range(ppb):
+                    x = xb * ppb + i
+                    if x < w:
+                        g |= int(row[x]) << (i * bits_px)
+                wr.put_code(g, 8)
+    else:
+        for idx in indices.reshape(-1):
+            wr.put_code(int(idx), 8)
     return _vp8l_container(wr.bytes())
+
+
+def encode_vp8l_meta(pix: "np.ndarray", prefix_bits: int = 2) -> bytes:
+    """Meta-prefix-code VP8L writer (round-11, the entropy-image
+    seam's test twin): the image is split into 2^prefix_bits-pixel
+    blocks assigned to TWO prefix-code groups by block parity —
+    group 0 ships flat literal codes, group 1 a SINGLE-symbol green
+    code (its blocks' green bytes cost 0 bits) — so a decoder that
+    picks the wrong group for any block produces garbage, not a
+    near-miss. The entropy image itself is a literal-coded VP8L
+    stream at block resolution, exactly as the spec recursion
+    demands. Caller must make every group-1 block's green constant
+    (:data:`META_CONST_GREEN`)."""
+    h, w, c = pix.shape
+    assert c == 3
+    assert 2 <= prefix_bits <= 9
+    bw = (w + (1 << prefix_bits) - 1) >> prefix_bits
+    bh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+    wr = _LsbWriter()
+    wr.put(w - 1, 14)
+    wr.put(h - 1, 14)
+    wr.put(0, 1)  # alpha unused
+    wr.put(0, 3)  # version
+    wr.put(0, 1)  # no transforms
+    wr.put(0, 1)  # no color cache
+    wr.put(1, 1)  # meta prefix codes PRESENT
+    wr.put(prefix_bits - 2, 3)
+    # entropy image: group index in green, red 0 → meta = group
+    wr.put(0, 1)  # no color cache (sub-stream)
+    _write_flat_code(wr, 256 + 24, 256)  # green (group ids)
+    _write_single_code(wr, 0)  # red
+    _write_single_code(wr, 0)  # blue
+    _write_single_code(wr, 255)  # alpha
+    _write_single_code(wr, 0)  # distance
+    for by in range(bh):
+        for bx in range(bw):
+            wr.put_code((bx + by) & 1, 8)
+    # the group count is DERIVED by the decoder from the entropy
+    # image's max meta index — a single-block image uses group 0 only,
+    # so only that group's codes may be transmitted
+    n_groups = 2 if bw * bh > 1 else 1
+    # group 0: flat literal codes; group 1: single-symbol green
+    _write_flat_code(wr, 256 + 24, 256)
+    _write_flat_code(wr, 256, 256)
+    _write_flat_code(wr, 256, 256)
+    _write_single_code(wr, 255)
+    _write_single_code(wr, 0)
+    if n_groups == 2:
+        _write_single_code(wr, META_CONST_GREEN)  # green: 0 bits/pixel
+        _write_flat_code(wr, 256, 256)
+        _write_flat_code(wr, 256, 256)
+        _write_single_code(wr, 255)
+        _write_single_code(wr, 0)
+    for y in range(h):
+        for x in range(w):
+            rr, gg, bb = (int(v) for v in pix[y, x])
+            if n_groups == 2 and ((x >> prefix_bits) + (y >> prefix_bits)) & 1:
+                assert gg == META_CONST_GREEN, "group-1 greens must be constant"
+            else:
+                wr.put_code(gg, 8)
+            wr.put_code(rr, 8)
+            wr.put_code(bb, 8)
+    return _vp8l_container(wr.bytes())
+
+
+META_CONST_GREEN = 77
 
 
 # ---------------------------------------------------------------------------
@@ -750,6 +909,103 @@ def synth_webp_payloads(ids_df):
     return spread_ids(ids_df.select("doc_id")).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )
+
+
+def synth_webp_palette_payloads(ids_df):
+    """(doc_id) → (doc_id, payload): REAL pixel-bundled-palette VP8L
+    bytes. Palette size cycles 2/4/16 by doc — every bundling tier
+    (8/4/2 indices per green byte) runs in the registered query —
+    with closed-form index and palette functions so the DuckDB oracle
+    replays the decoded channel sums exactly (the q150 GIF pattern)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .multimodal import spread_ids
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 12, 4 + d % 9
+                npal = (2, 4, 16)[d % 3]
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((x + 2 * y + d) % npal).astype(np.uint8)
+                i = np.arange(npal)
+                pal = np.stack(
+                    [(37 * i + d) % 256, (11 * i + 2 * d) % 256,
+                     (53 * i + 3 * d) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                payloads.append(encode_vp8l_palette(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+_WEBP_PALETTE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(5 + doc_id % 12 AS INT) AS w,
+         CAST(4 + doc_id % 9 AS INT) AS h,
+         ([2, 4, 16])[CAST(doc_id % 3 AS INT) + 1] AS npal
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         (xs.x + 2 * ys.y + d.doc_id) % d.npal AS i
+  FROM dims d,
+       (SELECT unnest(range(17)) AS x) xs,
+       (SELECT unnest(range(13)) AS y) ys
+  WHERE xs.x < d.w AND ys.y < d.h
+)
+SELECT doc_id, w AS width, h AS height, CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM((37 * i + doc_id) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((11 * i + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((53 * i + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+
+def _register_q157() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from ..catalog import load
+    from ..registry import register
+    from .multimodal import decode_stats
+
+    @register(
+        "q157_webp_palette_stats",
+        oracle=_WEBP_PALETTE_ORACLE,
+        doc="VP8L pixel-bundled palettes end to end (round-11 — the "
+        "≤16-color seam becomes a working profile): deterministic "
+        "2-/4-/16-color palettized patterns are written as genuine "
+        "bundled VP8L wire bytes — delta-coded palette sub-image, "
+        "8/4/2 indices packed per green byte leftmost-in-LSBs, main "
+        "stream coded at the narrowed packed width — and decoded back "
+        "from the spec alone (unbundle + palette indirection composed "
+        "with the full prefix-code machinery). Lossless, so the "
+        "oracle replays the palette arithmetic in closed form (the "
+        "q150 GIF pattern); one wrong bundle bit breaks the hash. "
+        "Meta prefix codes (the entropy image, also closed this "
+        "round) are pinned by hand-built wire streams in pytest. "
+        "Plan shape as the codec family: ids fan-out + mapInPandas, "
+        "payload bytes never shuffle.",
+    )
+    def q157_webp_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from . import multimodal as _mm, webp as _m
+
+        d = load(spark, sf_dir, "documents")
+        payloads = _mm.cached_payloads(
+            spark, sf_dir, "webp157", synth_webp_palette_payloads, d, (_m, _mm)
+        )
+        return decode_stats(payloads).orderBy("doc_id")
+
+
+_register_q157()
 
 
 def _register_q154() -> None:

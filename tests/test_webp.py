@@ -43,8 +43,10 @@ def test_palette_transform_round_trip():
     idx = rng.integers(0, 20, (11, 14), dtype=np.uint8)
     out = decode_vp8l(encode_vp8l_palette(idx, pal))
     assert (out[:, :, :3] == pal[idx]).all() and (out[:, :, 3] == 255).all()
-    with pytest.raises(ValueError, match="17..256"):
-        encode_vp8l_palette(idx % 8, pal[:8])
+    # small palettes now BUNDLE (round-11); a 1-entry palette is the
+    # remaining invalid input
+    with pytest.raises(ValueError, match="2..256"):
+        encode_vp8l_palette(idx % 1, pal[:1])
 
 
 def _header(w: int, h: int) -> _LsbWriter:
@@ -148,19 +150,14 @@ def test_loud_seams_and_corruption():
     wr.put(0, 2)  # predictor
     with pytest.raises(NotImplementedError, match="predictor"):
         decode_vp8l(_vp8l_container(wr.bytes()))
-    # pixel-bundled small palette is the named seam
+    # pixel bundling and meta prefix codes are WORKING profiles since
+    # round-11 (pinned by their round-trip tests below); a truncated
+    # bundled/meta stream now fails as plain corruption
     wr = _header(4, 4)
     wr.put(1, 1)
     wr.put(3, 2)  # color indexing
-    wr.put(9, 8)  # 10 entries → bundled
-    with pytest.raises(NotImplementedError, match="bundled"):
-        decode_vp8l(_vp8l_container(wr.bytes()))
-    # meta prefix codes are the named seam
-    wr = _header(4, 4)
-    wr.put(0, 1)  # no transforms
-    wr.put(0, 1)  # no cache
-    wr.put(1, 1)  # meta prefix present
-    with pytest.raises(NotImplementedError, match="meta"):
+    wr.put(9, 8)  # 10 entries → bundled, then nothing: truncation
+    with pytest.raises(ValueError, match="truncated"):
         decode_vp8l(_vp8l_container(wr.bytes()))
     # the 2D neighbor distance map is the named seam: distance code 0
     # decodes to dval 1 ≤ 120
@@ -211,3 +208,53 @@ def test_q154_matches_oracle(spark):
 
     q = all_queries()["q154_webp_lossless_stats"]
     assert compare(spark, "q154", q.build, q.oracle, "/root/testdata/sf0.001") == []
+
+
+def test_vp8l_pixel_bundled_palettes_round_trip():
+    """Round-11: the ≤16-color pixel-bundling seam closed. Every
+    bundling tier (2 colors → 8 px/byte, 4 → 4, 16 → 2) and the
+    unbundled 17-color edge round-trip through real wire bytes, at
+    widths that exercise the partial trailing bundle (w not a
+    multiple of pixels-per-byte)."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.webp import (
+        decode_vp8l,
+        encode_vp8l_palette,
+    )
+
+    rng = np.random.default_rng(3)
+    for npal in (2, 3, 4, 5, 9, 16, 17):
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        for w in (1, 7, 8, 13, 16):
+            idx = rng.integers(0, npal, (5, w), dtype=np.uint8)
+            out = decode_vp8l(encode_vp8l_palette(idx, pal))
+            assert (out[:, :, :3] == pal[idx]).all(), (npal, w)
+            assert (out[:, :, 3] == 255).all(), (npal, w)
+
+
+def test_vp8l_meta_prefix_codes_round_trip():
+    """Round-11: the meta-prefix-code (entropy image) seam closed.
+    Two prefix-code groups assigned by block parity — group 1's green
+    is a 0-bit single-symbol code, so a decoder picking the wrong
+    group for any block desynchronizes the stream instead of
+    near-missing. Includes the single-block image (only group 0 may
+    be transmitted: the group count is DERIVED from the entropy
+    image's max index) and a prefix_bits=3 variant."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.webp import (
+        META_CONST_GREEN,
+        decode_vp8l,
+        encode_vp8l_meta,
+    )
+
+    rng = np.random.default_rng(5)
+    for (h, w), pb in (((9, 13), 2), ((4, 4), 2), ((17, 5), 2), ((32, 9), 3)):
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                if ((x >> pb) + (y >> pb)) & 1:
+                    pix[y, x, 1] = META_CONST_GREEN
+        out = decode_vp8l(encode_vp8l_meta(pix, prefix_bits=pb))
+        assert (out[:, :, :3] == pix).all(), (h, w, pb)
