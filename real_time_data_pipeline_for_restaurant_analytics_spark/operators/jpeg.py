@@ -670,6 +670,103 @@ def encode_jpeg_progressive(pix: "np.ndarray") -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive_ycbcr(
+    y: "np.ndarray",
+    cb: "np.ndarray",
+    cr: "np.ndarray",
+    subsampling: str = "420",
+) -> bytes:
+    """REAL subsampled PROGRESSIVE JPEG writer (round-11 — the
+    subsampled-progressive seam closed): chroma box-decimated per
+    ``subsampling``, SOF2 scan script as :func:`encode_jpeg_
+    progressive` (interleaved DC-first Al=1 / DC-refine, then
+    per-component AC-first/AC-refine) with the two grids T.81 G
+    demands — interleaved DC scans walk every component's
+    MCU-PADDED block grid (Hi×Vi blocks per MCU), while the
+    non-interleaved AC scans walk each component's OWN ceil-sized
+    block raster (A.2.2), which for a partial trailing MCU is a
+    strict subset of the padded grid. Progressive is an entropy-layer
+    rearrangement of the same quantized coefficients, so
+    decode(this) == decode(baseline 4:2:0) exactly — the invariant
+    the tests pin."""
+    fx, fy = _SUBSAMP[subsampling]
+    planes = [y, _box_downsample(cb, fx, fy), _box_downsample(cr, fx, fy)]
+    samps = [(fx, fy), (1, 1), (1, 1)]
+    qids = [0, 1, 1]
+    qtables = [LUMA_Q, CHROMA_Q]
+    h, w = y.shape
+    hmax, vmax = fx, fy
+    n_mcx, n_mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    zz = []
+    for plane, (hi, vi), qid in zip(planes, samps, qids):
+        ph, pw = n_mcy * vi * 8, n_mcx * hi * 8
+        padded = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+        zz.append(_fdct_quant(padded, qtables[qid])[:, :, _ZZ_Y, _ZZ_X].tolist())
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qtables):
+        out += _seg(0xDB, _dqt_payload(tid, q))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    out += _seg(0xC4, _dht_payload(0, 0, DC_BITS, DC_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
+    dc = _canonical_codes(DC_BITS, DC_VALS)
+    ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        return _seg(0xDA, seg + bytes([ss, se, (ah << 4) | al]))
+
+    def mcu_blocks():
+        for my in range(n_mcy):
+            for mx in range(n_mcx):
+                for ci in range(3):
+                    hi, vi = samps[ci]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield ci, zz[ci][my * vi + v][mx * hi + u]
+
+    # scan 1: DC first, interleaved over the MCU grid, Al=1
+    w1 = _BitWriter()
+    pred = [0, 0, 0]
+    for ci, blk in mcu_blocks():
+        v0 = blk[0] >> 1
+        size, raw = _magnitude_bits(v0 - pred[ci])
+        pred[ci] = v0
+        w1.put(*dc[size])
+        if size:
+            w1.put(raw, size)
+    out += sos([1, 2, 3], 0, 0, 0, 1) + w1.flush()
+    # scan 2: DC refinement — low bits in the same MCU order
+    w2 = _BitWriter()
+    for _ci, blk in mcu_blocks():
+        w2.put(blk[0] & 1, 1)
+    out += sos([1, 2, 3], 0, 0, 1, 0) + w2.flush()
+    # AC scans: non-interleaved, each component's ceil-sized raster
+    slices = []
+    for ci in range(3):
+        hi, vi = samps[ci]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        slices.append([row[:bw] for row in zz[ci][:bh]])
+    for ci in range(3):
+        out += sos([ci + 1], 1, 63, 0, 1) + _encode_ac_first(slices[ci], ac, 1)
+    for ci in range(3):
+        out += sos([ci + 1], 1, 63, 1, 0) + _encode_ac_refine(slices[ci], ac, 0)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
@@ -883,11 +980,12 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
     plane per component. Single-component images are non-interleaved
     per the spec, so their sampling factors are ignored. DRI/RSTn
     restart intervals decode with byte-aligned sync, modulo-8
-    sequence checks, and DC/EOB-run resets. Arithmetic /
-    hierarchical streams, subsampled progressive, and sampling
-    ratios where Hi∤Hmax raise NotImplementedError (the remaining
-    in-format seams); corrupt or truncated streams raise
-    ValueError."""
+    sequence checks, and DC/EOB-run resets. SUBSAMPLED progressive
+    decodes too (round-11): interleaved DC scans walk the MCU-padded
+    grids, per-component AC scans each component's ceil-sized raster.
+    Arithmetic / hierarchical streams and sampling ratios where
+    Hi∤Hmax raise NotImplementedError (the remaining in-format
+    seams); corrupt or truncated streams raise ValueError."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG signature")
     pos = 2
@@ -970,10 +1068,10 @@ def decode_jpeg_planes(payload: bytes) -> list["np.ndarray"]:
                 # A.2.2): the data-unit order is the plain block
                 # raster and the sampling factors play no role
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
-            if progressive and any(c[1] != 1 or c[2] != 1 for c in comps):
-                raise NotImplementedError(
-                    "subsampled progressive JPEG (the remaining seam)"
-                )
+            # subsampled progressive decodes since round-11: the scan
+            # machinery was already general — interleaved DC scans use
+            # the MCU-padded grids, non-interleaved AC scans each
+            # component's ceil-sized raster (_iter_scan_blocks)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             for _cid, hi, vi, _tq in comps:
@@ -1371,6 +1469,61 @@ def q153_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import jpeg as _m, multimodal as _mm
     payloads = _mm.cached_payloads(spark, sf_dir, "jpeg153", synth_jpeg_prog_payloads, d, (_m,))
     return jpeg_decode_stats(payloads).orderBy("doc_id")
+
+
+def synth_jpeg420_prog_payloads(ids_df: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): REAL subsampled-PROGRESSIVE
+    (SOF2 + 4:2:0) JPEG bytes of the q151 exact color fixture — same
+    pixels, same quantized coefficients, G.1.2 scan script over the
+    two grids (MCU-padded DC, ceil-raster AC)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg_progressive_ycbcr(
+                            *synth_jpeg420_planes(int(d)), "420"
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    from .multimodal import spread_ids
+
+    return spread_ids(ids_df.select("doc_id")).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+@register(
+    "q158_jpeg420_progressive_stats",
+    oracle=_JPEG420_ORACLE,
+    doc="REAL subsampled-PROGRESSIVE JPEG decode (round-11 — the "
+    "combination seam closed; 4:2:0 progressive is what phone cameras "
+    "and web optimizers actually emit): the q151 exact color fixture "
+    "is written as SOF2 with 2x2/1x1/1x1 sampling factors and the "
+    "full G.1.2 scan script — interleaved DC-first/DC-refine over the "
+    "MCU-PADDED block grids, per-component AC-first/AC-refine with "
+    "EOB-run coding over each component's CEIL-SIZED raster (a "
+    "partial trailing MCU makes the two grids differ, putting the "
+    "distinction under the value hash) — and decoded by the same "
+    "general scan machinery as q151/q153. Progressive rearranges the "
+    "identical quantized coefficients, so the oracle is q151's closed "
+    "form verbatim, and pytest pins decode(prog420(x)) == "
+    "decode(baseline420(x)) plane-exactly on random images at every "
+    "subsampling. Remaining in-format seams: arithmetic coding, "
+    "hierarchical, non-integer sampling ratios. Plan shape as q148.",
+)
+def q158_jpeg420_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    from . import jpeg as _m, multimodal as _mm
+    payloads = _mm.cached_payloads(
+        spark, sf_dir, "jpeg158", synth_jpeg420_prog_payloads, d, (_m,)
+    )
+    return jpeg420_decode_stats(payloads).orderBy("doc_id")
 
 
 @register(

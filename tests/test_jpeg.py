@@ -297,17 +297,18 @@ def test_restart_intervals_round_trip_and_sequence_check():
         decode_jpeg(bytes(bad))
 
 
-def test_subsampled_progressive_is_the_seam():
+def test_subsampled_progressive_decodes():
+    """Superseded seam (round-11): subsampled progressive is now a
+    working profile — the full equivalence pin lives in
+    test_subsampled_progressive_equals_baseline."""
     from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
-        encode_jpeg_progressive,
+        decode_jpeg_planes,
+        encode_jpeg_progressive_ycbcr,
     )
 
-    prog = encode_jpeg_progressive(np.zeros((16, 16, 3), dtype=np.uint8))
-    sof_at = prog.index(b"\xff\xc2")
-    sub = bytearray(prog)
-    sub[sof_at + 11] = 0x22  # luma 2x2 → subsampled progressive
-    with pytest.raises(NotImplementedError, match="subsampled progressive"):
-        decode_jpeg(bytes(sub))
+    y = np.full((16, 16), 99, dtype=np.uint8)
+    planes = decode_jpeg_planes(encode_jpeg_progressive_ycbcr(y, y, y, "420"))
+    assert planes[0].shape == (16, 16)
 
 
 def test_q153_matches_oracle(spark):
@@ -366,3 +367,42 @@ def test_fill_bytes_and_stray_markers_in_header_walk():
     assert (decode_jpeg(padded) == synth_jpeg_pixels(4)).all()
     with pytest.raises(ValueError, match="SOF0/SOS"):
         decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_subsampled_progressive_equals_baseline():
+    """Round-11: the subsampled-progressive seam closed. Progressive
+    is an entropy-layer rearrangement of the same quantized
+    coefficients, so decode(SOF2 subsampled) must equal decode(SOF0
+    subsampled) PLANE-EXACTLY — on the exact q151 fixture and on
+    random planes at every subsampling, including odd sizes whose
+    partial trailing MCU makes the DC (MCU-padded) and AC
+    (ceil-raster) grids differ."""
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_progressive_ycbcr,
+        encode_jpeg_ycbcr,
+        synth_jpeg420_planes,
+    )
+
+    rng = np.random.default_rng(11)
+    for d in (0, 1, 2, 5, 7):
+        y, cb, cr = synth_jpeg420_planes(d)
+        base = decode_jpeg_planes(encode_jpeg_ycbcr(y, cb, cr, "420"))
+        prog = decode_jpeg_planes(encode_jpeg_progressive_ycbcr(y, cb, cr, "420"))
+        for b, p in zip(base, prog):
+            assert b.shape == p.shape and (b == p).all(), d
+        # the fixture's round trip is EXACT, progressive included
+        assert (base[0] == y).all() and (prog[0] == y).all(), d
+    for sub in ("420", "422", "444"):
+        for (h, w) in ((24, 40), (17, 23), (8, 8), (31, 9)):
+            planes_in = [
+                rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(3)
+            ]
+            base = decode_jpeg_planes(encode_jpeg_ycbcr(*planes_in, sub))
+            prog = decode_jpeg_planes(
+                encode_jpeg_progressive_ycbcr(*planes_in, sub)
+            )
+            for b, p in zip(base, prog):
+                assert b.shape == p.shape and (b == p).all(), (sub, h, w)
