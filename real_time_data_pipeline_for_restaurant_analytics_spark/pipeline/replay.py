@@ -1809,3 +1809,380 @@ def q156_customer_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   _address_digest()))
     )
     return out.orderBy("entity", "layer", "key_str", "eff_start_day")
+
+
+# ---------------------------------------------------------------------------
+# q159: restaurant + delivery — the LAST two entities, completing all
+# ten under the end-to-end driver hash (every entity a reference user
+# loads daily now has a full stage→clean→dim replay with a DuckDB
+# oracle):
+#
+#   - restaurant: the 17-column CSV with the COUPONS variant at file
+#     position 13 that clean DROPS (`03 Restaurant Entity.sql:63,81`)
+#     — since binding is positional, a decoder that miscounts past the
+#     dropped column shifts latitude/longitude and breaks every
+#     digest; plus three decimal precisions in one entity
+#     (pricing NUMBER(10,2), ratings NUMBER(4,3), lat/long
+#     NUMBER(9,6));
+#   - delivery: the OTHER composite business key (delivery_id,
+#     order_id_fk, delivery_agent_id_fk — `08 Delivery Entity.sql:
+#     96-98`), with two sibling rows per key differing only in
+#     delivery_agent_id_fk and day 2 touching one arm (the q155
+#     construction), and the estimated/delivered-time columns that
+#     STAY STRING in clean (`08:70-71` — a type a careless "cast
+#     everything" transform would break).
+# ---------------------------------------------------------------------------
+
+OPEN_STATUSES = ["Open", "Closed"]
+DELIVERY_STATUSES = ["Delivered", "In Transit", "Returned"]
+
+
+def _restaurant_src(cust: DataFrame, day: int) -> DataFrame:
+    k = F.col("c_custkey")
+    pricing_cents: Column = F.lit(".50")
+    open_status = _pick(OPEN_STATUSES, k, 2)
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+        modified = F.lit(_MOD1)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+        pricing_cents = F.when(_changed(k), ".75").otherwise(".50")
+        open_status = F.when(_changed(k), _pick(OPEN_STATUSES, k + 1, 2)).otherwise(
+            open_status
+        )
+        modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+    return df.select(
+        k.cast("string").alias("restaurantid"),
+        F.concat(F.lit("  Rest "), k.cast("string"), F.lit(" ")).alias("name"),
+        F.concat(F.lit(" "), _pick(CUISINES, k, 3), F.lit(" ")).alias("cuisinetype"),
+        F.when(k % 11 == 0, _NULL)
+        .otherwise(F.concat((100 + k % 900).cast("string"), pricing_cents))
+        .alias("pricing_for_2"),
+        (k + 9000000000).cast("string").alias("restaurant_phone"),
+        F.lit("09:00-23:00").alias("operatinghours"),
+        (k % 200).cast("string").alias("locationid"),
+        F.when(k % 2 == 0, "Y").otherwise("N").alias("activeflag"),
+        open_status.alias("openstatus"),
+        _pick(CITIES, k, 7).alias("locality"),
+        F.concat(F.lit("Addr "), k.cast("string")).alias("restaurant_address"),
+        F.concat((k % 5).cast("string"), F.lit("."),
+                 F.lpad((k % 1000).cast("string"), 3, "0")).alias("ratings"),
+        # the variant column clean DROPS (`03:81`): present in the
+        # file, absent downstream — positional binding must step over
+        # it or lat/long shift and every digest breaks
+        F.concat(F.lit('[{"c":"CPN'), k.cast("string"), F.lit('"}]')).alias("coupons"),
+        F.concat((k % 90).cast("string"), F.lit("."),
+                 F.lpad((k % 1000000).cast("string"), 6, "0")).alias("latitude"),
+        F.concat((k % 180).cast("string"), F.lit("."),
+                 F.lpad(((k * 3) % 1000000).cast("string"), 6, "0")).alias("longitude"),
+        F.lit(_CREATED).alias("createddate"),
+        modified.alias("modifieddate"),
+    )
+
+
+def _delivery_src(cust: DataFrame, day: int) -> DataFrame:
+    """Two composite-sibling rows per key (arms differ ONLY in
+    deliveryagentid — the `08:96-98` triple), day 2 touching arm 1."""
+    k = F.col("c_custkey")
+    if day == 1:
+        df = cust.filter(k % 10 != 9)
+    else:
+        df = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9))
+
+    def arm(m: int) -> DataFrame:
+        status = _pick(DELIVERY_STATUSES, k + m, 3)
+        modified: Column = F.lit(_MOD1)
+        if day == 2 and m == 1:
+            status = F.when(_changed(k), _pick(DELIVERY_STATUSES, k + 2, 3)).otherwise(
+                status
+            )
+            modified = F.when(k % 10 == 3, _MOD1).otherwise(F.lit(_MOD2))
+        return df.select(
+            k.cast("string").alias("deliveryid"),
+            (k % 500).cast("string").alias("orderid"),
+            F.lit(str(m)).alias("deliveryagentid"),
+            status.alias("deliverystatus"),
+            F.concat((k % 60).cast("string"), F.lit(" mins")).alias("estimatedtime"),
+            F.when(k % 5 == 0, _NULL)
+            .otherwise(F.concat((k % 55).cast("string"), F.lit(" mins")))
+            .alias("deliveredtime"),
+            (k % 300).cast("string").alias("addressid"),
+            F.concat(
+                F.lit("2024-05-02 "),
+                F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":"),
+                F.lpad(((k * 5) % 60).cast("string"), 2, "0"), F.lit(":00"),
+            ).alias("deliverydate"),
+            F.lit(_CREATED).alias("createddate"),
+            modified.alias("modifieddate"),
+        )
+
+    return arm(1).unionByName(arm(2))
+
+
+def _restaurant_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("name"),
+            F.col("cuisine_type"),
+            F.coalesce(
+                (F.col("pricing_for_two") * 100).cast("bigint").cast("string"),
+                F.lit("-"),
+            ),
+            F.col("restaurant_phone"),
+            F.col("operating_hours"),
+            F.col("location_id_fk").cast("string"),
+            F.col("active_flag"),
+            F.col("open_status"),
+            F.col("locality"),
+            F.col("restaurant_address"),
+            (F.col("ratings") * 1000).cast("bigint").cast("string"),
+            (F.col("latitude") * 1000000).cast("bigint").cast("string"),
+            (F.col("longitude") * 1000000).cast("bigint").cast("string"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _delivery_digest() -> Column:
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("delivery_status"),
+            F.col("estimated_time"),
+            F.coalesce(F.col("delivered_time"), F.lit("-")),
+            F.col("address_id_fk").cast("string"),
+            F.unix_micros(F.col("delivery_date")).cast("string"),
+            F.unix_micros(F.col("created_ts")).cast("string"),
+            F.unix_micros(F.col("modified_ts")).cast("string"),
+        )
+    )
+
+
+def _restaurant_src_sql(day: int) -> str:
+    if day == 1:
+        filt = "k % 10 <> 9"
+        pricing_cents = "'.50'"
+        open_status = f"({_sql_str_list(OPEN_STATUSES)})[CAST(k % 2 AS INT) + 1]"
+        modified = f"'{_MOD1}'"
+    else:
+        filt = "k % 10 IN (0, 1, 2, 3, 4, 9)"
+        pricing_cents = "CASE WHEN k % 10 IN (0, 1, 2) THEN '.75' ELSE '.50' END"
+        open_status = (
+            f"CASE WHEN k % 10 IN (0, 1, 2) THEN ({_sql_str_list(OPEN_STATUSES)})[CAST((k + 1) % 2 AS INT) + 1] "
+            f"ELSE ({_sql_str_list(OPEN_STATUSES)})[CAST(k % 2 AS INT) + 1] END"
+        )
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS restaurantid0,
+       '  Rest ' || CAST(k AS VARCHAR) || ' ' AS name0,
+       ' ' || ({_sql_str_list(CUISINES)})[CAST(k % 3 AS INT) + 1] || ' ' AS cuisinetype0,
+       CASE WHEN k % 11 = 0 THEN NULL
+            ELSE CAST(100 + k % 900 AS VARCHAR) || {pricing_cents} END AS pricing0,
+       CAST(k + 9000000000 AS VARCHAR) AS phone0,
+       '09:00-23:00' AS hours0,
+       CAST(k % 200 AS VARCHAR) AS locationid0,
+       CASE WHEN k % 2 = 0 THEN 'Y' ELSE 'N' END AS activeflag0,
+       {open_status} AS openstatus0,
+       ({_sql_str_list(CITIES)})[CAST(k % 7 AS INT) + 1] AS locality0,
+       'Addr ' || CAST(k AS VARCHAR) AS address0,
+       CAST(k % 5 AS VARCHAR) || '.' || lpad(CAST(k % 1000 AS VARCHAR), 3, '0') AS ratings0,
+       CAST(k % 90 AS VARCHAR) || '.' || lpad(CAST(k % 1000000 AS VARCHAR), 6, '0') AS latitude0,
+       CAST(k % 180 AS VARCHAR) || '.' || lpad(CAST((k * 3) % 1000000 AS VARCHAR), 6, '0') AS longitude0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _restaurant_clean_sql(src_cte: str) -> str:
+    """`03:136-163` in SQL: TRIM name/cuisine, three decimal
+    precisions; the coupons variant never reaches this layer, so the
+    oracle source CTE simply does not carry it — mirroring the
+    engine's clean projection."""
+    return f"""SELECT TRY_CAST(restaurantid0 AS BIGINT) AS restaurant_id,
+       TRIM(name0) AS name,
+       TRIM(cuisinetype0) AS cuisine_type,
+       TRY_CAST(pricing0 AS DECIMAL(10,2)) AS pricing_for_two,
+       phone0 AS restaurant_phone,
+       hours0 AS operating_hours,
+       TRY_CAST(locationid0 AS BIGINT) AS location_id_fk,
+       activeflag0 AS active_flag,
+       openstatus0 AS open_status,
+       locality0 AS locality,
+       address0 AS restaurant_address,
+       TRY_CAST(ratings0 AS DECIMAL(4,3)) AS ratings,
+       TRY_CAST(latitude0 AS DECIMAL(9,6)) AS latitude,
+       TRY_CAST(longitude0 AS DECIMAL(9,6)) AS longitude,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE restaurantid0 IS NOT NULL"""
+
+
+def _delivery_arm_sql(day: int, m: int) -> str:
+    filt = "k % 10 <> 9" if day == 1 else "k % 10 IN (0, 1, 2, 3, 4, 9)"
+    statuses = _sql_str_list(DELIVERY_STATUSES)
+    status = f"({statuses})[CAST((k + {m}) % 3 AS INT) + 1]"
+    modified = f"'{_MOD1}'"
+    if day == 2 and m == 1:
+        status = (
+            f"CASE WHEN k % 10 IN (0, 1, 2) THEN ({statuses})[CAST((k + 2) % 3 AS INT) + 1] "
+            f"ELSE {status} END"
+        )
+        modified = f"CASE WHEN k % 10 = 3 THEN '{_MOD1}' ELSE '{_MOD2}' END"
+    return f"""SELECT CAST(k AS VARCHAR) AS deliveryid0,
+       CAST(k % 500 AS VARCHAR) AS orderid0,
+       '{m}' AS deliveryagentid0,
+       {status} AS deliverystatus0,
+       CAST(k % 60 AS VARCHAR) || ' mins' AS estimatedtime0,
+       CASE WHEN k % 5 = 0 THEN NULL
+            ELSE CAST(k % 55 AS VARCHAR) || ' mins' END AS deliveredtime0,
+       CAST(k % 300 AS VARCHAR) AS addressid0,
+       '2024-05-02 ' || lpad(CAST(k % 24 AS VARCHAR), 2, '0') || ':'
+                     || lpad(CAST((k * 5) % 60 AS VARCHAR), 2, '0') || ':00'
+           AS deliverydate0,
+       '{_CREATED}' AS createddate0,
+       {modified} AS modifieddate0
+  FROM ks WHERE {filt}"""
+
+
+def _delivery_src_sql(day: int) -> str:
+    return f"{_delivery_arm_sql(day, 1)}\nUNION ALL\n{_delivery_arm_sql(day, 2)}"
+
+
+def _delivery_clean_sql(src_cte: str) -> str:
+    """`08:60-85` in SQL: estimated/delivered time STAY STRING."""
+    return f"""SELECT TRY_CAST(deliveryid0 AS INT) AS delivery_id,
+       TRY_CAST(orderid0 AS BIGINT) AS order_id_fk,
+       TRY_CAST(deliveryagentid0 AS BIGINT) AS delivery_agent_id_fk,
+       deliverystatus0 AS delivery_status,
+       estimatedtime0 AS estimated_time,
+       deliveredtime0 AS delivered_time,
+       TRY_CAST(addressid0 AS BIGINT) AS address_id_fk,
+       CAST(deliverydate0 AS TIMESTAMP) AS delivery_date,
+       CAST(createddate0 AS TIMESTAMP) AS created_ts,
+       CAST(modifieddate0 AS TIMESTAMP) AS modified_ts
+  FROM {src_cte} WHERE deliveryid0 IS NOT NULL"""
+
+
+_REST_COLS = [
+    "restaurant_id", "name", "cuisine_type", "pricing_for_two",
+    "restaurant_phone", "operating_hours", "location_id_fk", "active_flag",
+    "open_status", "locality", "restaurant_address", "ratings", "latitude",
+    "longitude", "created_ts", "modified_ts",
+]
+_DLV_KEY = ["delivery_id", "order_id_fk", "delivery_agent_id_fk"]
+_DLV_COLS = [
+    "delivery_id", "order_id_fk", "delivery_agent_id_fk", "delivery_status",
+    "estimated_time", "delivered_time", "address_id_fk", "delivery_date",
+    "created_ts", "modified_ts",
+]
+
+_REST_DIGEST_SQL = (
+    "md5(concat_ws('|', name, cuisine_type, "
+    "COALESCE(CAST(CAST(pricing_for_two * 100 AS BIGINT) AS VARCHAR), '-'), "
+    "restaurant_phone, operating_hours, CAST(location_id_fk AS VARCHAR), "
+    "active_flag, open_status, locality, restaurant_address, "
+    "CAST(CAST(ratings * 1000 AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(latitude * 1000000 AS BIGINT) AS VARCHAR), "
+    "CAST(CAST(longitude * 1000000 AS BIGINT) AS VARCHAR), "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+_DLV_DIGEST_SQL = (
+    "md5(concat_ws('|', delivery_status, estimated_time, "
+    "COALESCE(delivered_time, '-'), CAST(address_id_fk AS VARCHAR), "
+    "CAST(epoch_us(delivery_date) AS VARCHAR), "
+    "CAST(epoch_us(created_ts) AS VARCHAR), "
+    "CAST(epoch_us(modified_ts) AS VARCHAR)))"
+)
+
+_REST_PAIR_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+re_src1 AS ({_restaurant_src_sql(1)}),
+re_src2 AS ({_restaurant_src_sql(2)}),
+re_clean1 AS ({_restaurant_clean_sql('re_src1')}),
+re_clean2 AS ({_restaurant_clean_sql('re_src2')}),
+{_merge_replay_sql('re', 'restaurant_id', _REST_COLS)},
+dl_src1 AS ({_delivery_src_sql(1)}),
+dl_src2 AS ({_delivery_src_sql(2)}),
+dl_clean1 AS ({_delivery_clean_sql('dl_src1')}),
+dl_clean2 AS ({_delivery_clean_sql('dl_src2')}),
+{_merge_replay_sql('dl', _DLV_KEY, _DLV_COLS)}
+SELECT * FROM (
+{_digest_rows_sql('re', 'restaurant', 'restaurant_id', _REST_DIGEST_SQL)}
+UNION ALL
+{_digest_rows_sql('dl', 'delivery', _DLV_KEY, _DLV_DIGEST_SQL)}
+) ORDER BY entity, layer, key_str, eff_start_day"""
+
+
+@register(
+    "q159_restaurant_pair_replay",
+    oracle=_REST_PAIR_ORACLE,
+    doc="restaurant + delivery under the q145 end-to-end oracle — "
+    "completing ALL TEN reference entities with a driver-hashed "
+    "stage→clean→dim replay (q145: location/menu/login_audit, q147: "
+    "delivery_agent JSON, q155: orders/order_item, q156: customer/"
+    "customer_address). restaurant exercises the 17-column positional "
+    "bind with the COUPONS variant at position 13 that clean DROPS "
+    "(`03 Restaurant Entity.sql:63,81` — a binding off-by-one shifts "
+    "latitude/longitude and breaks every digest) plus three decimal "
+    "precisions (NUMBER(10,2)/(4,3)/(9,6)). delivery exercises the "
+    "OTHER composite business key (delivery_id, order_id_fk, "
+    "delivery_agent_id_fk — `08:96-98`) with the q155 sibling-arm "
+    "construction, and the estimated/delivered-time columns that stay "
+    "STRING in clean (`08:70-71`). Same two-day key classes and "
+    "ledger rerun-idempotence assertion as q145.",
+)
+def q159_restaurant_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.paths import entity_file
+    from .entities import ENTITIES
+    from .runner import Warehouse, run_all
+
+    work = replay_workdir("restaurant_pair_replay")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
+                os.path.join(work, "drops", "2024", "6", "2"))
+    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
+        _write_drop_csv(
+            _restaurant_src(cust, day),
+            entity_file(ddir, ENTITIES["restaurant"].source_file_stem),
+            work,
+        )
+        _write_drop_csv(
+            _delivery_src(cust, day),
+            entity_file(ddir, ENTITIES["delivery"].source_file_stem),
+            work,
+        )
+
+    wh = Warehouse(os.path.join(work, "wh"))
+    r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    for res, day in ((r1, 1), (r2, 2)):
+        loaded = {r["entity"] for r in res if not r["skipped"]}
+        if loaded != {"restaurant", "delivery"}:
+            raise RuntimeError(
+                f"q159_restaurant_pair_replay: day-{day} fan-out loaded "
+                f"{loaded}, expected exactly {{'restaurant', 'delivery'}}"
+            )
+    r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
+                 collect_stats=False, checkpoint=True)
+    not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
+    if not_skipped:
+        raise RuntimeError(
+            f"q159_restaurant_pair_replay: day-2 rerun re-processed "
+            f"{not_skipped} — the ledger's exactly-once contract is broken"
+        )
+
+    out = (
+        _digest_rows(wh.dim("restaurant").read(spark), "restaurant", "dim",
+                     "restaurant_id", _restaurant_digest())
+        .unionByName(_digest_rows(wh.clean("restaurant").read(spark),
+                                  "restaurant", "clean", "restaurant_id",
+                                  _restaurant_digest()))
+        .unionByName(_digest_rows(wh.dim("delivery").read(spark), "delivery",
+                                  "dim", _DLV_KEY, _delivery_digest()))
+        .unionByName(_digest_rows(wh.clean("delivery").read(spark), "delivery",
+                                  "clean", _DLV_KEY, _delivery_digest()))
+    )
+    return out.orderBy("entity", "layer", "key_str", "eff_start_day")

@@ -538,3 +538,48 @@ def test_q156_customer_pair_quirks(spark):
     assert any(k % 17 == 0 for k in ad_dim)
     # the v3 binding is the engine's (positional) contract
     assert ENTITIES["customer"].source_columns[2:4] == ["email", "mobile"]
+
+
+def test_q159_restaurant_pair_composite_and_drop(spark):
+    """q159 (round-11): the last two entities' quirk pins — the
+    delivery composite triple versions per-arm exactly like q155's
+    order_item (sibling arm never versions), and the restaurant
+    COUPONS variant is dropped by clean (absent from the engine's
+    column surface while present in the file — the oracle hash
+    already proves lat/long landed in the right columns past it)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities import (
+        ENTITIES,
+    )
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    rows = (
+        all_queries()["q159_restaurant_pair_replay"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    dlv_dim: dict[tuple[int, int], list] = {}
+    rest_dim: dict[int, list] = {}
+    for r in rows:
+        if r.layer != "dim":
+            continue
+        if r.entity == "delivery":
+            a, _oid, m = r.key_str.split("~")
+            dlv_dim.setdefault((int(a), int(m)), []).append(r)
+        else:
+            rest_dim.setdefault(int(r.key_str), []).append(r)
+    assert dlv_dim and rest_dim
+    for (k, m), versions in dlv_dim.items():
+        expect_two = m == 1 and k % 10 in (0, 1, 2, 4)
+        assert len(versions) == (2 if expect_two else 1), (k, m, versions)
+    for k, versions in rest_dim.items():
+        assert len(versions) == (2 if k % 10 in (0, 1, 2, 4) else 1), k
+    # both arms of every delivery key survive (compositeness)
+    ks = {k for (k, _m) in dlv_dim}
+    assert all((k, 1) in dlv_dim and (k, 2) in dlv_dim for k in ks)
+    # the coupons column exists in the FILE binding but not downstream
+    assert "coupons" in ENTITIES["restaurant"].source_columns
+    assert all("coupon" not in c for c in
+               __import__("real_time_data_pipeline_for_restaurant_analytics_spark.pipeline.entities",
+                          fromlist=["_RESTAURANT_COLS"])._RESTAURANT_COLS)
