@@ -192,7 +192,13 @@ def main() -> None:
     # pass followed by a second pass while budget remains, degradation
     # is "fewer queries get a second rep", spread evenly, and every
     # recorded number is at worst a single clean run.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    # 560 since round-11: three new ~12 s end-to-end replays pushed a
+    # full first pass past 220 s, and a 480 s budget left the slowest
+    # 15 queries single-rep — including codec queries whose rep-1
+    # number includes the one-time fixture-cache build. The SIGTERM
+    # hedge still emits a valid partial line if an outer timeout is
+    # tighter than the budget.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "560"))
     bench_t0 = time.perf_counter()
 
     def timed_run(q) -> float:

@@ -1030,10 +1030,11 @@ def _register_q154() -> None:
         "pixel loop, inverse subtract-green and palette transforms). "
         "Lossless, so the oracle is q108's closed form verbatim; LZ77, "
         "color-cache, subtract-green, and palette decode paths are "
-        "pinned by hand-built wire streams in pytest. Remaining "
-        "in-format seams (loud): predictor/cross-color transforms, "
-        "meta prefix codes, pixel-bundled small palettes, the 120-entry "
-        "neighbor distance map; lossy VP8/VP8X stay out by design. "
+        "pinned by hand-built wire streams in pytest; round-11 closed "
+        "meta prefix codes (wire-pinned) and pixel-bundled palettes "
+        "(q157, oracled). Remaining in-format seams (loud): "
+        "predictor/cross-color transforms and the 120-entry neighbor "
+        "distance map; lossy VP8/VP8X stay out by design. "
         "Plan shape as the codec family: ids fan-out + two MapInPandas, "
         "payload bytes never shuffle.",
     )
