@@ -215,7 +215,10 @@ def _modules_md5(mods: tuple) -> str:
 
 def _payload_lookup_table(path: str) -> dict:
     """Per-Python-worker memo: doc_id → payload bytes from the cached
-    parquet. Loaded once per worker process, shared across batches."""
+    parquet. Loaded once per worker process, shared across batches.
+    Bounded at 3 tables LRU — Spark reuses Python workers across
+    queries, so an unbounded memo would accumulate every codec
+    family's table (hundreds of MB each at sf1.0) in every worker."""
     global _PAYLOAD_MEMO
     try:
         memo = _PAYLOAD_MEMO
@@ -224,9 +227,13 @@ def _payload_lookup_table(path: str) -> dict:
     tbl = memo.get(path)
     if tbl is None:
         pdf = pd.read_parquet(path, columns=["doc_id", "payload"])
-        tbl = memo[path] = dict(
-            zip(pdf["doc_id"].astype("int64"), pdf["payload"])
-        )
+        tbl = dict(zip(pdf["doc_id"].astype("int64"), pdf["payload"]))
+        while len(memo) >= 3:
+            memo.pop(next(iter(memo)))
+        memo[path] = tbl
+    else:  # LRU refresh
+        memo.pop(path)
+        memo[path] = tbl
     return tbl
 
 
@@ -301,7 +308,13 @@ def cached_payloads(
                 continue
         PAYLOAD_CACHE_STATS["misses"] += 1
         tmp = os.path.join(root, f".build-{uuid.uuid4().hex}")
-        synth_fn(ids_df).write.mode("overwrite").parquet(tmp)
+        # uncompressed on purpose: the payloads are already
+        # entropy-coded (snappy gains ~0%), and every worker pays the
+        # parquet decode when loading its memo — mostly-memcpy reads
+        # keep the per-worker table load cheap at sf1.0
+        synth_fn(ids_df).write.mode("overwrite").option(
+            "compression", "none"
+        ).parquet(tmp)
         try:
             os.rename(tmp, dest)  # atomic publish
         except OSError:
