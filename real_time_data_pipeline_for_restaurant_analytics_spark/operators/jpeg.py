@@ -603,71 +603,13 @@ def encode_jpeg_progressive(pix: "np.ndarray") -> bytes:
     to reproduce the coefficients. Progressive is an entropy-layer
     REARRANGEMENT of the same quantized coefficients as baseline, so
     any fixture that round-trips through SOF0 exactly round-trips
-    through this writer too."""
+    through this writer too. One scan-script body serves every
+    profile (review r11): grayscale and 4:4:4 are the (1,1)-sampled
+    cases of :func:`_encode_progressive`."""
     if pix.ndim == 2:
-        planes = [pix]
-        qids = [0]
-        qtables = [LUMA_Q]
-    else:
-        planes = _rgb_to_ycbcr(pix)
-        qids = [0, 1, 1]
-        qtables = [LUMA_Q, CHROMA_Q]
-    h, w = planes[0].shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    zz = []
-    for plane, qid in zip(planes, qids):
-        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-        zz.append(_fdct_quant(padded, qtables[qid])[:, :, _ZZ_Y, _ZZ_X].tolist())
-    bh, bw = ph // 8, pw // 8
-    ncomp = len(planes)
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, q in enumerate(qtables):
-        out += _seg(0xDB, _dqt_payload(tid, q))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, qids[ci]])
-    out += _seg(0xC2, sof)  # SOF2: progressive
-    out += _seg(0xC4, _dht_payload(0, 0, DC_BITS, DC_VALS))
-    out += _seg(0xC4, _dht_payload(1, 0, PROG_AC_BITS, PROG_AC_VALS))
-    dc = _canonical_codes(DC_BITS, DC_VALS)
-    ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
-
-    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
-        seg = bytes([len(comp_ids)])
-        for cid in comp_ids:
-            seg += bytes([cid, 0x00])
-        return _seg(0xDA, seg + bytes([ss, se, (ah << 4) | al]))
-
-    all_ids = [ci + 1 for ci in range(ncomp)]
-    # scan 1: DC first, interleaved, Al=1 (arithmetic-shifted diffs)
-    w1 = _BitWriter()
-    pred = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(ncomp):
-                v = zz[ci][by][bx][0] >> 1
-                size, raw = _magnitude_bits(v - pred[ci])
-                pred[ci] = v
-                w1.put(*dc[size])
-                if size:
-                    w1.put(raw, size)
-    out += sos(all_ids, 0, 0, 0, 1) + w1.flush()
-    # scan 2: DC refinement — the low bit, raw, one per block
-    w2 = _BitWriter()
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(ncomp):
-                w2.put(zz[ci][by][bx][0] & 1, 1)
-    out += sos(all_ids, 0, 0, 1, 0) + w2.flush()
-    # scans 3..: per-component AC first then AC refinement
-    for ci in range(ncomp):
-        out += sos([ci + 1], 1, 63, 0, 1) + _encode_ac_first(zz[ci], ac, 1)
-    for ci in range(ncomp):
-        out += sos([ci + 1], 1, 63, 1, 0) + _encode_ac_refine(zz[ci], ac, 0)
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+        h, w = pix.shape
+        return _encode_progressive([pix], [(1, 1)], [0], h, w)
+    return encode_jpeg_progressive_ycbcr(*_rgb_to_ycbcr(pix), "444")
 
 
 def encode_jpeg_progressive_ycbcr(
@@ -678,25 +620,34 @@ def encode_jpeg_progressive_ycbcr(
 ) -> bytes:
     """REAL subsampled PROGRESSIVE JPEG writer (round-11 — the
     subsampled-progressive seam closed): chroma box-decimated per
-    ``subsampling``, SOF2 scan script as :func:`encode_jpeg_
-    progressive` (interleaved DC-first Al=1 / DC-refine, then
-    per-component AC-first/AC-refine) with the two grids T.81 G
-    demands — interleaved DC scans walk every component's
-    MCU-PADDED block grid (Hi×Vi blocks per MCU), while the
-    non-interleaved AC scans walk each component's OWN ceil-sized
-    block raster (A.2.2), which for a partial trailing MCU is a
-    strict subset of the padded grid. Progressive is an entropy-layer
+    ``subsampling``, then the shared G.1.2 scan script
+    (:func:`_encode_progressive`). Progressive is an entropy-layer
     rearrangement of the same quantized coefficients, so
-    decode(this) == decode(baseline 4:2:0) exactly — the invariant
-    the tests pin."""
+    decode(this) == decode(baseline at the same subsampling) exactly —
+    the invariant the tests pin."""
     fx, fy = _SUBSAMP[subsampling]
     planes = [y, _box_downsample(cb, fx, fy), _box_downsample(cr, fx, fy)]
-    samps = [(fx, fy), (1, 1), (1, 1)]
-    qids = [0, 1, 1]
-    qtables = [LUMA_Q, CHROMA_Q]
     h, w = y.shape
-    hmax, vmax = fx, fy
+    return _encode_progressive(planes, [(fx, fy), (1, 1), (1, 1)], [0, 1, 1], h, w)
+
+
+def _encode_progressive(
+    planes: list, samps: list, qids: list, h: int, w: int
+) -> bytes:
+    """The one SOF2 writer body (review r11 folded the 4:4:4 and
+    subsampled writers together): interleaved DC-first Al=1 /
+    DC-refine scans walk every component's MCU-PADDED block grid
+    (Hi×Vi blocks per MCU — T.81 A.2.3), per-component AC-first /
+    AC-refine scans walk each component's OWN ceil-sized block raster
+    (A.2.2), which for a partial trailing MCU is a strict subset of
+    the padded grid. ``planes`` arrive already at their sampled
+    resolutions; grayscale/4:4:4 are simply the all-(1,1) case where
+    the two grids coincide."""
+    qtables = [LUMA_Q] if max(qids) == 0 else [LUMA_Q, CHROMA_Q]
+    hmax = max(hi for hi, _vi in samps)
+    vmax = max(vi for _hi, vi in samps)
     n_mcx, n_mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    ncomp = len(planes)
     zz = []
     for plane, (hi, vi), qid in zip(planes, samps, qids):
         ph, pw = n_mcy * vi * 8, n_mcx * hi * 8
@@ -711,8 +662,8 @@ def encode_jpeg_progressive_ycbcr(
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in enumerate(qtables):
         out += _seg(0xDB, _dqt_payload(tid, q))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for ci in range(3):
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
         hi, vi = samps[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
     out += _seg(0xC2, sof)  # SOF2: progressive
@@ -721,7 +672,7 @@ def encode_jpeg_progressive_ycbcr(
     dc = _canonical_codes(DC_BITS, DC_VALS)
     ac = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
 
-    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    def sos(comp_ids: list, ss: int, se: int, ah: int, al: int) -> bytes:
         seg = bytes([len(comp_ids)])
         for cid in comp_ids:
             seg += bytes([cid, 0x00])
@@ -730,15 +681,16 @@ def encode_jpeg_progressive_ycbcr(
     def mcu_blocks():
         for my in range(n_mcy):
             for mx in range(n_mcx):
-                for ci in range(3):
+                for ci in range(ncomp):
                     hi, vi = samps[ci]
                     for v in range(vi):
                         for u in range(hi):
                             yield ci, zz[ci][my * vi + v][mx * hi + u]
 
+    all_ids = [ci + 1 for ci in range(ncomp)]
     # scan 1: DC first, interleaved over the MCU grid, Al=1
     w1 = _BitWriter()
-    pred = [0, 0, 0]
+    pred = [0] * ncomp
     for ci, blk in mcu_blocks():
         v0 = blk[0] >> 1
         size, raw = _magnitude_bits(v0 - pred[ci])
@@ -746,22 +698,22 @@ def encode_jpeg_progressive_ycbcr(
         w1.put(*dc[size])
         if size:
             w1.put(raw, size)
-    out += sos([1, 2, 3], 0, 0, 0, 1) + w1.flush()
+    out += sos(all_ids, 0, 0, 0, 1) + w1.flush()
     # scan 2: DC refinement — low bits in the same MCU order
     w2 = _BitWriter()
     for _ci, blk in mcu_blocks():
         w2.put(blk[0] & 1, 1)
-    out += sos([1, 2, 3], 0, 0, 1, 0) + w2.flush()
+    out += sos(all_ids, 0, 0, 1, 0) + w2.flush()
     # AC scans: non-interleaved, each component's ceil-sized raster
     slices = []
-    for ci in range(3):
+    for ci in range(ncomp):
         hi, vi = samps[ci]
         cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
         bw, bh = -(-cw // 8), -(-ch // 8)
         slices.append([row[:bw] for row in zz[ci][:bh]])
-    for ci in range(3):
+    for ci in range(ncomp):
         out += sos([ci + 1], 1, 63, 0, 1) + _encode_ac_first(slices[ci], ac, 1)
-    for ci in range(3):
+    for ci in range(ncomp):
         out += sos([ci + 1], 1, 63, 1, 0) + _encode_ac_refine(slices[ci], ac, 0)
     out += b"\xff\xd9"  # EOI
     return bytes(out)

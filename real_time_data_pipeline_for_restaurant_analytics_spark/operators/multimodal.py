@@ -297,7 +297,10 @@ def cached_payloads(
     ).hexdigest()[:16]
     dest = os.path.join(root, f"{family}-{key}")
     if not os.path.isdir(dest):
-        # purge stale siblings (old sf dirs / old encoder versions)
+        # purge siblings not USED for 48h (hits touch the dir mtime
+        # below, so this is last-use age, not build age — review r11:
+        # a build-age purge deleted still-valid caches of other
+        # families and could race a concurrent reader)
         now = _time.time()
         for e in os.listdir(root):
             p = os.path.join(root, e)
@@ -321,6 +324,10 @@ def cached_payloads(
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     else:
         PAYLOAD_CACHE_STATS["hits"] += 1
+        try:
+            os.utime(dest, None)  # last-use stamp for the purge above
+        except OSError:
+            pass
 
     def lookup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tbl = _payload_lookup_table(dest)
@@ -1472,12 +1479,18 @@ def _gif_row_order(h: int) -> list[int]:
 
 
 def encode_gif(
-    indices: "np.ndarray", palette: "np.ndarray", interlace: bool = False
+    indices: "np.ndarray",
+    palette: "np.ndarray",
+    interlace: bool = False,
+    transparent_idx: int | None = None,
 ) -> bytes:
-    """REAL GIF87a writer from an (h, w) uint8 index array and an
-    (n, 3) palette (n a power of two ≤ 256): logical screen descriptor
-    with a global color table, image descriptor (optionally
-    interlaced), real LZW sub-blocks, trailer."""
+    """REAL GIF writer from an (h, w) uint8 index array and an (n, 3)
+    palette (n a power of two ≤ 256): logical screen descriptor with
+    a global color table, image descriptor (optionally interlaced),
+    real LZW sub-blocks, trailer. ``transparent_idx`` switches the
+    signature to GIF89a and emits a Graphic Control Extension marking
+    that index transparent (round-11, verdict item 6) — the wire
+    shape real web GIFs carry; pairs with decode_gif's alpha output."""
     import struct
 
     h, w = indices.shape
@@ -1485,9 +1498,14 @@ def encode_gif(
     assert n & (n - 1) == 0 and 2 <= n <= 256
     depth = n.bit_length() - 1
     mcs = max(2, depth)
-    out = bytearray(b"GIF87a")
+    out = bytearray(b"GIF87a" if transparent_idx is None else b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
     out += palette.astype(np.uint8).tobytes()
+    if transparent_idx is not None:
+        assert 0 <= transparent_idx < n
+        # GCE: label 0xF9, 4-byte block: flags(bit0=transparency),
+        # delay, transparent color index; then the block terminator
+        out += bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, transparent_idx, 0x00])
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
     return _gif_finish(out, indices, h, mcs, interlace)
 
@@ -1498,26 +1516,9 @@ def encode_gif89a_transparent(
     transparent_idx: int,
     interlace: bool = False,
 ) -> bytes:
-    """GIF89a writer with a Graphic Control Extension marking
-    ``transparent_idx`` transparent (round-11, verdict item 6) — the
-    wire shape real web GIFs carry; pairs with decode_gif's
-    alpha-channel output for GCE streams."""
-    import struct
-
-    h, w = indices.shape
-    n = palette.shape[0]
-    assert n & (n - 1) == 0 and 2 <= n <= 256
-    assert 0 <= transparent_idx < n
-    depth = n.bit_length() - 1
-    mcs = max(2, depth)
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
-    out += palette.astype(np.uint8).tobytes()
-    # GCE: label 0xF9, 4-byte block: flags(bit0=transparency), delay,
-    # transparent color index; then the block terminator
-    out += bytes([0x21, 0xF9, 0x04, 0x01, 0x00, 0x00, transparent_idx, 0x00])
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
-    return _gif_finish(out, indices, h, mcs, interlace)
+    """Named entry point for the GCE-transparent form (delegates to
+    :func:`encode_gif` — one header/LZW assembly, review r11)."""
+    return encode_gif(indices, palette, interlace, transparent_idx=transparent_idx)
 
 
 def _gif_finish(
@@ -1573,6 +1574,11 @@ def decode_gif(payload: bytes) -> "np.ndarray":
                 if pos >= len(payload):
                     raise ValueError("truncated GIF extension")
                 sz = payload[pos]
+                if pos + 1 + sz > len(payload):
+                    # a sub-block cut mid-body must fail like every
+                    # other truncation: ValueError, never IndexError
+                    # (review r11)
+                    raise ValueError("truncated GIF extension")
                 if label == 0xF9 and first_block and sz == 4:
                     # Graphic Control Extension: flags bit0 =
                     # transparency; byte 3 = transparent color index.

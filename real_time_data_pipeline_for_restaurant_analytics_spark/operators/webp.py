@@ -72,10 +72,10 @@ class _LsbReader:
 
     Round-11 (verdict item 3): buffered byte-at-a-time refill instead
     of per-bit indexing — ``bits(n)`` is one mask+shift on a small int
-    buffer, and :meth:`peek`/:meth:`drop` expose the window the
-    table-driven prefix decoder needs (peek zero-pads past the stream
-    end; consuming past the end still raises, so truncation stays
-    loud)."""
+    buffer. The table-driven prefix decoder (:class:`_PrefixTable`)
+    peeks its root window by reading ``buf``/``nbits`` directly and
+    accounts consumption against ``_total_bits``, so consuming past
+    the stream end still raises and truncation stays loud."""
 
     __slots__ = ("data", "pos", "buf", "nbits", "_total_bits")
 
@@ -108,21 +108,10 @@ class _LsbReader:
     def bit(self) -> int:
         return self.bits(1)
 
-    def peek(self, n: int) -> int:
-        """Next n stream bits LSB-first, zero-padded past the end (a
-        complete prefix code never *consumes* the padding)."""
-        if self.nbits < n:
-            self._fill(n)
-        return self.buf & ((1 << n) - 1)
-
-    def drop(self, n: int) -> None:
-        if n > self._total_bits:
-            raise ValueError("truncated VP8L stream")
-        if self.nbits < n:
-            self._fill(n)  # n <= remaining bits, so the fill suffices
-        self.buf >>= n
-        self.nbits -= n
-        self._total_bits -= n
+    # NOTE: the table-driven prefix decoder (_PrefixTable.decode)
+    # manipulates buf/nbits/_total_bits directly — the peek/drop pair
+    # this class briefly exposed was dead code (review r11); the
+    # reader's public surface is bits()/bit() plus those three fields.
 
 
 class _LsbWriter:
@@ -421,15 +410,22 @@ def _read_image_stream(
     green, red, blue, alpha, dist = groups[0]
     dec_g, dec_r, dec_b, dec_a = green.decode, red.decode, blue.decode, alpha.decode
     dec_d = dist.decode
+    cur_block = -1  # last entropy-image cell; rebind only on crossing
     while pos < n:
         if metas is not None:
             # the prefix-code group is a function of the CURRENT pixel
-            # position (the entropy image's block grid)
-            g = groups[metas[((pos // w) >> prefix_bits) * bw + ((pos % w) >> prefix_bits)]]
-            dec_g, dec_r, dec_b, dec_a = (
-                g[0].decode, g[1].decode, g[2].decode, g[3].decode,
-            )
-            dec_d = g[4].decode
+            # position (the entropy image's block grid); the five
+            # bound methods only rebind when the pixel crosses into a
+            # different block cell (review r11 — the div/mod pair and
+            # rebinds were per-pixel)
+            blk = ((pos // w) >> prefix_bits) * bw + ((pos % w) >> prefix_bits)
+            if blk != cur_block:
+                cur_block = blk
+                g = groups[metas[blk]]
+                dec_g, dec_r, dec_b, dec_a = (
+                    g[0].decode, g[1].decode, g[2].decode, g[3].decode,
+                )
+                dec_d = g[4].decode
         s = dec_g(r)
         if s < 256:
             rr = dec_r(r)

@@ -496,3 +496,25 @@ def test_gif89a_gce_transparency_round_trip():
     assert decode_gif(bytes(payload)).shape == (9, 13, 3)
     # plain 87a unchanged
     assert decode_gif(encode_gif(idx, pal)).shape == (9, 13, 3)
+
+
+def test_gif_truncated_gce_raises_valueerror():
+    """Review r11: a GIF89a stream cut off inside a GCE sub-block must
+    fail as the decoder's documented corruption type (ValueError),
+    never IndexError."""
+    import pytest
+
+    import numpy as np
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif89a_transparent,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    full = encode_gif89a_transparent(idx, pal, 1)
+    at = full.index(bytes([0x21, 0xF9, 0x04]))
+    for cut in (at + 3, at + 4, at + 6):  # inside the GCE block body
+        with pytest.raises(ValueError, match="truncated"):
+            decode_gif(full[:cut])
