@@ -258,3 +258,68 @@ def test_vp8l_meta_prefix_codes_round_trip():
                     pix[y, x, 1] = META_CONST_GREEN
         out = decode_vp8l(encode_vp8l_meta(pix, prefix_bits=pb))
         assert (out[:, :, :3] == pix).all(), (h, w, pb)
+
+
+def test_prefix_table_matches_canonical_walk_on_random_codes():
+    """Property pin for the round-11 table-driven decoder: for random
+    Kraft-COMPLETE canonical codes (built by repeated leaf splitting,
+    so lengths run past the 10-bit root into the fallback path) and
+    random symbol streams, _PrefixTable.decode must agree symbol-for-
+    symbol with the textbook bit-by-bit canonical walk, and consume
+    exactly the same number of bits."""
+    import random
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.webp import (
+        _LsbWriter,
+        _LsbReader,
+        _PrefixTable,
+        _canonical_from_lengths,
+        _encode_codes,
+    )
+
+    rng = random.Random(20250816)
+    for trial in range(40):
+        n_leaves = rng.randint(2, 220)
+        # random full binary tree → Kraft-complete length multiset
+        depths = [1, 1]
+        while len(depths) < n_leaves:
+            i = rng.randrange(len(depths))
+            d = depths.pop(i)
+            if d >= 15:  # spec cap; pick another leaf
+                depths.append(d)
+                continue
+            depths += [d + 1, d + 1]
+        alphabet = len(depths) + rng.randint(0, 40)
+        syms = rng.sample(range(alphabet), len(depths))
+        lengths = [0] * alphabet
+        for s, d in zip(syms, depths):
+            lengths[s] = d
+        table = _PrefixTable(lengths)
+        enc = _encode_codes(lengths)
+        dict_walk = _canonical_from_lengths(lengths)
+
+        stream = [rng.choice(syms) for _ in range(200)]
+        w = _LsbWriter()
+        for s in stream:
+            w.put_code(*enc[s])
+        data = w.bytes()
+
+        r = _LsbReader(data)
+        got = [table.decode(r) for s in stream]
+        assert got == stream, f"trial {trial}: table decode diverged"
+
+        # reference: textbook canonical walk over the same bytes
+        r2 = _LsbReader(data)
+        ref = []
+        for _ in stream:
+            code, ln = 0, 0
+            while True:
+                code = (code << 1) | r2.bit()
+                ln += 1
+                s = dict_walk.get((ln, code))
+                if s is not None:
+                    ref.append(s)
+                    break
+        assert ref == stream
+        # identical consumption: both readers sit at the same bit
+        assert r._total_bits == r2._total_bits, f"trial {trial}: bit drift"
