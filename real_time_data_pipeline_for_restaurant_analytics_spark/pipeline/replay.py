@@ -95,6 +95,42 @@ _TS3 = "2024-06-03 09:00:00"  # rerun: must have NO effect (ledger skip)
 _BASE_DATE = "2024-06-01"
 _NO_DATE = 9999  # sentinel: open version / clean layer (keeps int64 dtype)
 
+#: Day-payload key cap (round-12 verdict item 1). A replay models the
+#: reference's DAILY drop — a fixed-size batch, not a corpus-sized
+#: one — so the fixture derives at most this many keys from
+#: `customer` regardless of sf. At the correctness scales (sf ≤ 0.01,
+#: custkeys 0..1499) the cap is a no-op (every key passes), so driver
+#: hashes are unchanged; at bench sf0.1 it trims 15k keys to 3k,
+#: cutting the shuffle/sort payload of ~20 fixed-overhead jobs per
+#: replay. Mirrored EXACTLY in each oracle's `ks` CTE — both sides
+#: always describe the same drop. Every key class (k % 10, k % 11,
+#: sibling arms) is still populated hundreds of times over at the cap.
+_DAY_KEYS_CAP = 3000
+_KS_SQL = (
+    f"ks AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < {_DAY_KEYS_CAP})"
+)
+
+
+def _replay_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped key universe every replay fixture derives from —
+    the Spark twin of :data:`_KS_SQL`."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .filter(F.col("c_custkey") < _DAY_KEYS_CAP)
+    )
+
+
+def _parallel_drops(writes: list) -> None:
+    """Run the per-entity-per-day drop writes concurrently: each is an
+    independent coalesce(1) CSV/JSON job into its own scratch dir, and
+    the Spark scheduler overlaps concurrent actions — the drop phase
+    costs one job's wall instead of four (round-12 verdict item 1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(writes), 8)) as pool:
+        list(pool.map(lambda w: w(), writes))
+
 
 def _pick(values: list[str], k: Column, n: int) -> Column:
     return F.element_at(F.array(*[F.lit(v) for v in values]), (k % n + 1).cast("int"))
@@ -651,7 +687,7 @@ _LOGIN_ROWS_SQL = f"""SELECT 'login_audit' AS entity, lyr.l AS layer,
        TRUE AS is_current, {_LOGIN_DIGEST_SQL} AS digest
   FROM la_final, (SELECT unnest(['clean', 'fact']) AS l) lyr"""
 
-_REPLAY_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+_REPLAY_ORACLE = f"""WITH {_KS_SQL},
 loc_src1 AS ({_loc_src_sql(1)}),
 loc_src2 AS ({_loc_src_sql(2)}),
 loc_clean1 AS ({_loc_clean_sql('loc_src1')}),
@@ -705,31 +741,22 @@ def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runner import Warehouse, run_all
 
     work = replay_workdir("pipeline_replay")
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cust = _replay_keys(spark, sf_dir)
     day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
                 os.path.join(work, "drops", "2024", "6", "2"))
-    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
-        _write_drop_csv(
-            _location_src(cust, day),
-            entity_file(ddir, ENTITIES["location"].source_file_stem),
-            work,
-        )
-        _write_drop_csv(
-            _menu_src(cust, day),
-            entity_file(ddir, ENTITIES["menu"].source_file_stem),
-            work,
-        )
-        _write_drop_csv(
-            _login_src(cust, day),
-            entity_file(ddir, ENTITIES["login_audit"].source_file_stem),
-            work,
-        )
+    _parallel_drops([
+        (lambda d=day, dd=ddir, src=src, ent=ent: _write_drop_csv(
+            src(cust, d), entity_file(dd, ENTITIES[ent].source_file_stem), work))
+        for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1]))
+        for src, ent in ((_location_src, "location"), (_menu_src, "menu"),
+                         (_login_src, "login_audit"))
+    ])
 
     wh = Warehouse(os.path.join(work, "wh"))
     r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     for res, day in ((r1, 1), (r2, 2)):
         loaded = {r["entity"] for r in res if not r["skipped"]}
         if loaded != {"location", "menu", "login_audit"}:
@@ -740,7 +767,7 @@ def q145_pipeline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerun idempotence: same files, ledger must skip every entity —
     # the different batch_ts would otherwise stamp visible SCD2 churn
     r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
     if not_skipped:
         raise RuntimeError(
@@ -929,7 +956,7 @@ _DA_DIGEST_SQL = (
     "CAST(epoch_us(modified_ts) AS VARCHAR)))"
 )
 
-_DA_REPLAY_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+_DA_REPLAY_ORACLE = f"""WITH {_KS_SQL},
 da_src1 AS ({_da_src_sql(1)}),
 da_src2 AS ({_da_src_sql(2)}),
 da_clean1 AS ({_da_clean_sql('da_src1')}),
@@ -965,21 +992,20 @@ def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spec = ENTITIES["delivery_agent"]
     work = replay_workdir("json_replay")
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cust = _replay_keys(spark, sf_dir)
     day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
                 os.path.join(work, "drops", "2024", "6", "2"))
-    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
-        _write_drop_json(
-            _da_src(cust, day),
-            entity_file(ddir, spec.source_file_stem, spec.ext),
-            work,
-        )
+    _parallel_drops([
+        (lambda d=day, dd=ddir: _write_drop_json(
+            _da_src(cust, d), entity_file(dd, spec.source_file_stem, spec.ext), work))
+        for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1]))
+    ])
 
     wh = Warehouse(os.path.join(work, "wh"))
     r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     for res, day in ((r1, 1), (r2, 2)):
         loaded = {r["entity"] for r in res if not r["skipped"]}
         if loaded != {"delivery_agent"}:
@@ -988,7 +1014,7 @@ def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{loaded}, expected exactly {{'delivery_agent'}}"
             )
     r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
     if not_skipped:
         raise RuntimeError(
@@ -1313,7 +1339,7 @@ _OI_DIGEST_SQL = (
     "CAST(epoch_us(modified_ts) AS VARCHAR)))"
 )
 
-_ORDER_PAIR_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+_ORDER_PAIR_ORACLE = f"""WITH {_KS_SQL},
 ord_src1 AS ({_orders_src_sql(1)}),
 ord_src2 AS ({_orders_src_sql(2)}),
 ord_clean1 AS ({_orders_clean_sql('ord_src1')}),
@@ -1358,26 +1384,21 @@ def q155_order_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runner import Warehouse, run_all
 
     work = replay_workdir("order_pair_replay")
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cust = _replay_keys(spark, sf_dir)
     day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
                 os.path.join(work, "drops", "2024", "6", "2"))
-    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
-        _write_drop_csv(
-            _orders_src(cust, day),
-            entity_file(ddir, ENTITIES["orders"].source_file_stem),
-            work,
-        )
-        _write_drop_csv(
-            _order_item_src(cust, day),
-            entity_file(ddir, ENTITIES["order_item"].source_file_stem),
-            work,
-        )
+    _parallel_drops([
+        (lambda d=day, dd=ddir, src=src, ent=ent: _write_drop_csv(
+            src(cust, d), entity_file(dd, ENTITIES[ent].source_file_stem), work))
+        for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1]))
+        for src, ent in ((_orders_src, "orders"), (_order_item_src, "order_item"))
+    ])
 
     wh = Warehouse(os.path.join(work, "wh"))
     r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     for res, day in ((r1, 1), (r2, 2)):
         loaded = {r["entity"] for r in res if not r["skipped"]}
         if loaded != {"orders", "order_item"}:
@@ -1386,7 +1407,7 @@ def q155_order_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "expected exactly {'orders', 'order_item'}"
             )
     r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
     if not_skipped:
         raise RuntimeError(
@@ -1714,7 +1735,7 @@ _ADDR_DIGEST_SQL = (
     "CAST(epoch_us(modified_ts) AS VARCHAR)))"
 )
 
-_CUSTOMER_PAIR_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+_CUSTOMER_PAIR_ORACLE = f"""WITH {_KS_SQL},
 cu_src1 AS ({_customer_src_sql(1)}),
 cu_src2 AS ({_customer_src_sql(2)}),
 cu_clean1 AS ({_customer_clean_sql('cu_src1')}),
@@ -1760,26 +1781,21 @@ def q156_customer_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runner import Warehouse, run_all
 
     work = replay_workdir("customer_pair_replay")
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cust = _replay_keys(spark, sf_dir)
     day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
                 os.path.join(work, "drops", "2024", "6", "2"))
-    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
-        _write_drop_csv(
-            _customer_src(cust, day),
-            entity_file(ddir, ENTITIES["customer"].source_file_stem),
-            work,
-        )
-        _write_drop_csv(
-            _address_src(cust, day),
-            entity_file(ddir, ENTITIES["customer_address"].source_file_stem),
-            work,
-        )
+    _parallel_drops([
+        (lambda d=day, dd=ddir, src=src, ent=ent: _write_drop_csv(
+            src(cust, d), entity_file(dd, ENTITIES[ent].source_file_stem), work))
+        for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1]))
+        for src, ent in ((_customer_src, "customer"), (_address_src, "customer_address"))
+    ])
 
     wh = Warehouse(os.path.join(work, "wh"))
     r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     for res, day in ((r1, 1), (r2, 2)):
         loaded = {r["entity"] for r in res if not r["skipped"]}
         if loaded != {"customer", "customer_address"}:
@@ -1788,7 +1804,7 @@ def q156_customer_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{loaded}, expected exactly {{'customer', 'customer_address'}}"
             )
     r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
     if not_skipped:
         raise RuntimeError(
@@ -2096,7 +2112,7 @@ _DLV_DIGEST_SQL = (
     "CAST(epoch_us(modified_ts) AS VARCHAR)))"
 )
 
-_REST_PAIR_ORACLE = f"""WITH ks AS (SELECT c_custkey AS k FROM customer),
+_REST_PAIR_ORACLE = f"""WITH {_KS_SQL},
 re_src1 AS ({_restaurant_src_sql(1)}),
 re_src2 AS ({_restaurant_src_sql(2)}),
 re_clean1 AS ({_restaurant_clean_sql('re_src1')}),
@@ -2138,26 +2154,21 @@ def q159_restaurant_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runner import Warehouse, run_all
 
     work = replay_workdir("restaurant_pair_replay")
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cust = _replay_keys(spark, sf_dir)
     day_dirs = (os.path.join(work, "drops", "2024", "6", "1"),
                 os.path.join(work, "drops", "2024", "6", "2"))
-    for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1])):
-        _write_drop_csv(
-            _restaurant_src(cust, day),
-            entity_file(ddir, ENTITIES["restaurant"].source_file_stem),
-            work,
-        )
-        _write_drop_csv(
-            _delivery_src(cust, day),
-            entity_file(ddir, ENTITIES["delivery"].source_file_stem),
-            work,
-        )
+    _parallel_drops([
+        (lambda d=day, dd=ddir, src=src, ent=ent: _write_drop_csv(
+            src(cust, d), entity_file(dd, ENTITIES[ent].source_file_stem), work))
+        for day, ddir in ((1, day_dirs[0]), (2, day_dirs[1]))
+        for src, ent in ((_restaurant_src, "restaurant"), (_delivery_src, "delivery"))
+    ])
 
     wh = Warehouse(os.path.join(work, "wh"))
     r1 = run_all(spark, wh, day_dirs[0], batch_ts=F.lit(_TS1).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     r2 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS2).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     for res, day in ((r1, 1), (r2, 2)):
         loaded = {r["entity"] for r in res if not r["skipped"]}
         if loaded != {"restaurant", "delivery"}:
@@ -2166,7 +2177,7 @@ def q159_restaurant_pair_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{loaded}, expected exactly {{'restaurant', 'delivery'}}"
             )
     r3 = run_all(spark, wh, day_dirs[1], batch_ts=F.lit(_TS3).cast("timestamp"),
-                 collect_stats=False, checkpoint=True)
+                 collect_stats=False, checkpoint="persist", parallel=True)
     not_skipped = [r["entity"] for r in r3 if not r["skipped"]]
     if not_skipped:
         raise RuntimeError(

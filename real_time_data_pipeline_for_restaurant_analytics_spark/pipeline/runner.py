@@ -70,7 +70,7 @@ def merge_entity_batch(
     spec: EntitySpec,
     raw: DataFrame,
     batch_ts,
-    checkpoint: bool = False,
+    checkpoint: bool | str = False,
 ) -> None:
     """The shared clean→dedup→latest-per-key→SCD1→SCD2 merge body —
     ONE implementation behind both drivers (batch :func:`run_entity`
@@ -78,9 +78,21 @@ def merge_entity_batch(
     in exactly one place (the "one library, two drivers" invariant
     SURVEY §7/M5 calls for).
 
-    ``checkpoint`` breaks lineage after the latest-per-key guard —
-    required in foreachBatch, where the micro-batch source cannot be
-    re-read by the multiple merge scans below.
+    ``checkpoint`` materializes the typed batch once so the clean and
+    dim merges below don't each re-derive it from the source:
+
+    - ``True`` → ``localCheckpoint`` — a LINEAGE BREAK, required in
+      foreachBatch where the micro-batch source cannot be re-read by
+      the merge's multiple scans. Costs one eager materialization job
+      up front.
+    - ``"persist"`` → ``cache`` — no extra job: the clean-merge write
+      both computes and caches the batch, the dim merge reuses it,
+      and the cache is dropped before returning. Correct ONLY when
+      the source is re-readable (batch files), since an evicted
+      partition recomputes from the source — which is exactly why the
+      streaming driver must keep ``True``. One fewer Spark job per
+      entity per day (round-12: the replay family's fixed per-job
+      overhead dominated its bench wall).
     """
     # --- clean: typed transform + guarded SCD1 merge (C3)
     typed = spec.clean(raw)
@@ -92,29 +104,37 @@ def merge_entity_batch(
         else [F.lit(1)]
     )
     typed = latest_per_key(typed, spec.key, order_cols)  # C7 guard
-    if checkpoint:
+    persisted = False
+    if checkpoint == "persist":
+        typed = typed.persist()
+        persisted = True
+    elif checkpoint:
         typed = typed.localCheckpoint()
-    clean_tbl = wh.clean(spec.name)
-    prev_clean = clean_tbl.read(spark)
-    attrs = [c for c in typed.columns if c not in spec.key]
-    clean_tbl.write(merge_upsert(prev_clean, typed, spec.key, attrs))
+    try:
+        clean_tbl = wh.clean(spec.name)
+        prev_clean = clean_tbl.read(spark)
+        attrs = [c for c in typed.columns if c not in spec.key]
+        clean_tbl.write(merge_upsert(prev_clean, typed, spec.key, attrs))
 
-    # --- consumption: SCD2 dim (C4) or SCD1 fact (C5)
-    dim_tbl = wh.dim(spec.name)
-    hk_name = f"{spec.name}_hk"
-    with_hk = typed.withColumn(hk_name, hash_key(*spec.key, *spec.scd2_attrs))
-    if spec.scd1_only:
-        prev_fact = dim_tbl.read(spark)
-        dim_tbl.write(merge_upsert(prev_fact, with_hk, spec.key, spec.scd2_attrs))
-    else:
-        prev_dim = dim_tbl.read(spark)
-        cfg = Scd2Config(
-            key=spec.key,
-            attrs=spec.scd2_attrs,
-            created_col=spec.created_col,
-            first_start_from_created=True,
-        )
-        dim_tbl.write(apply_scd2(prev_dim, with_hk, cfg, batch_ts))
+        # --- consumption: SCD2 dim (C4) or SCD1 fact (C5)
+        dim_tbl = wh.dim(spec.name)
+        hk_name = f"{spec.name}_hk"
+        with_hk = typed.withColumn(hk_name, hash_key(*spec.key, *spec.scd2_attrs))
+        if spec.scd1_only:
+            prev_fact = dim_tbl.read(spark)
+            dim_tbl.write(merge_upsert(prev_fact, with_hk, spec.key, spec.scd2_attrs))
+        else:
+            prev_dim = dim_tbl.read(spark)
+            cfg = Scd2Config(
+                key=spec.key,
+                attrs=spec.scd2_attrs,
+                created_col=spec.created_col,
+                first_start_from_created=True,
+            )
+            dim_tbl.write(apply_scd2(prev_dim, with_hk, cfg, batch_ts))
+    finally:
+        if persisted:
+            typed.unpersist()
 
 
 def run_entity(
@@ -124,7 +144,7 @@ def run_entity(
     file_path: str,
     batch_ts=None,
     collect_stats: bool = True,
-    checkpoint: bool = False,
+    checkpoint: bool | str = False,
 ) -> dict:
     """<ENTITY>_MAIN_PROCEDURE (O1): COPY → SCD1 → SCD2, idempotent.
 
@@ -133,11 +153,12 @@ def run_entity(
     caller that reads the tables back anyway (q145's replay) doesn't
     need; the merge writes themselves are unaffected.
 
-    ``checkpoint=True`` materializes the typed batch once after the
-    dedup guard instead of re-parsing the stage file for each of the
-    clean and dim merges (the same lineage break foreachBatch needs;
-    for batch it is a pure re-read trade: one cache write vs N-1
-    source re-scans — worth it when the transform is cast-heavy)."""
+    ``checkpoint`` materializes the typed batch once after the dedup
+    guard instead of re-parsing the stage file for each of the clean
+    and dim merges — ``True`` via localCheckpoint (an extra eager
+    job), ``"persist"`` via cache (no extra job; the batch source is
+    re-readable, so the lineage break isn't needed — see
+    :func:`merge_entity_batch`)."""
     batch_ts = batch_ts if batch_ts is not None else F.current_timestamp()
     ledger = wh.ledger(spec.name)
     todo = ledger.unprocessed([file_path]) if os.path.exists(file_path) else []
@@ -188,26 +209,44 @@ def run_all(
     stage_prefix: str,
     batch_ts=None,
     collect_stats: bool = True,
-    checkpoint: bool = False,
+    checkpoint: bool | str = False,
+    parallel: bool = False,
 ) -> list[dict]:
-    """FINAL_PROCEDURE (O2): fixed-order fan-out over the ten
-    entities (`final_proc.sql:17-41`)."""
-    results = []
-    for name in RUN_ORDER:
+    """FINAL_PROCEDURE (O2): fan-out over the ten entities.
+
+    Default is the reference's FIXED sequential order
+    (`final_proc.sql:17-41`). ``parallel=True`` submits the entity
+    loads from a thread pool instead: every entity owns disjoint
+    state (its own ledger, stage dir, clean and dim snapshot tables;
+    the snapshot writer lock is per-table) and the reference chain
+    has no cross-entity reads during a load, so the loads commute —
+    the sequential order is an artifact of Snowflake's procedural
+    CALL syntax, not a data dependency. On a real cluster this is
+    how a daily multi-entity load should run (independent jobs
+    overlap their shuffle/write stages instead of serializing ~4
+    fixed-overhead jobs per entity); Spark's scheduler interleaves
+    concurrent actions from multiple driver threads. Results come
+    back in RUN_ORDER either way.
+    """
+    def one(name: str) -> dict:
         spec = ENTITIES[name]
         path = entity_file(stage_prefix, spec.source_file_stem, spec.ext)
-        results.append(
-            run_entity(
-                spark,
-                wh,
-                spec,
-                path,
-                batch_ts=batch_ts,
-                collect_stats=collect_stats,
-                checkpoint=checkpoint,
-            )
+        return run_entity(
+            spark,
+            wh,
+            spec,
+            path,
+            batch_ts=batch_ts,
+            collect_stats=collect_stats,
+            checkpoint=checkpoint,
         )
-    return results
+
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(RUN_ORDER), 8)) as pool:
+            return list(pool.map(one, RUN_ORDER))
+    return [one(name) for name in RUN_ORDER]
 
 
 def run_for_date(spark: SparkSession, wh: Warehouse, stage_root: str, today=None) -> list[dict]:
