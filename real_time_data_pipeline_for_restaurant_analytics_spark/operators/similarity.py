@@ -1739,6 +1739,165 @@ def _pq_subdist(sub_len: int) -> str:
     )
 
 
+def _int8_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, qv): the shared q57 int8-quantized grid every PQ stage
+    runs on — one corpus scan, map-side only."""
+    return (
+        spread(emb, id_col)
+        .select(F.col(id_col), F.col(vec_col).alias("v"), _max_abs(vec_col).alias("_ma"))
+        .select(F.col(id_col), _quantized("v", "_ma").alias("qv"))
+    )
+
+
+def _pq_codebook(base: DataFrame, id_col: str, n_sub: int, sub: int, n_codes: int) -> DataFrame:
+    """ONE-row codebook frame: cb[m].cents = subspace m's centroids,
+    cent_id-sorted (array index == code — the LUT addressing
+    contract). Trained as the first ``n_codes`` vectors' subvectors
+    (:func:`_pq_train_codebook` is the real trainer); broadcast by
+    every consumer."""
+    pieces = _pq_subvector_pieces(n_sub, sub)
+    return (
+        base.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cent_id"), F.explode(pieces).alias("p"))
+        .groupBy(F.col("p.m").alias("m"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cent_id"), F.col("p.sub").alias("csub")))
+            ).alias("cents")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("m", "cents"))).alias("cb"))
+    )
+
+
+def _pq_codes_expr(sub: int) -> Column:
+    """codes[m+1] = argmin code of subspace m for the row's qv against
+    the broadcast ``cb`` column — map-side, whole-stage codegen."""
+    return F.expr(
+        "transform(cb, mc -> array_min(transform(mc.cents, c -> named_struct("
+        f"'d', {_pq_subdist(sub)}, 'cid', CAST(c.cent_id AS BIGINT)))).cid)"
+    )
+
+
+def _pq_lut_expr(sub: int) -> Column:
+    """Flat query LUT: lut[m * n_codes + code + 1] = exact subspace
+    distance of the row's qv to that centroid."""
+    return F.expr(
+        f"flatten(transform(cb, mc -> transform(mc.cents, c -> {_pq_subdist(sub)})))"
+    )
+
+
+def _pq_subvector_pieces(n_sub: int, sub: int) -> Column:
+    """The qv→subvector splitter shared by the codebook builder and
+    the trainer: array of (m, sub) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(mi).cast("bigint").alias("m"),
+                F.slice("qv", mi * sub + 1, sub).alias("sub"),
+            )
+            for mi in range(n_sub)
+        ]
+    )
+
+
+def _pq_train_codebook(
+    base: DataFrame,
+    id_col: str,
+    n_sub: int,
+    sub: int,
+    n_codes: int,
+    rounds: int,
+) -> DataFrame:
+    """PQ codebook TRAINING: per-subspace Lloyd refinement of the
+    first-``n_codes``-vectors init, ``rounds`` iterations — the q79
+    k-means recipe applied to each of the ``n_sub`` subvector spaces
+    at once (cluster key = (m, code)). Engine-exact like q79: integer
+    distances, centroids = floor(int_sum / n) via one IEEE division,
+    argmin ties to the lowest code, an emptied code keeps its previous
+    centroid. Returns the trained codebook as ONE one-row broadcastable
+    frame (the `cb` contract of :func:`_pq_codebook`).
+
+    Scale shape per round: the assign join streams corpus × n_codes
+    candidate distances through map-side partial aggregation; the
+    recompute shuffles only n_sub × n_codes × sub rows (KBs) — the
+    same bounded sync as q79's k×dim. Production trains on a corpus
+    SAMPLE (FAISS trains PQ on ~100k vectors regardless of corpus
+    size); the full-corpus pass here keeps the oracle replay exact.
+    """
+    subs = base.select(
+        F.col(id_col), F.explode(_pq_subvector_pieces(n_sub, sub)).alias("p")
+    ).select(F.col(id_col), F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
+    pex = subs.select(
+        F.col(id_col), "m", F.posexplode("sub").alias("pos", "e")
+    )
+    cent = (
+        subs.filter(F.col(id_col) < n_codes)
+        .select(
+            "m",
+            F.col(id_col).cast("bigint").alias("code"),
+            F.posexplode("sub").alias("pos", "e"),
+        )
+        .select("m", "code", "pos", F.col("e").alias("cm"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy(id_col, "m").orderBy("d", "code")
+    for _ in range(rounds):
+        d = (
+            pex.join(cent, ["m", "pos"])
+            .groupBy(id_col, "m", "code")
+            .agg(F.sum((F.col("e") - F.col("cm")) * (F.col("e") - F.col("cm"))).alias("d"))
+        )
+        a = (
+            d.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "m", "code")
+        )
+        newc = (
+            a.join(pex, [id_col, "m"])
+            .groupBy("m", "code", "pos")
+            .agg(
+                F.floor(
+                    F.sum("e").cast("double") / F.count(F.lit(1))
+                ).cast("bigint").alias("ncm")
+            )
+        )
+        cent = (
+            cent.join(newc, ["m", "code", "pos"], "left")
+            .select(
+                "m", "code", "pos", F.coalesce("ncm", "cm").alias("cm")
+            )
+            .localCheckpoint()
+        )
+    csubs = cent.groupBy("m", "code").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)"
+        ).alias("csub")
+    )
+    return (
+        csubs.groupBy("m")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("code").alias("cent_id"), "csub"))
+            ).alias("cents")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("m", "cents"))).alias("cb"))
+    )
+
+
+def _pq_adc_expr(n_sub: int, n_codes: int) -> Column:
+    """ADC distance: n_sub LUT lookups summed — bytes per database
+    vector, no per-pair vector math."""
+    return F.expr(
+        f"aggregate(zip_with(codes, sequence(CAST(0 AS BIGINT), CAST({n_sub - 1} AS BIGINT)),"
+        f" (code, m) -> element_at(lut, CAST(m * {n_codes} + code + 1 AS INT))),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     k: int = 5,
@@ -1761,62 +1920,26 @@ def pq_adc_topk(
         raise ValueError("pass query_filter (the bounded query predicate)")
     dim = _vec_dim(emb, vec_col) or 64
     sub = dim // n_sub
-    base = (
-        spread(emb, id_col)
-        .select(F.col(id_col), F.col(vec_col).alias("v"), _max_abs(vec_col).alias("_ma"))
-        .select(F.col(id_col), _quantized("v", "_ma").alias("qv"))
-    )
+    base = _int8_base(emb, id_col, vec_col)
     # codebook: ONE row; cb[m].cents = that subspace's centroids,
     # cent_id-sorted (array index == code, the LUT addressing contract)
-    pieces = F.array(
-        *[
-            F.struct(
-                F.lit(mi).cast("bigint").alias("m"),
-                F.slice("qv", mi * sub + 1, sub).alias("sub"),
-            )
-            for mi in range(n_sub)
-        ]
-    )
-    cb = (
-        base.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).alias("cent_id"), F.explode(pieces).alias("p"))
-        .groupBy(F.col("p.m").alias("m"))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("cent_id"), F.col("p.sub").alias("csub")))
-            ).alias("cents")
-        )
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("m", "cents"))).alias("cb"))
-    )
+    cb = _pq_codebook(base, id_col, n_sub, sub, n_codes)
     # corpus codes, WIDE (codes[m+1] = argmin code) — map-side only
-    codes_expr = F.expr(
-        "transform(cb, mc -> array_min(transform(mc.cents, c -> named_struct("
-        f"'d', {_pq_subdist(sub)}, 'cid', CAST(c.cent_id AS BIGINT)))).cid)"
-    )
     coded = base.crossJoin(F.broadcast(cb)).select(
-        F.col(id_col).alias("neighbor_id"), codes_expr.alias("codes")
+        F.col(id_col).alias("neighbor_id"), _pq_codes_expr(sub).alias("codes")
     )
     # query LUT, flat: lut[m * n_codes + code + 1] = subspace distance
     _assert_bounded_query_side(emb.filter(query_filter), id_col, max_query_rows)
-    lut_expr = F.expr(
-        f"flatten(transform(cb, mc -> transform(mc.cents, c -> {_pq_subdist(sub)})))"
-    )
     queries = (
         base.filter(query_filter)
         .crossJoin(F.broadcast(cb))
-        .select(F.col(id_col).alias("query_id"), lut_expr.alias("lut"))
-    )
-    adc = F.expr(
-        f"aggregate(zip_with(codes, sequence(CAST(0 AS BIGINT), CAST({n_sub - 1} AS BIGINT)),"
-        f" (code, m) -> element_at(lut, CAST(m * {n_codes} + code + 1 AS INT))),"
-        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+        .select(F.col(id_col).alias("query_id"), _pq_lut_expr(sub).alias("lut"))
     )
     scored = (
         F.broadcast(queries)
         .crossJoin(coded)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .select("query_id", "neighbor_id", _pq_adc_expr(n_sub, n_codes).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
@@ -2173,3 +2296,375 @@ ORDER BY n_probe
 )
 def q124_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_audit(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# q160: IVF-PQ composed END TO END (round-12 verdict item 2). The parts
+# are individually green — coarse quantizer (q34), PQ codes (q92), ADC
+# ranking (q126), measured-recall audit (q124) — but production ANN
+# deploys them as ONE path: probe the n_probe nearest coarse cells,
+# then rank ONLY the probed cells' members by ADC table lookups. This
+# query runs that composed path and measures its recall@k against an
+# exact full-scan baseline at several n_probe settings, with the
+# scanned-candidate count per level — the actual recall-vs-cost curve
+# an operator tunes at 100 TB.
+#
+# Everything runs on the shared q57 int8 grid (coarse cells, PQ
+# codebook, ADC, and the exact baseline alike), so every distance is a
+# BIGINT fold — engine-exact, no float-tie ambiguity, full DuckDB
+# oracle. The audit isolates exactly the two losses IVF-PQ introduces
+# (probe loss + code loss) on the quantizer's own metric space; q124
+# separately audits the coarse probe against float cosine.
+#
+# Scale shape: ONE corpus scan assigns cells + codes map-side (the
+# codebook is one broadcast row; the cell centroids are inlined
+# literals, n_cells × dim ints). The only corpus shuffle is the
+# probe-cell join, volume ≈ corpus/n_cells × n_probe × |queries| —
+# candidates carry (cell_rank, codes) BYTES, never vectors. The exact
+# baseline is the audit's cost (gate scale / query sample only), as in
+# q114/q124. All probe levels slice ONE checkpointed candidate frame
+# (a probe-p candidate set is exactly cell_rank <= p).
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_recall_audit(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    probe_levels: tuple[int, ...] = (1, 2, 4),
+    n_sub: int = 8,
+    n_codes: int = 32,
+    refine_r: int = 100,
+    train_rounds: int = 2,
+    query_max_id: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_rows: int = DEFAULT_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Measured recall@k and scan cost of the composed IVF-PQ path
+    per ``n_probe``: coarse-probe → ADC-rank candidates → exact
+    refine of the top-``refine_r`` shortlist → top-k, versus exact
+    integer-L2 top-k over the same int8 grid. Returns one row per
+    probe level: (n_probe, scanned, hits_adc, hits_refined, possible,
+    recall_adc_permille, recall_refined_permille) — the ADC column
+    exposes the raw code loss, the refined column the deployed
+    accuracy after the vectors-on-disk re-rank (FAISS's refine
+    stage: ADC shortlists from BYTES, then only queries × refine_r
+    full vectors are read back). The PQ config here is a production
+    shape (8 subspaces × 32 codes = 8 bytes/vector, 16× compression)
+    rather than q92/q126's didactic 4×4."""
+    from pyspark.sql import Window
+
+    dim = _vec_dim(emb, vec_col) or 64
+    sub = dim // n_sub
+    maxp = max(probe_levels)
+    base = _int8_base(emb, id_col, vec_col)
+
+    # coarse centroids as inlined literals (the q34 recipe: the
+    # Column-object equivalent costs n_cells × dim Py4J round trips;
+    # the SQL string is milliseconds and plans identically). int8
+    # grid: |term| <= 254^2, 64-dim sum < 2^23 — exact in BIGINT.
+    cents = (
+        base.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), "qv")
+        .collect()
+    )
+    cent_lits = [(int(r["cell"]), [int(x) for x in r["qv"]]) for r in cents]
+
+    def best_cells(n: int) -> Column:
+        structs = ", ".join(
+            "struct(aggregate(zip_with(qv, array({lits}), (x, y) -> (x - y) * (x - y)),"
+            " 0L, (a, v) -> a + v) AS d, {cell} AS c)".format(
+                lits=", ".join(f"{int(x)}L" for x in cm), cell=int(cell)
+            )
+            for cell, cm in cent_lits
+        )
+        return F.expr(
+            f"transform(slice(array_sort(array({structs})), 1, {n}), st -> st.c)"
+        )
+
+    cb = (
+        _pq_train_codebook(base, id_col, n_sub, sub, n_codes, train_rounds)
+        if train_rounds
+        else _pq_codebook(base, id_col, n_sub, sub, n_codes)
+    )
+    # index side: ONE corpus pass — cell + PQ codes, both map-side
+    # (coalesce: see ivf_scored_candidates — keeps the join key
+    # provably non-null so the argmin isn't pushed below the exchange)
+    coded = (
+        base.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.coalesce(best_cells(1)[0], F.lit(-1)).alias("cell"),
+            _pq_codes_expr(sub).alias("codes"),
+        )
+    )
+    # query side: LUT + probe list, bounded + broadcast
+    _assert_bounded_query_side(
+        emb.filter(F.col(id_col) < query_max_id), id_col, max_query_rows
+    )
+    probes = (
+        base.filter(F.col(id_col) < query_max_id)
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _pq_lut_expr(sub).alias("lut"),
+            F.posexplode(best_cells(maxp)).alias("_pos", "cell"),
+        )
+        .select(
+            "query_id", "lut", (F.col("_pos") + 1).cast("int").alias("cell_rank"), "cell"
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(coded, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell_rank",
+            _pq_adc_expr(n_sub, n_codes).alias("adc_dist"),
+        )
+        .localCheckpoint()
+    )
+    # exact baseline: full-scan integer L2 on the same grid — the
+    # audit's cost, gate-scale/query-sample only (q114/q124 pattern)
+    qside = base.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qqv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qqv, qv, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        F.broadcast(qside)
+        .crossJoin(base.select(F.col(id_col).alias("neighbor_id"), "qv"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    possible = exact.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
+    wa = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    neigh_vecs = base.select(F.col(id_col).alias("neighbor_id"), "qv")
+    out = None
+    for p in probe_levels:
+        lvl = scored.filter(F.col("cell_rank") <= p)
+        scanned = lvl.agg(F.count(F.lit(1)).cast("bigint").alias("scanned"))
+        short = (
+            lvl.withColumn("rank", F.row_number().over(wa))
+            .filter(F.col("rank") <= refine_r)
+            .select("query_id", "neighbor_id", "rank")
+        )
+        hits_adc = (
+            short.filter(F.col("rank") <= k)
+            .join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hits_adc"))
+        )
+        # refine: read back ONLY the shortlist's full vectors and
+        # re-rank them by exact integer L2 (the same fold as the
+        # baseline) — queries × refine_r vector reads, not a rescan
+        refined = (
+            F.broadcast(short.drop("rank"))
+            .join(neigh_vecs, "neighbor_id")
+            .join(F.broadcast(qside), "query_id")
+            .select("query_id", "neighbor_id", d2.alias("d2"))
+            .withColumn("rank", F.row_number().over(we))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits_ref = refined.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits_refined")
+        )
+        row = (
+            scanned.crossJoin(F.broadcast(hits_adc))
+            .crossJoin(F.broadcast(hits_ref))
+            .crossJoin(F.broadcast(possible))
+            .select(
+                F.lit(p).cast("bigint").alias("n_probe"),
+                "scanned",
+                "hits_adc",
+                "hits_refined",
+                "possible",
+                F.expr("CAST((hits_adc * 1000) div possible AS BIGINT)").alias(
+                    "recall_adc_permille"
+                ),
+                F.expr("CAST((hits_refined * 1000) div possible AS BIGINT)").alias(
+                    "recall_refined_permille"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_probe")
+
+
+def _ivf_pq_recall_oracle(
+    k: int = 5,
+    n_cells: int = 16,
+    probe_levels: tuple[int, ...] = (1, 2, 4),
+    n_sub: int = 8,
+    n_codes: int = 32,
+    refine_r: int = 100,
+    train_rounds: int = 2,
+    query_max_id: int = 50,
+    sub: int = 8,
+    dim: int = 64,
+) -> str:
+    levels = ", ".join(str(p) for p in probe_levels)
+    # unrolled per-subspace Lloyd refinement (the q79 oracle pattern):
+    # pc{i} = the codebook after i rounds; an emptied code keeps its
+    # previous centroid via the LEFT JOIN + COALESCE
+    train = ""
+    for i in range(train_rounds):
+        train += f""", pd{i} AS (
+  SELECT s.vec_id, s.m, c.code, SUM((s.e - c.cm) * (s.e - c.cm)) AS d
+  FROM pex s JOIN pc{i} c ON s.m = c.m AND s.pos = c.pos
+  GROUP BY 1, 2, 3
+), pa{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM pd{i}
+  ) WHERE rn = 1
+), pc{i + 1} AS (
+  SELECT c.m, c.code, c.pos, COALESCE(n.cm, c.cm) AS cm
+  FROM pc{i} c LEFT JOIN (
+    SELECT a.m, a.code, e.pos,
+           CAST(floor(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+    FROM pa{i} a JOIN pex e ON a.vec_id = e.vec_id AND a.m = e.m
+    GROUP BY 1, 2, 3
+  ) n ON c.m = n.m AND c.code = n.code AND c.pos = n.pos
+)"""
+    pc_final = f"pc{train_rounds}"
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma,
+         embedding AS e
+  FROM embeddings
+), q AS (
+  SELECT vec_id,
+         CASE WHEN ma = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / (ma / 127.0) + 0.5) AS BIGINT))
+         END AS qv
+  FROM base
+), cellc AS (
+  SELECT vec_id AS cell, qv AS cqv FROM q WHERE vec_id < {n_cells}
+), celld AS (
+  SELECT b.vec_id, c.cell,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> (b.qv[i] - c.cqv[i]) * (b.qv[i] - c.cqv[i]))) AS BIGINT) AS d2
+  FROM q b CROSS JOIN cellc c
+), ranked_cells AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+  FROM celld
+), assigned AS (
+  SELECT vec_id, cell FROM ranked_cells WHERE rnk = 1
+), subs AS (
+  SELECT vec_id, m, qv[({sub} * m + 1):({sub} * m + {sub})] AS sub
+  FROM q, (SELECT unnest(generate_series(0, {n_sub - 1})) AS m)
+), pex AS (
+  SELECT vec_id, m, unnest(generate_series(1, {sub})) AS pos, unnest(sub) AS e
+  FROM subs
+), pc0 AS (
+  SELECT m, vec_id AS code, pos, e AS cm FROM pex WHERE vec_id < {n_codes}
+){train}, d AS (
+  SELECT s.vec_id, s.m, c.code AS cent_id,
+         CAST(SUM((s.e - c.cm) * (s.e - c.cm)) AS BIGINT) AS dist
+  FROM pex s JOIN {pc_final} c ON s.m = c.m AND s.pos = c.pos
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, m, cent_id AS code FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cent_id) = 1
+), lut AS (
+  SELECT vec_id AS query_id, m, cent_id AS code, dist AS pdist
+  FROM d WHERE vec_id < {query_max_id}
+), adc AS (
+  SELECT rc.vec_id AS query_id, a.vec_id AS neighbor_id, rc.rnk AS cell_rank,
+         CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+  FROM ranked_cells rc
+  JOIN assigned a ON a.cell = rc.cell AND a.vec_id <> rc.vec_id
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = rc.vec_id AND l.m = co.m AND l.code = co.code
+  WHERE rc.vec_id < {query_max_id} AND rc.rnk <= {max(probe_levels)}
+  GROUP BY 1, 2, 3
+), exact_d AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, {dim}),
+              i -> (qq.qv[i] - c.qv[i]) * (qq.qv[i] - c.qv[i]))) AS BIGINT) AS d2
+  FROM q qq JOIN q c ON qq.vec_id <> c.vec_id
+  WHERE qq.vec_id < {query_max_id}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+    FROM exact_d
+  ) WHERE rank <= {k}
+), levels AS (SELECT unnest([{levels}]) AS n_probe),
+shortlist AS (
+  SELECT l.n_probe, a.query_id, a.neighbor_id,
+         row_number() OVER (PARTITION BY l.n_probe, a.query_id
+                            ORDER BY a.adc_dist, a.neighbor_id) AS rank
+  FROM adc a JOIN levels l ON a.cell_rank <= l.n_probe
+  QUALIFY row_number() OVER (PARTITION BY l.n_probe, a.query_id
+                             ORDER BY a.adc_dist, a.neighbor_id) <= {refine_r}
+), hits_adc AS (
+  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS hits_adc
+  FROM shortlist i JOIN exact e
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  WHERE i.rank <= {k}
+  GROUP BY n_probe
+), refined AS (
+  SELECT s.n_probe, s.query_id, s.neighbor_id,
+         row_number() OVER (PARTITION BY s.n_probe, s.query_id
+                            ORDER BY ed.d2, s.neighbor_id) AS rank
+  FROM shortlist s JOIN exact_d ed
+    ON ed.query_id = s.query_id AND ed.neighbor_id = s.neighbor_id
+), hits_refined AS (
+  SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS hits_refined
+  FROM refined r JOIN exact e
+    ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+  WHERE r.rank <= {k}
+  GROUP BY n_probe
+), scanned AS (
+  SELECT l.n_probe, CAST(COUNT(*) AS BIGINT) AS scanned
+  FROM adc a JOIN levels l ON a.cell_rank <= l.n_probe
+  GROUP BY l.n_probe
+), possible AS (SELECT CAST(COUNT(*) AS BIGINT) AS possible FROM exact)
+SELECT CAST(l.n_probe AS BIGINT) AS n_probe,
+       COALESCE(s.scanned, 0) AS scanned,
+       COALESCE(ha.hits_adc, 0) AS hits_adc,
+       COALESCE(hr.hits_refined, 0) AS hits_refined,
+       p.possible,
+       CAST((COALESCE(ha.hits_adc, 0) * 1000) // p.possible AS BIGINT)
+           AS recall_adc_permille,
+       CAST((COALESCE(hr.hits_refined, 0) * 1000) // p.possible AS BIGINT)
+           AS recall_refined_permille
+FROM levels l
+LEFT JOIN scanned s ON l.n_probe = s.n_probe
+LEFT JOIN hits_adc ha ON l.n_probe = ha.n_probe
+LEFT JOIN hits_refined hr ON l.n_probe = hr.n_probe
+CROSS JOIN possible p
+ORDER BY n_probe
+"""
+
+
+@register(
+    "q160_ivfpq_recall_audit",
+    oracle=_ivf_pq_recall_oracle(),
+    doc="IVF-PQ composed end to end — coarse-probe the nearest cells, "
+    "ADC-rank only the probed cells' members (8 subspaces × 32 codes "
+    "= 8 bytes/vector), exact-refine the top-20 shortlist — with "
+    "measured recall@5 (raw-ADC and refined) and scanned-candidate "
+    "count per n_probe (1/2/4) against an exact full-scan integer-L2 "
+    "baseline on the same int8 grid. The production ANN deployment "
+    "shape (q34 coarse + q92 codes + q126 ADC + FAISS-style refine "
+    "under one q124-style audit): the recall-vs-cost curve that tunes "
+    "n_probe at 100 TB, engine-exact end to end.",
+)
+def q160_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_pq_recall_audit(load(spark, sf_dir, "embeddings"))

@@ -240,3 +240,34 @@ def test_pq_adc_exact_when_every_vector_is_a_centroid(spark):
     )
     got = [(r.adc_dist, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)]
     assert got == [(int(d), i) for d, i in want]
+
+
+def test_ivfpq_composed_audit_shape_and_bounds(spark):
+    """q160's composed IVF-PQ path: structural invariants (permille
+    arithmetic, bounds, scanned monotone in n_probe — a probe-p
+    candidate set is a subset of probe-p') plus a regression PIN of
+    refined-recall monotonicity on the deterministic sf0.001 fixture.
+    (Monotonicity is not a theorem — a deeper probe can displace
+    shortlist members via better ADC but worse exact rank — so the
+    last assert is a data pin, not an invariant claim.)"""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.similarity import (
+        ivf_pq_recall_audit,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_pq_recall_audit(
+        emb, probe_levels=(1, 2, 4), query_max_id=20
+    ).collect()
+    assert [r.n_probe for r in rows] == [1, 2, 4]
+    possible = rows[0].possible
+    assert possible == 20 * 5
+    for r in rows:
+        assert 0 <= r.hits_adc <= possible
+        assert 0 <= r.hits_refined <= possible
+        assert r.recall_adc_permille == r.hits_adc * 1000 // possible
+        assert r.recall_refined_permille == r.hits_refined * 1000 // possible
+    assert [r.scanned for r in rows] == sorted(r.scanned for r in rows)
+    assert (
+        rows[0].hits_refined <= rows[1].hits_refined <= rows[2].hits_refined
+    )
