@@ -73,6 +73,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.merge import apply_deletes, change_feed
 from ..registry import register
 from ..workdirs import replay_workdir
 from . import geography as geo
@@ -617,7 +618,20 @@ _MENU_DIGEST_SQL = (
 )
 
 
-def _digest_rows_sql(e: str, entity: str, key: str | list[str], digest: str) -> str:
+def _digest_rows_sql(
+    e: str,
+    entity: str,
+    key: str | list[str],
+    digest: str,
+    dim_table: str | None = None,
+    clean_table: str | None = None,
+) -> str:
+    """``dim_table``/``clean_table`` override the merge chain's default
+    final CTEs (``{e}_dim2``/``{e}_cleanF``) — used by replays that
+    append further legs after the two-day merge (q147's day-3 DELETE
+    close-out digests ``da_dim3``/``da_cleanP``)."""
+    dim_table = dim_table or f"{e}_dim2"
+    clean_table = clean_table or f"{e}_cleanF"
     eff_s = f"CAST(date_diff('day', DATE '{_BASE_DATE}', CAST(eff_start_date AS DATE)) AS BIGINT)"
     eff_e = (
         f"CAST(COALESCE(date_diff('day', DATE '{_BASE_DATE}', "
@@ -629,20 +643,20 @@ def _digest_rows_sql(e: str, entity: str, key: str | list[str], digest: str) -> 
        {key} AS key_str,
        {eff_s} AS eff_start_day, {eff_e} AS eff_end_day,
        is_current, {digest} AS digest
-  FROM {e}_dim2
+  FROM {dim_table}
 UNION ALL
 SELECT '{entity}', 'clean', {key},
        CAST({_NO_DATE} AS BIGINT), CAST({_NO_DATE} AS BIGINT), TRUE, {digest}
-  FROM {e}_cleanF"""
+  FROM {clean_table}"""
     return f"""SELECT '{entity}' AS entity, 'dim' AS layer,
        CAST({key} AS VARCHAR) AS key_str,
        {eff_s} AS eff_start_day, {eff_e} AS eff_end_day,
        is_current, {digest} AS digest
-  FROM {e}_dim2
+  FROM {dim_table}
 UNION ALL
 SELECT '{entity}', 'clean', CAST({key} AS VARCHAR),
        CAST({_NO_DATE} AS BIGINT), CAST({_NO_DATE} AS BIGINT), TRUE, {digest}
-  FROM {e}_cleanF"""
+  FROM {clean_table}"""
 
 
 _LOC_COLS = [
@@ -956,14 +970,36 @@ _DA_DIGEST_SQL = (
     "CAST(epoch_us(modified_ts) AS VARCHAR)))"
 )
 
+#: day-3 prune: the upstream (GDPR-style) hard delete of these key
+#: classes from the CLEAN table; the standard stream then emits pure
+#: DELETE actions the SCD2 dim must close out (`02 Location
+#: Entity.sql:274-283`). k%10==2 closes a day-2 SECOND version,
+#: k%10==5 closes an untouched day-1 first version — both close-out
+#: shapes under the hash.
+_DA_PRUNE_CLASSES = (2, 5)
+_TS_PRUNE = "2024-06-03 12:00:00"
+_PRUNE_IN = ", ".join(str(c) for c in _DA_PRUNE_CLASSES)
+
 _DA_REPLAY_ORACLE = f"""WITH {_KS_SQL},
 da_src1 AS ({_da_src_sql(1)}),
 da_src2 AS ({_da_src_sql(2)}),
 da_clean1 AS ({_da_clean_sql('da_src1')}),
 da_clean2 AS ({_da_clean_sql('da_src2')}),
-{_merge_replay_sql('da', 'delivery_agent_id', _DA_COLS)}
+{_merge_replay_sql('da', 'delivery_agent_id', _DA_COLS)},
+da_cleanP AS (
+  SELECT * FROM da_cleanF WHERE delivery_agent_id % 10 NOT IN ({_PRUNE_IN})
+),
+da_dim3 AS (
+  SELECT {', '.join(_DA_COLS)}, eff_start_date,
+         CASE WHEN is_current AND delivery_agent_id % 10 IN ({_PRUNE_IN})
+              THEN TIMESTAMP '{_TS_PRUNE}' ELSE eff_end_date END AS eff_end_date,
+         CASE WHEN is_current AND delivery_agent_id % 10 IN ({_PRUNE_IN})
+              THEN FALSE ELSE is_current END AS is_current
+  FROM da_dim2
+)
 SELECT * FROM (
-{_digest_rows_sql('da', 'delivery_agent', 'delivery_agent_id', _DA_DIGEST_SQL)}
+{_digest_rows_sql('da', 'delivery_agent', 'delivery_agent_id', _DA_DIGEST_SQL,
+                  dim_table='da_dim3', clean_table='da_cleanP')}
 ) ORDER BY entity, layer, key_str, eff_start_day"""
 
 
@@ -982,7 +1018,14 @@ SELECT * FROM (
     "digest rows and hash-checked against a DuckDB oracle replaying "
     "the dedup (DISTINCT) and both merges as CTEs. In-query "
     "assertions pin that the duplicates physically reached the stage "
-    "layer and that a day-2 rerun is a ledger no-op. Reference: "
+    "layer and that a day-2 rerun is a ledger no-op. A day-3 PRUNE "
+    "leg (round-12) hard-deletes the k%10 IN (2,5) classes from "
+    "clean; the snapshot-diff change feed (C2) emits pure DELETE "
+    "actions and apply_deletes closes those dim versions (eff_end "
+    "stamped, is_current=false, history kept) — the reference's SCD2 "
+    "DELETE branch (`02 Location Entity.sql:274-283`) under the "
+    "driver hash, covering both close-a-second-version (k%10=2) and "
+    "close-an-untouched-first-version (k%10=5) shapes. Reference: "
     "`with procedures/delivery_agent_proc.sql:98-154`.",
 )
 def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +1082,31 @@ def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duplicates) — the duplicate rows never reached the stage, "
             "so the dedup guard was not exercised"
         )
+
+    # --- day-3 prune leg (round-12 verdict item 3): an upstream hard
+    # delete removes the prune classes from CLEAN; the standard stream
+    # (snapshot-diff change feed, C2) emits pure DELETE actions —
+    # `METADATA$ACTION='DELETE'`, isupdate=false — and the SCD2 dim
+    # must CLOSE those versions (eff_end stamped, is_current=false,
+    # history preserved), the reference's branch (a)
+    # (`02 Location Entity.sql:274-283`). This puts apply_deletes —
+    # the last merge branch outside the driver hash — under the oracle.
+    key = ["delivery_agent_id"]
+    prune = (F.col("delivery_agent_id") % 10).isin(*_DA_PRUNE_CLASSES)
+    clean_tbl = wh.clean("delivery_agent")
+    clean_tbl.write(clean_tbl.read(spark).filter(~prune))
+    feed = change_feed(
+        clean_tbl.read_previous(spark), clean_tbl.read(spark), key
+    )
+    deleted = feed.filter(
+        (F.col("action") == "DELETE") & (~F.col("metadata_isupdate"))
+    ).select(*key)
+    dim_tbl = wh.dim("delivery_agent")
+    dim_tbl.write(
+        apply_deletes(
+            dim_tbl.read(spark), deleted, key, F.lit(_TS_PRUNE).cast("timestamp")
+        )
+    )
 
     out = (
         _digest_rows(wh.dim("delivery_agent").read(spark), "delivery_agent",

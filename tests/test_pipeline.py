@@ -399,12 +399,16 @@ def test_q145_replay_version_structure(spark):
 
 
 def test_q147_json_replay_structure_and_dedup(spark):
-    """q147 (round-10): the JSON-sourced entity replay's SCD2 shape per
-    key class (same classes as q145, including the modified_ts-only
-    one), plus the C6 contract: in-file duplicate rows (every k%4==0
-    row appears twice in the drop) collapse to exactly one clean row
-    per key. The DuckDB oracle hash-checks every value; this pins the
-    intended shape in one readable place."""
+    """q147 (round-10, extended round-12): the JSON-sourced entity
+    replay's SCD2 shape per key class (same classes as q145, including
+    the modified_ts-only one), the C6 contract (in-file duplicate rows
+    — every k%4==0 row appears twice in the drop — collapse to exactly
+    one clean row per key), and the day-3 DELETE close-out: prune
+    classes k%10 in (2,5) are hard-deleted from clean and their dim
+    versions CLOSE (eff_end stamped at day 2, is_current=false, history
+    kept) — the reference's SCD2 DELETE branch
+    (`02 Location Entity.sql:274-283`). The DuckDB oracle hash-checks
+    every value; this pins the intended shape in one readable place."""
     from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
         all_queries,
     )
@@ -421,7 +425,18 @@ def test_q147_json_replay_structure_and_dedup(spark):
     assert dim, "no delivery_agent dim rows"
     for k, versions in dim.items():
         versions.sort(key=lambda r: r.eff_start_day)
-        if k % 10 in (0, 1, 2, 4):  # changed or modified_ts-only
+        if k % 10 == 2:  # changed on day 2, then pruned on day 3:
+            # the SECOND version closes (delete-after-update shape)
+            assert len(versions) == 2, (k, versions)
+            v1, v2 = versions
+            assert (v1.eff_start_day, v1.eff_end_day, v1.is_current) == (-31, 1, False)
+            assert (v2.eff_start_day, v2.eff_end_day, v2.is_current) == (1, 2, False)
+        elif k % 10 == 5:  # untouched since day 1, pruned on day 3:
+            # the FIRST (only) version closes
+            assert len(versions) == 1, (k, versions)
+            (v,) = versions
+            assert (v.eff_start_day, v.eff_end_day, v.is_current) == (-31, 2, False)
+        elif k % 10 in (0, 1, 4):  # changed or modified_ts-only
             assert len(versions) == 2, (k, versions)
             v1, v2 = versions
             assert (v1.eff_start_day, v1.eff_end_day, v1.is_current) == (-31, 1, False)
@@ -432,10 +447,11 @@ def test_q147_json_replay_structure_and_dedup(spark):
             assert (v.eff_start_day, v.eff_end_day, v.is_current) == (-31, 9999, True)
     # C6: the duplicated keys (k%4==0, physically twice in the file —
     # asserted against the stage layer in-query) hold exactly one
-    # clean row each
+    # clean row each; pruned classes are GONE from clean (hard delete)
     clean = [int(r.key_str) for r in rows if r.layer == "clean"]
     assert len(clean) == len(set(clean))
     assert any(k % 4 == 0 for k in clean)
+    assert not any(k % 10 in (2, 5) for k in clean)
 
 
 def test_q155_order_pair_composite_versioning(spark):
