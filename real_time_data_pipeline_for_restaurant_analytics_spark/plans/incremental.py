@@ -167,3 +167,115 @@ def q50_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_value").cast("decimal(24,6)").cast("string").alias("sum_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "q161_duplicate_key_audit",
+    oracle="""
+WITH clean AS (
+  SELECT c_custkey AS customer_id,
+         CASE WHEN c_custkey % 10 IN (0, 3)
+              THEN 'MOVED-' || c_mktsegment ELSE c_mktsegment END AS segment
+  FROM customer
+),
+corrupt AS (
+  SELECT * FROM clean
+  UNION ALL SELECT * FROM clean WHERE customer_id % 7 = 0
+  UNION ALL SELECT * FROM clean WHERE customer_id % 13 = 0
+  UNION ALL SELECT * FROM clean WHERE customer_id % 13 = 0
+),
+post_merge_audit AS (
+  SELECT customer_id, COUNT(*) AS n_rows, MIN(segment) AS segment
+  FROM clean GROUP BY customer_id HAVING COUNT(*) > 1
+),
+injected_audit AS (
+  SELECT customer_id, COUNT(*) AS n_rows, MIN(segment) AS segment
+  FROM corrupt GROUP BY customer_id HAVING COUNT(*) > 1
+)
+SELECT 'post_merge' AS table_state, * FROM post_merge_audit
+UNION ALL
+SELECT 'injected' AS table_state, * FROM injected_audit
+ORDER BY table_state, customer_id
+""",
+    doc="A4 duplicate-surrogate-key audit (the reference's one "
+    "systematic QA probe, `menu_proc.sql:310`: SELECT menu_id .. "
+    "GROUP BY menu_id HAVING COUNT(*) > 1) registered under the "
+    "driver hash. A clean table is built by the REAL production "
+    "operators — latest_per_key (C6, the in-batch dedup: every "
+    "k%20==0 day-2 row also carries a stale earlier-timestamp copy "
+    "with a 'STALE-' segment that must LOSE) then merge_upsert (C3, "
+    "day-2 re-segments k%10 IN (0,3) to 'MOVED-') — and audited "
+    "twice: post-merge (must be EMPTY under the hash: zero "
+    "'post_merge' rows — if the merge ever fabricated a duplicate "
+    "key, extra rows appear and the hash breaks) and after an "
+    "injected double-apply corruption (k%7 once, k%13 twice → "
+    "n_rows 2/3/4 at the lcm) that exercises the non-empty branch. "
+    "The audited segment value rides along, pinning that the dedup "
+    "winner and the day-2 merge both landed.",
+)
+def q161_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import duplicate_key_audit, latest_per_key, merge_upsert
+
+    t1 = F.lit("2024-06-01 08:00:00").cast("timestamp")
+    t2 = F.lit("2024-06-02 08:00:00").cast("timestamp")
+    key, attrs = ["customer_id"], ["name", "segment"]
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    day1 = base.withColumn("modified_ts", t1)
+    clean1 = merge_upsert(None, day1, key, attrs)
+
+    # Day-2 drop: k%10 IN (0,3) re-segmented; every k%20==0 key ALSO
+    # ships a stale earlier copy the C6 dedup must discard.
+    changed = day1.filter((F.col("customer_id") % 10).isin(0, 3)).select(
+        "customer_id",
+        "name",
+        F.concat(F.lit("MOVED-"), F.col("segment")).alias("segment"),
+        t2.alias("modified_ts"),
+    )
+    stale = changed.filter(F.col("customer_id") % 20 == 0).select(
+        "customer_id",
+        "name",
+        F.concat(F.lit("STALE-"), F.col("segment")).alias("segment"),
+        (t2 - F.expr("INTERVAL 1 HOUR")).alias("modified_ts"),
+    )
+    day2 = changed.unionByName(stale)
+    n_raw, n_keys = day2.count(), day2.select(*key).distinct().count()
+    assert n_raw > n_keys, (
+        f"day-2 batch has no physical in-batch duplicates "
+        f"({n_raw} rows over {n_keys} keys) — the C6 guard was not exercised"
+    )
+    batch = latest_per_key(day2, key, [F.col("modified_ts").desc_nulls_last()])
+    clean2 = merge_upsert(
+        clean1, batch, key, attrs, modified_col="modified_ts", batch_ts=t2
+    ).localCheckpoint()  # one materialization; audits + injection reuse it
+
+    # Injected double-apply corruption: k%7 re-applied once, k%13
+    # twice — n_rows 2 / 3 (and 4 where both divide).
+    corrupt = (
+        clean2.unionByName(clean2.filter(F.col("customer_id") % 7 == 0))
+        .unionByName(clean2.filter(F.col("customer_id") % 13 == 0))
+        .unionByName(clean2.filter(F.col("customer_id") % 13 == 0))
+    )
+
+    def audited(df: DataFrame, state: str) -> DataFrame:
+        seg = df.groupBy(*key).agg(F.min("segment").alias("segment"))
+        return (
+            duplicate_key_audit(df, key)
+            .join(seg, key, "inner")
+            .select(
+                F.lit(state).alias("table_state"),
+                *key,
+                "n_rows",
+                "segment",
+            )
+        )
+
+    return (
+        audited(clean2, "post_merge")
+        .unionByName(audited(corrupt, "injected"))
+        .orderBy("table_state", "customer_id")
+    )

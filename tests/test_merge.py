@@ -203,3 +203,38 @@ def test_snapshot_diff_null_vs_value_is_update(spark):
     new = spark.createDataFrame([(1, 5), (2, 7)], "id long, n long")
     got = {r.id: r.change_type for r in snapshot_diff(old, new, ["id"], ["n"]).collect()}
     assert got == {1: "update", 2: "unchanged"}
+
+
+def test_q161_audit_structure(spark):
+    """q161 (round-12, A4): the registered duplicate-key audit. The
+    merge-built clean table audits EMPTY (zero 'post_merge' rows); the
+    injected double-apply yields exactly the k%7 / k%13 keys with
+    multiplicity 2 / 3 (4 at the lcm); the audited segment proves the
+    C6 dedup winner ('MOVED-', never 'STALE-') and the day-2 merge
+    landed. The DuckDB oracle hash-checks every value; this pins the
+    intended shape in one readable place."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+
+    rows = (
+        all_queries()["q161_duplicate_key_audit"]
+        .build(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert not [r for r in rows if r.table_state == "post_merge"], (
+        "post-merge clean table must audit clean"
+    )
+    inj = {r.customer_id: r for r in rows if r.table_state == "injected"}
+    assert inj, "injected corruption produced no audit rows"
+    for k, r in inj.items():
+        want = 1 + (k % 7 == 0) + 2 * (k % 13 == 0)
+        assert r.n_rows == want, (k, r.n_rows, want)
+        assert want > 1
+        assert not r.segment.startswith("STALE-"), r
+        if k % 10 in (0, 3):
+            assert r.segment.startswith("MOVED-"), r
+        else:
+            assert not r.segment.startswith("MOVED-"), r
+    # every multiplicity class realized
+    assert {r.n_rows for r in inj.values()} == {2, 3, 4}
