@@ -682,5 +682,9 @@ FROM base ORDER BY doc_id
 def q149_flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     from . import flac as _m, multimodal as _mm
-    payloads = _mm.cached_payloads(spark, sf_dir, "flac149", synth_flac_payloads, d, (_m,))
+    # (_m, _mm): synth_flac_payloads encodes multimodal.synth_wav
+    # output, so edits to EITHER module must invalidate the cache
+    payloads = _mm.cached_payloads(
+        spark, sf_dir, "flac149", synth_flac_payloads, d, (_m, _mm)
+    )
     return flac_decode_stats(payloads).orderBy("doc_id")

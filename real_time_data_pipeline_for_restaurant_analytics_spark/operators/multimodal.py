@@ -290,7 +290,11 @@ def cached_payloads(
                 family,
                 os.path.abspath(sf_dir),
                 str(st.st_size),
-                str(int(st.st_mtime)),
+                # nanosecond mtime: an in-place same-size regenerate of
+                # documents.parquet within the same SECOND must still
+                # miss (review r11 — int(st_mtime) silently served
+                # stale payloads in exactly that case)
+                str(st.st_mtime_ns),
                 _modules_md5(mods),
             ]
         ).encode()
@@ -1629,7 +1633,19 @@ def decode_gif(payload: bytes) -> "np.ndarray":
             de[_gif_row_order(h)] = idx
             idx = de
         if transparent_idx is not None:
+            # strict like the pixel-index check above (review r12): a
+            # GCE transparent index beyond the active color table is
+            # representable on the wire but meaningless — previously it
+            # silently yielded an all-opaque RGBA, now it is loud.
+            if transparent_idx >= pal.shape[0]:
+                raise ValueError(
+                    f"GIF transparent index {transparent_idx} outside "
+                    f"the active color table ({pal.shape[0]} entries)"
+                )
             alpha = np.where(idx == transparent_idx, 0, 255).astype(np.uint8)
+            # NOTE caller contract: 3 channels (RGB) without a GCE
+            # transparency, 4 (RGBA) with — decode_image normalizes;
+            # any new caller must handle both arities.
             image = np.dstack([pal[idx], alpha])
         else:
             image = pal[idx]
