@@ -111,7 +111,13 @@ class CommitProtocol:
     LIVENESS side is homogeneous-per-fleet by design: a flock probe
     cannot read a heartbeat lease and vice versa, exactly as a POSIX
     writer fleet and an object-store writer fleet never share one
-    table in deployment.
+    table in deployment. That rule is ENFORCED, not just documented
+    (review r11): every liveness marker carries a protocol-flavor
+    magic prefix, and ``probe_dead`` DEFERS (reports the writer live)
+    on a foreign-protocol marker instead of reclaiming — a
+    misconfigured mixed fleet leaks a staging dir (cleanable, loud in
+    the warning log) rather than sweeping a LIVE writer's staging
+    (silent lost update).
     """
 
     def cas_create(self, path: str, data: bytes) -> None:
@@ -125,6 +131,40 @@ class CommitProtocol:
 
     def probe_dead(self, path: str) -> bool:
         raise NotImplementedError
+
+
+#: protocol-flavor magics at the head of every liveness marker —
+#: what lets a probe recognize (and refuse to reclaim through) a
+#: marker written by a different liveness discipline. An EMPTY or
+#: unrecognized body is NOT foreign: it is this protocol's own
+#: crash window (created-but-not-yet-stamped) or pre-upgrade
+#: garbage, both of which the protocol's normal probe handles.
+_FLOCK_MAGIC = b"flock:v1"
+_LEASE_MAGIC = b"lease:v1"
+
+
+def _liveness_magic(path: str) -> bytes:
+    """First bytes of a liveness marker (b'' when absent/unreadable)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(16)
+    except OSError:
+        return b""
+
+
+def _warn_foreign(path: str, mine: bytes, found: bytes) -> None:
+    import warnings
+
+    warnings.warn(
+        f"liveness marker {path!r} carries foreign protocol magic "
+        f"{found[:8]!r} (this probe speaks {mine[:8]!r}); deferring — "
+        "the owning writer is treated as LIVE and its staging is never "
+        "reclaimed by this process. Mixed-protocol fleets against one "
+        "table are a misconfiguration (set SPARK_GRAFT_COMMIT_PROTOCOL "
+        "uniformly).",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 class _FlockLivenessMixin:
@@ -152,6 +192,11 @@ class _FlockLivenessMixin:
                 os.close(fd)
                 continue  # swept between open and flock — recreate
             if os.fstat(fd).st_ino == st.st_ino:
+                # stamp the protocol flavor AFTER the flock is held and
+                # the inode confirmed — a foreign probe reading this
+                # marker must defer rather than flock-test it
+                os.write(fd, _FLOCK_MAGIC)
+                os.fsync(fd)
                 return fd
             os.close(fd)
 
@@ -167,10 +212,17 @@ class _FlockLivenessMixin:
     def probe_dead(self, path: str) -> bool:
         """True iff no live process holds the liveness flock
         (EWOULDBLOCK → live writer; lock acquired → owner is gone).
-        Probing never blocks."""
+        Probing never blocks. A HEARTBEAT-flavored marker (foreign
+        protocol — nobody flocks those, so the flock test would read a
+        LIVE lease-writer as dead and sweep its staging) defers: the
+        writer is reported live, with a warning."""
         import fcntl
         import os
 
+        magic = _liveness_magic(path)
+        if magic.startswith(_LEASE_MAGIC):
+            _warn_foreign(path, _FLOCK_MAGIC, magic)
+            return False
         try:
             fd = os.open(path, os.O_RDWR)
         except FileNotFoundError:
@@ -180,7 +232,15 @@ class _FlockLivenessMixin:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except BlockingIOError:
                 return False
+            # re-check the flavor UNDER the flock: a lease writer may
+            # have created the marker between the magic read above and
+            # this probe (lease writers never hold the flock, so
+            # winning it proves nothing about them)
+            magic = _liveness_magic(path)
             fcntl.flock(fd, fcntl.LOCK_UN)
+            if magic.startswith(_LEASE_MAGIC):
+                _warn_foreign(path, _FLOCK_MAGIC, magic)
+                return False
             return True
         finally:
             os.close(fd)
@@ -290,7 +350,7 @@ class HeartbeatLeaseProtocol(CommitProtocol):
         import threading
 
         with open(path, "wb") as f:  # the initial heartbeat PUT
-            f.write(b"lease")
+            f.write(_LEASE_MAGIC)
 
         stop = threading.Event()
 
@@ -325,9 +385,17 @@ class HeartbeatLeaseProtocol(CommitProtocol):
             pass
 
     def probe_dead(self, path: str) -> bool:
+        """Lease-age probe; a FLOCK-flavored marker (foreign protocol —
+        flock writers hold a lock, they never refresh mtime, so the age
+        test would read a LIVE flock-writer as dead after the grace
+        period) defers: the writer is reported live, with a warning."""
         import os
         import time
 
+        magic = _liveness_magic(path)
+        if magic.startswith(_FLOCK_MAGIC):
+            _warn_foreign(path, _LEASE_MAGIC, magic)
+            return False
         try:
             st = os.stat(path)
         except FileNotFoundError:

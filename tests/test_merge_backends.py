@@ -1283,3 +1283,51 @@ def test_lease_sweep_reclaims_dead_but_spares_live(spark, tmp_path):
 def test_lease_rejects_degenerate_intervals():
     with pytest.raises(ValueError, match="must exceed"):
         HeartbeatLeaseProtocol(interval_s=1.0, dead_after_s=0.5)
+
+
+def test_cross_protocol_liveness_probes_defer(tmp_path):
+    """Review r12 (ADVICE): liveness is protocol-flavored ON DISK, not
+    just by documentation. A flock probe reading a LIVE lease-writer's
+    heartbeat (nobody holds a flock on it) and a lease probe reading a
+    LIVE flock-writer's marker (mtime never refreshed, so it ages past
+    the grace period) must both DEFER — report the writer live, warn —
+    instead of sweeping a live writer's staging. Same-protocol
+    semantics are unchanged (pinned by the lifecycle tests above)."""
+    import time
+    import warnings
+
+    lease = HeartbeatLeaseProtocol(interval_s=0.05, dead_after_s=0.3)
+    flock = LinkCasProtocol()
+
+    # live lease, probed by flock: the flock test alone would say dead
+    lp = str(tmp_path / "lease-writer.lock")
+    tok = lease.acquire_liveness(lp)
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert not flock.probe_dead(lp), (
+                "flock probe must defer on a heartbeat lease"
+            )
+        assert any("foreign protocol" in str(x.message) for x in w)
+    finally:
+        lease.release_liveness(lp, tok)
+
+    # live flock writer, probed by lease: older than dead_after_s by
+    # wall clock (flock markers never refresh mtime), still deferred
+    fp = str(tmp_path / "flock-writer.lock")
+    fd = flock.acquire_liveness(fp)
+    try:
+        time.sleep(0.4)  # > dead_after_s
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert not lease.probe_dead(fp), (
+                "lease probe must defer on a flock marker"
+            )
+        assert any("foreign protocol" in str(x.message) for x in w)
+        # same-protocol: the flock probe still reads its own live
+        # writer correctly
+        assert not flock.probe_dead(fp)
+    finally:
+        flock.release_liveness(fp, fd)
+    # after release both protocols agree it is gone
+    assert flock.probe_dead(fp) and lease.probe_dead(fp)
