@@ -1532,3 +1532,190 @@ def q130_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q132_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(load(spark, sf_dir, "documents"))
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (round-12) — the Gopher /
+    MassiveText repetition-filter family (Rae et al. 2021, Appendix A:
+    "fraction of characters in the most frequent n-gram" and "fraction
+    of characters in duplicated n-grams"), integer-exact so the DuckDB
+    oracle replays them value-for-value:
+
+    - ``top2_*``: the most frequent word 2-gram (ties break on the
+      gram string), its count, and floor-permille of characters it
+      covers (count × gram length / doc chars);
+    - ``dup3_permille``: floor-permille of characters covered by ALL
+      duplicated word 3-grams (Σ count × gram length over grams with
+      count > 1 — the standard sum-of-occurrences approximation, may
+      exceed 1000 on highly repetitive text by design);
+    - ``adj_rep_permille``: floor-permille of adjacent token pairs
+      that are equal — the "batch batch batch" stutter signal;
+    - ``keep``: the composite Gopher-style gate.
+
+    Scale shape: n-grams are built INSIDE the row with zip_with over
+    array slices (no sequence(1,0) reversal hazard, no explode until
+    counting), then ONE (doc_id, gram)-keyed shuffle per n-gram order
+    with map-side partial counts; the per-doc reduce rides the same
+    key prefix. No pairwise work, no driver collection, no UDF.
+    """
+    from pyspark.sql import Window
+    two = "greatest(size(ws) - 1, 0)"
+    three = "greatest(size(ws) - 2, 0)"
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.split(F.col(text_col), " ").alias("ws"),
+    ).select(
+        id_col,
+        "n_chars",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"zip_with(slice(ws, 1, {two}), slice(ws, 2, {two}), "
+            "(a, b) -> concat(a, ' ', b))"
+        ).alias("g2"),
+        F.expr(
+            f"zip_with(zip_with(slice(ws, 1, {three}), slice(ws, 2, {three}), "
+            "(a, b) -> concat(a, ' ', b)), slice(ws, 3, "
+            f"{three}), (p, c) -> concat(p, ' ', c))"
+        ).alias("g3"),
+        F.expr(
+            f"size(filter(zip_with(slice(ws, 1, {two}), slice(ws, 2, {two}), "
+            "(a, b) -> a = b), x -> x))"
+        )
+        .cast("bigint")
+        .alias("adj_pairs"),
+    )
+    c2 = (
+        base.select(id_col, F.explode("g2").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("gram"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("n").alias("top2_count"),
+            F.col("gram").alias("top2_gram"),
+        )
+    )
+    dup3 = (
+        base.select(id_col, F.explode("g3").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("n") * F.length("gram")).alias("dup3_chars"))
+    )
+    out = (
+        base.drop("g2", "g3")
+        .join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("top2_count", F.lit(0)).cast("bigint").alias("top2_count"),
+            F.coalesce("top2_gram", F.lit("")).alias("top2_gram"),
+            F.floor(
+                F.coalesce(F.col("top2_count") * F.length("top2_gram"), F.lit(0))
+                * 1000
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("top2_permille"),
+            F.floor(
+                F.coalesce(F.col("dup3_chars"), F.lit(0))
+                * 1000
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("dup3_permille"),
+            F.floor(
+                F.col("adj_pairs") * 1000 / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+            ).alias("adj_rep_permille"),
+        )
+        .withColumn(
+            # the top2 leg binds only on an actually-REPEATED gram
+            # (count ≥ 2): on a short doc even a unique 2-gram covers
+            # a large char fraction, and a unique gram isn't repetition
+            "keep",
+            (F.col("dup3_permille") < 600)
+            & ((F.col("top2_count") < 2) | (F.col("top2_permille") < 80))
+            & (F.col("adj_rep_permille") < 100),
+        )
+    )
+    return out
+
+
+_REP_ORACLE = """
+WITH words AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                i -> ws[i] || ' ' || ws[i+1])) AS gram
+  FROM words
+),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS n FROM g2 GROUP BY doc_id, gram),
+top2 AS (
+  SELECT doc_id, n AS top2_count, gram AS top2_gram
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn
+        FROM c2)
+  WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+  FROM words
+),
+c3 AS (SELECT doc_id, gram, COUNT(*) AS n FROM g3 GROUP BY doc_id, gram),
+dup3 AS (
+  SELECT doc_id, SUM(n * length(gram)) AS dup3_chars
+  FROM c3 WHERE n > 1 GROUP BY doc_id
+),
+adj AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, greatest(len(ws)-1, 0)),
+             i -> ws[i] = ws[i+1])) AS adj_pairs,
+         greatest(len(ws) - 1, 1) AS denom,
+         len(ws) AS n_tokens
+  FROM words
+)
+SELECT w.doc_id,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(t.top2_count, 0) AS BIGINT) AS top2_count,
+       COALESCE(t.top2_gram, '') AS top2_gram,
+       CAST(FLOOR(COALESCE(t.top2_count * length(t.top2_gram), 0) * 1000
+                  / greatest(w.n_chars, 1)) AS BIGINT) AS top2_permille,
+       CAST(FLOOR(COALESCE(d.dup3_chars, 0) * 1000
+                  / greatest(w.n_chars, 1)) AS BIGINT) AS dup3_permille,
+       CAST(FLOOR(a.adj_pairs * 1000 / a.denom) AS BIGINT) AS adj_rep_permille,
+       (CAST(FLOOR(COALESCE(d.dup3_chars, 0) * 1000
+                   / greatest(w.n_chars, 1)) AS BIGINT) < 600
+        AND (COALESCE(t.top2_count, 0) < 2
+             OR CAST(FLOOR(COALESCE(t.top2_count * length(t.top2_gram), 0) * 1000
+                           / greatest(w.n_chars, 1)) AS BIGINT) < 80)
+        AND CAST(FLOOR(a.adj_pairs * 1000 / a.denom) AS BIGINT) < 100) AS keep
+FROM words w
+JOIN adj a ON w.doc_id = a.doc_id
+LEFT JOIN top2 t ON w.doc_id = t.doc_id
+LEFT JOIN dup3 d ON w.doc_id = d.doc_id
+ORDER BY w.doc_id
+"""
+
+
+@register(
+    "q162_repetition_filter",
+    oracle=_REP_ORACLE,
+    doc="Intra-document repetition quality gate (round-12) — the "
+    "Gopher/MassiveText repetition-filter family as integer-exact "
+    "per-doc signals: most-frequent-2-gram character coverage, "
+    "duplicated-3-gram character coverage (sum-of-occurrences), "
+    "adjacent-token stutter rate, and the composite keep flag. "
+    "N-grams are built inside the row (zip_with over array slices, "
+    "no explode before counting); one (doc, gram)-keyed shuffle per "
+    "n-gram order with map-side partial counts — linear at any "
+    "corpus size, no UDFs.",
+)
+def q162_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(load(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -209,3 +209,43 @@ def test_q76_exact_percentile_matches_numpy(spark):
     ).collect()[0]["qs"]
     want = np.percentile(np.array(vals, dtype=np.float64), [25, 50, 90]).tolist()
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_repetition_signals_hand_computed(spark):
+    """q162 (round-12): Gopher-style repetition signals on hand-built
+    docs — a stutter doc, a clean doc, and a single-token doc (no
+    2-grams at all; the left joins must default, not drop)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # top 2-gram 'a b' ×3 of 5
+            (2, "x y z w"),              # all grams unique
+            (3, "only"),                 # 1 token: no grams, no pairs
+            (4, "go go go stop"),        # adjacent stutter ×2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+
+    r1 = got[1]  # n_chars=11; 'a b' len 3, count 3 → 9/11 chars
+    assert (r1.top2_gram, r1.top2_count) == ("a b", 3)
+    assert r1.top2_permille == 3 * 3 * 1000 // 11
+    # duplicated 3-grams: 'a b a' ×2 + 'b a b' ×2 → 4*5=20 chars / 11
+    assert r1.dup3_permille == 20 * 1000 // 11
+    assert not r1.keep
+
+    r2 = got[2]
+    assert r2.top2_count == 1 and r2.dup3_permille == 0
+    assert r2.adj_rep_permille == 0 and r2.keep
+
+    r3 = got[3]
+    assert (r3.n_tokens, r3.top2_count, r3.top2_gram) == (1, 0, "")
+    assert (r3.top2_permille, r3.dup3_permille, r3.adj_rep_permille) == (0, 0, 0)
+    assert r3.keep
+
+    r4 = got[4]  # pairs: (go,go)(go,go)(go,stop) → 2/3
+    assert r4.adj_rep_permille == 2000 // 3
+    assert not r4.keep

@@ -86,6 +86,22 @@ AUDIT = [
      "degrades to a shuffle join once the vocabulary outgrows the "
      "threshold, since it scales with the corpus — → one doc-keyed "
      "reassembly aggregate. Never a pairwise operator at any size."),
+    ("q160_ivfpq_recall_audit", "Composed IVF-PQ serving path: the "
+     "trained codebook (k×dim, collected once — bounded) rides in as "
+     "broadcasts; candidate generation is a probed-cell equi-join "
+     "(never all-pairs), ADC distances are in-plan array math "
+     "(aggregate/zip_with, no UDF), and the brute-force side exists "
+     "only as the recall-audit measuring stick on the bounded query "
+     "set."),
+    ("q161_duplicate_key_audit", "Post-merge QA audit: the clean "
+     "build is the production full-outer merge on the business key "
+     "(one shuffle), the audit itself a partial-agg HAVING count>1 — "
+     "dimension-shaped input, no second scan of the raw batch."),
+    ("q162_repetition_filter", "Intra-doc repetition signals: "
+     "n-grams built INSIDE the row (zip_with over slices — no "
+     "explode before counting), one (doc,gram)-keyed exchange per "
+     "n-gram order with partial counts; whole-stage codegen "
+     "end-to-end, no Python."),
 ]
 
 
