@@ -1719,3 +1719,122 @@ ORDER BY w.doc_id
 )
 def q162_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def canonicalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode text canonicalization (round-12) — the standard
+    normalization pass in front of tokenizer training / dedup in a
+    training-data pipeline: strip C0/DEL control characters, Unicode
+    NFC composition, whitespace collapse + trim.
+
+    Stage placement is deliberate: the control strip and whitespace
+    collapse are JVM regexes (whole-stage codegen), and ONLY the NFC
+    step — which Spark has no built-in for — runs in Python, as an
+    Arrow-batched ``mapInPandas`` over ``unicodedata.normalize``
+    (never a row-at-a-time UDF). NFC cannot create control characters
+    or spaces from non-spaces, so stripping before and collapsing
+    after is order-safe. Returns (id, n_chars_raw, n_chars_canon,
+    changed, canon_md5) — the canonical text itself stays inside the
+    plan (callers chain on it; the driver digest doesn't ship it).
+
+    Scale shape: one scan, no shuffle at all until the caller's sink
+    or sort; the Arrow stage is a map — partitioning, pushdown, and
+    column pruning pass straight through.
+    """
+    import pandas as pd  # noqa: F401 — typing aid for the closure
+
+    stripped = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars_raw"),
+        F.regexp_replace(
+            F.col(text_col), "[\\x00-\\x1f\\x7f]", " "
+        ).alias("txt"),
+    )
+
+    def nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf["txt"] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf["txt"]
+            ]
+            yield pdf
+
+    composed = stripped.mapInPandas(nfc, stripped.schema)
+    canon = F.trim(F.regexp_replace(F.col("txt"), " {2,}", " "))
+    return composed.select(
+        id_col,
+        "n_chars_raw",
+        F.length(canon).cast("bigint").alias("n_chars_canon"),
+        (canon != F.col("txt")).alias("collapsed"),
+        F.md5(canon.cast("binary")).alias("canon_md5"),
+    )
+
+
+#: deterministic unicode decorations injected per doc_id class — the
+#: testdata corpus is pure ASCII, so the fixture manufactures the
+#: cases NFC/strip/collapse exist for: a combining acute that must
+#: COMPOSE (class 0), a BEL control that must strip then collapse
+#: (class 1), double-space + trailing space (class 2), untouched
+#: ASCII (class 3). Same CASE on both engines.
+_CANON_DECORATE_SPARK = {
+    # DECOMPOSED on purpose: 'e' + U+0301 combining acute - the NFC
+    # stage must COMPOSE it (a precomposed \u00e9 would make NFC a
+    # no-op and silently stop testing it)
+    0: lambda c: F.concat(c, F.lit(" cafe"), F.lit("e\u0301")),
+    1: lambda c: F.concat(c, F.lit("\x07bell")),
+    2: lambda c: F.concat(c, F.lit("  double end ")),
+}
+
+_CANON_DECORATE_SQL = """CASE doc_id % 4
+  WHEN 0 THEN text || ' cafe' || chr(101) || chr(769)
+  WHEN 1 THEN text || chr(7) || 'bell'
+  WHEN 2 THEN text || '  double end '
+  ELSE text END"""
+
+_CANON_ORACLE = f"""
+WITH decorated AS (
+  SELECT doc_id, {_CANON_DECORATE_SQL} AS raw FROM documents
+),
+canon AS (
+  SELECT doc_id, length(raw) AS n_chars_raw,
+         nfc_normalize(regexp_replace(raw, '[\\x00-\\x1f\\x7f]', ' ', 'g')) AS txt
+  FROM decorated
+),
+fin AS (
+  SELECT doc_id, n_chars_raw, txt,
+         trim(regexp_replace(txt, ' {{2,}}', ' ', 'g')) AS c
+  FROM canon
+)
+SELECT doc_id, n_chars_raw,
+       length(c) AS n_chars_canon,
+       (c != txt) AS collapsed,
+       md5(c) AS canon_md5
+FROM fin ORDER BY doc_id
+"""
+
+
+@register(
+    "q163_unicode_canonicalize",
+    oracle=_CANON_ORACLE,
+    doc="Unicode canonicalization pass (round-12): control strip + NFC "
+    "composition + whitespace collapse over a deterministically "
+    "unicode-decorated corpus (combining acute that must compose, BEL "
+    "that must strip, doubled/trailing spaces that must collapse). "
+    "The ONLY Python is the NFC step Spark lacks, as an Arrow-batched "
+    "mapInPandas map — control strip and collapse are JVM regex "
+    "codegen. Oracle: DuckDB nfc_normalize replaying the same chain; "
+    "the canon md5 pins every composed byte.",
+)
+def q163_unicode_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 4
+    raw = F.col("text")
+    for k, fn in _CANON_DECORATE_SPARK.items():
+        raw = F.when(cls == k, fn(F.col("text"))).otherwise(raw)
+    return canonicalize_text(
+        d.select("doc_id", raw.alias("text"))
+    ).orderBy("doc_id")

@@ -249,3 +249,37 @@ def test_repetition_signals_hand_computed(spark):
     r4 = got[4]  # pairs: (go,go)(go,go)(go,stop) → 2/3
     assert r4.adj_rep_permille == 2000 // 3
     assert not r4.keep
+
+
+def test_canonicalize_text_hand_computed(spark):
+    """q163 (round-12): NFC composes the decomposed sequence (length
+    shrinks, md5 equals the precomposed form's), controls strip then
+    collapse, pure-ASCII rows pass through byte-identical."""
+    import hashlib
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.text import (
+        canonicalize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafe\u0301 au lait"),  # explicit decomposed      # decomposed é → composes
+            (2, "a\x07b  c\x1f "),           # controls + collapse + trim
+            (3, "plain ascii"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in canonicalize_text(docs).collect()}
+
+    r1 = got[1]
+    assert (r1.n_chars_raw, r1.n_chars_canon) == (13, 12)
+    assert r1.canon_md5 == hashlib.md5("caf\u00e9 au lait".encode()).hexdigest()
+
+    r2 = got[2]  # 'a b  c  ' → 'a b c'
+    assert (r2.n_chars_raw, r2.n_chars_canon, r2.collapsed) == (8, 5, True)
+    assert r2.canon_md5 == hashlib.md5(b"a b c").hexdigest()
+
+    r3 = got[3]
+    assert not r3.collapsed
+    assert r3.n_chars_raw == r3.n_chars_canon == 11
+    assert r3.canon_md5 == hashlib.md5(b"plain ascii").hexdigest()
