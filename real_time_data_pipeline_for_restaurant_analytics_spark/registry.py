@@ -201,7 +201,7 @@ def all_queries() -> dict[str, Query]:
     )
     from .pipeline import replay  # noqa: F401
     from .sources import corpus  # noqa: F401
-    from .streaming import scrub  # noqa: F401
+    from .streaming import scrub, windows  # noqa: F401
 
     global _ORDER_CACHE
     if _ORDER_CACHE is None or set(_ORDER_CACHE) != set(_REGISTRY):

@@ -15,8 +15,10 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import register
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -291,3 +293,188 @@ def join_streams_within(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner")
+
+
+# ---------------------------------------------------------------------------
+# q164: Spark's STATEFUL windowed aggregation — watermark state
+# eviction, append-mode finalization, and late-data DROP — registered
+# and fully value-hash oracled (round-12). q144 put foreachBatch
+# custom-merge streaming under the hash; this puts the engine's own
+# StateStore path there: three deterministic drops drain as ordered
+# micro-batches, and the parquet sink ends up holding EXACTLY the
+# day-1/2/3 windows, each with a distinct provenance: day-1 WITHOUT
+# the stragglers replayed in drop 2 (their window end is behind the
+# batch-1 watermark → dropped by the engine, not by our code), day-2
+# WITH its stragglers double-counted (window still open → accepted),
+# day-3 finalized only by the trailing NO-DATA micro-batch
+# (noDataMicroBatches — default-on, pinned explicitly in the query —
+# lets eviction run after the day-4 flush advances the watermark past
+# Jan 4), and day-4 NEVER (the flush is capped at noon, so the final
+# watermark ~10:00 never reaches the day-4 window end — robust to any
+# number of trailing batches).
+# ---------------------------------------------------------------------------
+
+#: epoch seconds, UTC midnight Jan N 2024 (session tz pinned UTC)
+_JAN = {n: 1704067200 + (n - 1) * 86400 for n in (1, 2, 3, 4)}
+
+
+_WM_ORACLE = f"""
+WITH base AS (
+  SELECT ts, user_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+d1 AS (SELECT * FROM base WHERE epoch(ts) >= {_JAN[1]} AND epoch(ts) < {_JAN[2]}),
+d2 AS (SELECT * FROM base WHERE epoch(ts) >= {_JAN[2]} AND epoch(ts) < {_JAN[3]}),
+d3 AS (SELECT * FROM base WHERE epoch(ts) >= {_JAN[3]} AND epoch(ts) < {_JAN[4]}),
+win3 AS (
+  SELECT * FROM d3
+  UNION ALL
+  SELECT * FROM d3 WHERE user_id % 5 = 0
+)
+SELECT CAST({_JAN[1]} AS BIGINT) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS value_cents
+FROM d1 GROUP BY event_type
+UNION ALL
+SELECT CAST({_JAN[2]} AS BIGINT), event_type,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+FROM d2 GROUP BY event_type
+UNION ALL
+SELECT CAST({_JAN[3]} AS BIGINT), event_type,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+FROM win3 GROUP BY event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register(
+    "q164_watermark_window_replay",
+    oracle=_WM_ORACLE,
+    doc="Watermarked streaming windowed aggregation REPLAYED end to "
+    "end under the driver hash (round-12): three deterministic drops "
+    "(days 1-2; day 3 + late day-1 rows + late day-2 rows; day-4 "
+    "morning flush) drain as ordered availableNow micro-batches "
+    "through withWatermark('2 hours') + 1-day tumbling window + "
+    "append-mode parquet sink. The hash pins the ENGINE's stateful "
+    "semantics: late day-1 rows are dropped by watermark eviction "
+    "(day-1 counts equal drop-0 counts alone), late day-2 rows are "
+    "accepted into the still-open window (double-counted exactly "
+    "once), and the day-3/day-4 windows are never finalized. "
+    "In-query asserts prove both straggler classes were physically "
+    "present in drop 2. Batch twin: q94; custom-merge streaming "
+    "twin: q144.",
+)
+def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load
+    from ..workdirs import replay_workdir
+
+    work = replay_workdir("wm_replay")
+    landing = os.path.join(work, "drops")
+    os.makedirs(landing)
+
+    us = {n: _JAN[n] * 1_000_000 for n in _JAN}
+    e = load(spark, sf_dir, "events").select(
+        # NTZ → TZ is identity under the pinned-UTC session
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    t = F.col("ts_us")
+    day = lambda n: (t >= us[n]) & (t < us[n + 1])  # noqa: E731
+    # BOTH straggler classes ride in the LAST batch, two batches after
+    # drop 0 — measured on this engine build, the late-input filter's
+    # watermark lags the eviction watermark by one batch (a straggler
+    # sharing a batch with the data that first advances the watermark
+    # past its window still merges), so batch 2 is the first batch
+    # where the day-1 drop is guaranteed under EITHER convention; the
+    # day-3 acceptance is convention-independent (its window end stays
+    # ahead of every watermark this stream ever reaches).
+    late1 = e.filter(day(1) & (F.col("user_id") % 7 == 0))  # must DROP
+    late3 = e.filter(day(3) & (F.col("user_id") % 5 == 0))  # must ACCEPT
+    flush = e.filter((t >= us[4]) & (t < us[4] + 12 * 3600 * 1_000_000))
+    drops = (
+        e.filter(day(1) | day(2)),
+        e.filter(day(3)),
+        # flush capped at NOON so the final watermark (~10:00) stays
+        # behind the day-4 window end no matter how many trailing
+        # no-data batches run
+        flush.unionByName(late1).unionByName(late3),
+    )
+    n_late1, n_late3, n_flush = late1.count(), late3.count(), flush.count()
+    assert n_late1 > 0 and n_late3 > 0, (
+        f"straggler classes empty (late1={n_late1}, late3={n_late3}) — "
+        "the watermark drop/accept paths were not exercised"
+    )
+    assert n_flush > 0, "empty flush drop — day-3 window would never finalize"
+
+    for i, frame in enumerate(drops):
+        tmp = os.path.join(work, f"w{i}")
+        frame.coalesce(1).write.mode("overwrite").json(tmp)
+        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+        dst = os.path.join(landing, f"drop{i}.json")
+        os.replace(os.path.join(tmp, src), dst)
+        # file-source batches order by mtime: one file per micro-batch
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = (
+        "ts_us long, user_id long, event_type string, cents long"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+        .select(
+            F.timestamp_micros("ts_us").alias("ts"),
+            "event_type",
+            "cents",
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("value_cents"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp").alias("window_ts"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    out_dir = os.path.join(work, "sink")
+    # day-3's finalization rides on the trailing no-data micro-batch;
+    # pin the (default-on) conf so the oracle's third window doesn't
+    # silently depend on a deployment override
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "q164_watermark_window_replay: availableNow drain did not "
+            "finish within 600 s"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.col("window_ts").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )

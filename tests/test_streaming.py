@@ -590,3 +590,43 @@ def test_sessionize_streaming_late_event_does_not_bridge_super_gap(spark, tmp_pa
         for r in sessionize_batch(df).collect()
     )
     assert batch == got + [("2024-01-01 11:00:00", "2024-01-01 11:00:00", 1)]
+
+
+def test_q164_watermark_replay_structure(spark):
+    """q164 (round-12): the engine's stateful-windowed-agg semantics
+    under the driver hash, restated readably — day-1 equals its batch
+    counts ALONE (the replayed stragglers were dropped by watermark
+    eviction), day-3 equals batch counts PLUS the user%5 stragglers
+    (window still open → accepted, double-counted), day-2 untouched,
+    day-4 (the flush) never finalized in append mode."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.catalog import load
+    from real_time_data_pipeline_for_restaurant_analytics_spark.registry import (
+        all_queries,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["q164_watermark_window_replay"].build(spark, sf).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.window_start, 0)
+        got[r.window_start] += r.n_events
+
+    JAN1 = 1704067200
+    days = sorted(got)
+    assert days == [JAN1, JAN1 + 86400, JAN1 + 2 * 86400], days
+
+    e = load(spark, sf, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "user_id"
+    )
+    def day_count(n, extra=None):
+        lo, hi = (JAN1 + (n - 1) * 86400) * 10**6, (JAN1 + n * 86400) * 10**6
+        d = e.filter((F.col("us") >= lo) & (F.col("us") < hi))
+        base = d.count()
+        return base + (d.filter(extra).count() if extra is not None else 0)
+
+    assert got[JAN1] == day_count(1)  # stragglers DROPPED
+    assert got[JAN1 + 86400] == day_count(2)
+    assert got[JAN1 + 2 * 86400] == day_count(
+        3, F.col("user_id") % 5 == 0
+    )  # stragglers ACCEPTED (double count)

@@ -102,6 +102,11 @@ AUDIT = [
      "explode before counting), one (doc,gram)-keyed exchange per "
      "n-gram order with partial counts; whole-stage codegen "
      "end-to-end, no Python."),
+    ("q163_unicode_canonicalize", "Unicode canonicalization: control "
+     "strip + whitespace collapse stay JVM regex codegen; ONLY the "
+     "NFC step (no Spark built-in) is Python, as one Arrow-batched "
+     "mapInPandas MAP — no exchange anywhere before the presentation "
+     "sort, so pushdown/pruning/partitioning pass straight through."),
 ]
 
 
