@@ -72,7 +72,7 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _make_session_fn(gap_ms: int, ts_col: str):
+def _make_session_fn(gap_ms: int, ts_col: str, idle_timeout: bool = True):
     gap_us = gap_ms * 1000
 
     def _emit(key: tuple, sessions: list) -> pd.DataFrame:
@@ -148,7 +148,8 @@ def _make_session_fn(gap_ms: int, ts_col: str):
                 merged.append((s, e, n))
         *closed, open_sess = merged
         state.update(open_sess)
-        state.setTimeoutDuration(gap_ms)
+        if idle_timeout:
+            state.setTimeoutDuration(gap_ms)
         yield _emit(key, closed)
 
     return _session_fn
@@ -159,6 +160,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_ms: int = 30 * 60 * 1000,
+    idle_timeout: bool = True,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessions via
     applyInPandasWithState (Arrow-batched, per-key state — the
@@ -181,15 +183,23 @@ def sessionize(
             StructField("n_events", LongType()),
         ]
     )
+    # ``idle_timeout=False`` turns off the processing-time timeout
+    # entirely (NoTimeout): the open session is then never flushed by
+    # wall-clock idleness — used by bounded REPLAYS (q165), where
+    # pending timeouts would otherwise keep the micro-batch loop
+    # spinning empty batches for the whole gap duration after the
+    # drain (measured: hundreds of no-data batches).
     return (
         events.withWatermark(ts_col, "2 hours")
         .groupBy(F.col(user_col))
         .applyInPandasWithState(
-            _make_session_fn(gap_ms, ts_col),
+            _make_session_fn(gap_ms, ts_col, idle_timeout),
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -454,15 +464,26 @@ def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the (default-on) conf so the oracle's third window doesn't
     # silently depend on a deployment override
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
+    # state-partition sizing: shuffle.partitions at stream start IS the
+    # StateStore partition count for the query's lifetime. This agg's
+    # keyspace is (4 windows × 5 event types) — 32 state partitions is
+    # pure per-batch task overhead (measured 7.8→4.3 s at sf0.1 going
+    # 32→8). Production sizes this to state keyspace the same way.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
         q.stop()
         raise RuntimeError(
             "q164_watermark_window_replay: availableNow drain did not "
@@ -477,4 +498,160 @@ def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
         .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165: the CUSTOM STATEFUL operator (applyInPandasWithState
+# sessionize) under a full driver value hash (round-12). q164 hashes
+# the engine's built-in windowed-agg state path; this hashes the
+# user-defined state path: three strictly time-ordered drops (days
+# 1-10 / 11-20 / 21-end) drain as ordered micro-batches, sessions
+# spanning a drop boundary MERGE through state, every session closed
+# by event-time evidence is emitted exactly once, and each user's
+# trailing OPEN session is deliberately never emitted (it may still
+# grow — the operator's documented availableNow contract). The oracle
+# is the batch sessionizer (q31's CTE chain) MINUS each user's last
+# session — if state ever dropped, double-emitted, split a
+# boundary-spanning session, or leaked the open one, the hash breaks.
+# ---------------------------------------------------------------------------
+
+_SESS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+), agg AS (
+  SELECT user_id, session_no,
+         MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_no
+), last AS (
+  SELECT user_id, MAX(session_no) AS last_no FROM agg GROUP BY user_id
+)
+SELECT a.user_id,
+       strftime(a.s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(a.s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(a.n_events AS BIGINT) AS n_events
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.session_no <> l.last_no
+ORDER BY a.user_id, session_start
+"""
+
+
+@register(
+    "q165_streaming_sessionize_replay",
+    oracle=_SESS_ORACLE,
+    doc="Custom stateful streaming operator (applyInPandasWithState "
+    "gap-sessionizer) REPLAYED end to end under the driver hash "
+    "(round-12): three strictly time-ordered drops drain as ordered "
+    "availableNow micro-batches; per-user session state carries "
+    "across batches (boundary-spanning sessions must MERGE), "
+    "event-time-closed sessions emit exactly once, and each user's "
+    "trailing open session is deliberately withheld (documented "
+    "availableNow contract — it may still grow). Oracle: the batch "
+    "window-function sessionizer (q31's chain) minus each user's "
+    "last session. In-query asserts prove every drop is non-empty "
+    "and at least one user spans a drop boundary (the state-merge "
+    "path was actually exercised).",
+)
+def q165_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load
+    from ..workdirs import replay_workdir
+
+    work = replay_workdir("sess_replay")
+    landing = os.path.join(work, "drops")
+    os.makedirs(landing)
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+        )
+    )
+    jan1 = 1704067200 * 1_000_000
+    cut1, cut2 = jan1 + 10 * 86400 * 1_000_000, jan1 + 20 * 86400 * 1_000_000
+    t = F.col("ts_us")
+    drops = (
+        e.filter(t < cut1),
+        e.filter((t >= cut1) & (t < cut2)),
+        e.filter(t >= cut2),
+    )
+    counts = [d.count() for d in drops]
+    assert all(c > 0 for c in counts), (
+        f"empty drop in {counts} — the multi-batch state path was not exercised"
+    )
+    spanning = (
+        drops[0]
+        .select("user_id")
+        .intersect(drops[1].select("user_id"))
+        .limit(1)
+        .count()
+    )
+    assert spanning > 0, (
+        "no user appears in consecutive drops — cross-batch state "
+        "merge was not exercised"
+    )
+
+    for i, frame in enumerate(drops):
+        tmp = os.path.join(work, f"w{i}")
+        frame.coalesce(1).write.mode("overwrite").json(tmp)
+        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+        dst = os.path.join(landing, f"drop{i}.json")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("ts_us long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+        .select(F.timestamp_micros("ts_us").alias("ts"), "user_id")
+    )
+    # idle_timeout=False: with processing-time timeouts registered,
+    # the drain never settles (the loop keeps running empty batches to
+    # poll the 30-minute timeouts — measured as hundreds of no-data
+    # batches); the replay withholds open sessions anyway, so the
+    # timeout's only job doesn't apply here.
+    sess = sessionize(stream, gap_ms=30 * 60 * 1000, idle_timeout=False)
+    out_dir = os.path.join(work, "sink")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "q165_streaming_sessionize_replay: availableNow drain did "
+            "not finish within 600 s"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
     )
