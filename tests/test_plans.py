@@ -77,6 +77,12 @@ _QUADRATIC_BY_DESIGN = (
     # 1-row codebook crosses; the IVF coarse quantizer bounds the scan
     # at scale (IVF-PQ composition, documented on the operator)
     "q126_pq_adc_topk",
+    # q160 composes q124 + q126 end to end: the probed-cell ADC serving
+    # path is selectivity-bounded, but the RECALL AUDIT side is the
+    # q24 exact kernel (bounded query set broadcast against the corpus
+    # — the measuring stick, gate-scale only) plus 1-row codebook
+    # crosses, same exemption class as q124/q126.
+    "q160_ivfpq_recall_audit",
 )
 _SCALAR_CROSS_OK = (
     "q48_tfidf_top_terms",
