@@ -560,7 +560,11 @@ def test_sessionize_streaming_late_event_does_not_bridge_super_gap(spark, tmp_pa
         .option("maxFilesPerTrigger", "1")
         .json(landing)
     )
-    out = sessionize(stream, gap_ms=30 * 60 * 1000)
+    # idle_timeout=False: this test asserts EVENT-TIME closing only
+    # (the 11:00 event stays open), and with processing-time timeouts
+    # pending an availableNow drain never terminates — the old form
+    # burned the full awaitTermination budget (120 s) every suite run
+    out = sessionize(stream, gap_ms=30 * 60 * 1000, idle_timeout=False)
     q = (
         out.writeStream.format("memory")
         .queryName("late_sessions")
@@ -568,7 +572,7 @@ def test_sessionize_streaming_late_event_does_not_bridge_super_gap(spark, tmp_pa
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "availableNow drain must terminate"
     got = sorted(
         (str(r.session_start), str(r.session_end), r.n_events)
         for r in spark.sql("SELECT * FROM late_sessions").collect()
