@@ -287,3 +287,54 @@ def test_passage_scrub_incremental_semantics(spark):
     assert out[1] == (2, 1, "fresh words tail")
     assert out[2] == (2, 1, "a b c")
     assert out[3] == (1, 1, "")
+
+
+def test_prefix_filter_equals_bruteforce_and_prunes_hot_token(spark):
+    """q166 (round-12): prefix filtering must return EXACTLY the
+    brute-force Jaccard-≥-t pairs (no false negatives — the pigeonhole
+    property), while a corpus stopword shared by EVERY doc (the hot
+    inverted-index key) never generates candidates by itself: the two
+    docs that share ONLY the stopword are not candidates at all."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_candidates,
+        prefix_filter_jaccard_pairs,
+    )
+
+    # (id, shingle) sets: HOT appears in every doc. Docs 1/2 are true
+    # near-dups (J=3/4 ≥ 0.5); docs 3/4 share ONLY the hot token
+    # (J=1/5 < 0.5) and must be pruned before verification.
+    rows = [
+        (1, ["HOT", "a", "b", "c"]),
+        (2, ["HOT", "a", "b", "d"]),
+        (3, ["HOT", "x1", "x2"]),
+        (4, ["HOT", "y1", "y2"]),
+    ]
+    sh = spark.createDataFrame(
+        [(i, s) for i, toks in rows for s in toks], "doc_id long, shingle string"
+    )
+
+    got = sorted(
+        (r.id1, r.id2, r.inter_ct, r.union_ct, r.jaccard_permille)
+        for r in prefix_filter_jaccard_pairs(sh, "doc_id", 500).collect()
+    )
+    brute = sorted(
+        (r.id1, r.id2, r.inter_ct, r.union_ct, r.jaccard_permille)
+        for r in jaccard_pairs(sh, "doc_id", min_permille=500).collect()
+    )
+    assert got == brute == [(1, 2, 3, 5, 600)]
+
+    cand = {
+        (r.id1, r.id2)
+        for r in prefix_filter_candidates(sh, "doc_id", 500).collect()
+    }
+    assert (1, 2) in cand
+    assert (3, 4) not in cand, (
+        "the hot-token-only pair must be pruned BEFORE verification — "
+        "that pruning is the entire point of the prefix filter"
+    )
+    # the stopword sorts last in the rarest-first order, so prefixes
+    # (length 4-2+1=3 for docs 1/2, 3-2+1=2 for docs 3/4) exclude it
+    assert all(a < b for a, b in cand)

@@ -107,6 +107,12 @@ AUDIT = [
      "NFC step (no Spark built-in) is Python, as one Arrow-batched "
      "mapInPandas MAP — no exchange anywhere before the presentation "
      "sort, so pushdown/pruning/partitioning pass straight through."),
+    ("q166_prefix_filter_jaccard_join", "Exact set-similarity join "
+     "at scale: the candidate join is an EQUI-join on the prefix "
+     "token (hash join, length filter riding as a post-condition — "
+     "never BNLJ/cartesian); the df table and window share the "
+     "(doc)-keyed shuffle; verification joins only the pruned "
+     "candidate set back to the shingle table."),
 ]
 
 
