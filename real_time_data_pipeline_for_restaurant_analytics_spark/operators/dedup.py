@@ -2397,7 +2397,7 @@ def q136_containment_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_filter_candidates(
-    sh: DataFrame, id_col: str, min_permille: int
+    sh: DataFrame, id_col: str, min_permille: int, _token_order: str = "asc"
 ) -> DataFrame:
     """PPJoin-style prefix-filter candidate generation (round-12):
     the EXACT-at-scale path for Jaccard ≥ t set-similarity joins
@@ -2414,7 +2414,19 @@ def prefix_filter_candidates(
       ≥ ceil(t·s) overlapping elements), so joining prefixes only is
       lossless;
     - the length filter ``t·|a| ≤ |b| ≤ |a|/t`` rides in the join
-      condition (integer cross-multiplied — no floats).
+      condition (integer cross-multiplied — no floats);
+    - the POSITIONAL filter (round-13, same WWW'08 paper) rides in
+      the join condition too: a shared token at 1-indexed global-order
+      positions ``pa`` / ``pb`` bounds the overlap by
+      ``min(pa, pb) - 1`` (tokens strictly before it — both sets are
+      sorted by ONE global order, so shared earlier tokens sit before
+      it in BOTH) plus ``min(sa - pa, sb - pb) + 1`` (it and the
+      tails), i.e. ``min(pa, pb) + min(sa - pa, sb - pb)``; Jaccard
+      ≥ t needs overlap ≥ ceil(t·(sa + sb)/(1 + t)), so any candidate
+      row whose bound misses that is pruned with zero recall risk —
+      the bound holds for EVERY shared token of a true pair, so every
+      one of its generated rows survives (integer arithmetic
+      throughout, exact).
 
     Scale shape: the df table is vocabulary-sized; the prefix join's
     per-token fan-out is bounded by how many PREFIXES a token appears
@@ -2422,11 +2434,19 @@ def prefix_filter_candidates(
     almost no prefix — exactly the hot key the raw inverted index
     dies on. One window per doc (the same (id)-keyed shuffle the
     size aggregate needs anyway), one equi-join on the prefix token.
+
+    ``_token_order`` exists for the pruning-audit test ONLY: "desc"
+    deliberately sorts hottest-first, the degenerate order whose
+    prefixes all contain the corpus stopword — used to prove the
+    q166 candidate-count assert actually fires when pruning fails.
+    Results stay EXACT under either order (the prefix property only
+    needs *a* global order); production always uses "asc".
     """
     from pyspark.sql import Window
 
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
+    df_dir = F.asc("df") if _token_order == "asc" else F.desc("df")
+    w = Window.partitionBy(id_col).orderBy(df_dir, F.asc("shingle"))
     sized = (
         sh.join(dfreq, "shingle")
         .withColumn("pos", F.row_number().over(w))
@@ -2435,15 +2455,27 @@ def prefix_filter_candidates(
     prefix = sized.filter(
         F.col("pos")
         <= F.col("sz") - F.ceil(F.col("sz") * min_permille / F.lit(1000)) + 1
-    ).select(id_col, "shingle", "sz")
+    ).select(id_col, "shingle", "sz", "pos")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap ≥ alpha = ceil(t·(sa+sb)/(1+t)) ⟺ Jaccard ≥ t; integer
+    # ceil via (x + d - 1) div d. Products stay far below 2^53, so the
+    # floor-of-double is exact; the positional bound is pure ints.
+    denom = 1000 + min_permille
+    alpha = F.floor(
+        (F.lit(min_permille) * (F.col("a.sz") + F.col("b.sz")) + F.lit(denom - 1))
+        / F.lit(denom)
+    )
+    pos_bound = F.least(F.col("a.pos"), F.col("b.pos")) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.sz") * 1000 >= F.col("a.sz") * min_permille)
-            & (F.col("a.sz") * 1000 >= F.col("b.sz") * min_permille),
+            & (F.col("a.sz") * 1000 >= F.col("b.sz") * min_permille)
+            & (pos_bound >= alpha),
         )
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
@@ -2467,6 +2499,17 @@ def prefix_filter_jaccard_pairs(
     # any caller-side pruning audit — reuses it instead of re-running
     # the window + prefix join
     cand = cand.localCheckpoint()
+    return verify_jaccard_candidates(sh, cand, id_col, min_permille)
+
+
+def verify_jaccard_candidates(
+    sh: DataFrame, cand: DataFrame, id_col: str, min_permille: int
+) -> DataFrame:
+    """Exact Jaccard verification of a (id1, id2) candidate frame:
+    intersect counts via the token equi-join restricted to candidates,
+    sizes joined back, integer permille threshold — the verify stage
+    shared by the prefix-filter path (q166) and any caller that
+    generates candidates its own way."""
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
@@ -2526,22 +2569,35 @@ ORDER BY id1, id2
     "stopword shared by every document sorts LAST in the frequency "
     "order and lands in almost no prefix — the hot inverted-index "
     "key that makes the naive join quadratic simply never joins. "
-    "In-query assert pins that pruning actually engaged (candidate "
-    "count below the all-share-a-token pair count).",
+    "The WWW'08 positional filter rides in the same join condition "
+    "(round-13): min(pa,pb)+min(sa-pa,sb-pb) < ceil(t(sa+sb)/(1+t)) "
+    "prunes a candidate row with zero recall risk. In-query assert "
+    "pins that pruning actually engaged — the CANDIDATE count, not "
+    "the verified output, must sit below the all-pairs bound (a "
+    "degenerate token order makes every pair a candidate and fires "
+    "it; pinned by test).",
 )
 def q166_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = shingles(d, "doc_id", "text").localCheckpoint()
-    out = prefix_filter_jaccard_pairs(sh, "doc_id", 500).localCheckpoint()
-    # pruning audit rides on the MATERIALIZED result (the candidate
-    # set is checkpointed inside prefix_filter_jaccard_pairs, so
-    # nothing here re-runs the prefix machinery): the true-pair count
-    # bounds the candidate count from below; all-pairs bounds it from
-    # above, and a degenerate filter would have hit the latter
+    cand = prefix_filter_candidates(sh, "doc_id", 500).localCheckpoint()
+    # pruning audit on the MATERIALIZED candidate frame (round-13 fix:
+    # counting the verified OUTPUT is vacuous — verification alone
+    # bounds it below all-pairs whether or not the prefix filter
+    # degenerated; the candidate count is what the filter controls)
     n_docs = sh.select("doc_id").distinct().count()
-    n_pairs = out.count()
-    assert n_pairs < n_docs * (n_docs - 1) // 2, (
-        f"prefix filter degenerated to all-pairs ({n_pairs} surviving "
-        f"pairs over {n_docs} docs)"
+    _assert_pruning_engaged(cand.count(), n_docs)
+    return verify_jaccard_candidates(sh, cand, "doc_id", 500).orderBy("id1", "id2")
+
+
+def _assert_pruning_engaged(n_cand: int, n_docs: int) -> None:
+    """q166's pruning audit: a healthy prefix filter leaves candidate
+    pairs collision-bounded; a degenerate global token order (e.g.
+    hottest-first, which puts the corpus stopword in every prefix)
+    drives candidates to the all-pairs bound — refuse to verify a
+    quadratic candidate set."""
+    all_pairs = n_docs * (n_docs - 1) // 2
+    assert n_cand < all_pairs, (
+        f"prefix filter degenerated to all-pairs ({n_cand} candidates "
+        f"over {n_docs} docs = the full {all_pairs}-pair cross)"
     )
-    return out.orderBy("id1", "id2")

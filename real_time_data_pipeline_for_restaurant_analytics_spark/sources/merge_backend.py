@@ -141,6 +141,15 @@ class CommitProtocol:
 #: garbage, both of which the protocol's normal probe handles.
 _FLOCK_MAGIC = b"flock:v1"
 _LEASE_MAGIC = b"lease:v1"
+#: flavor-FAMILY prefixes: pre-":v1" writers stamped the bare protocol
+#: word (b"lease" / b"flock"), which the exact-magic tests miss — and a
+#: flock probe that flock-tests a live legacy lease-writer's marker
+#: reads it as dead and sweeps its staging (the silent-lost-update
+#: hazard the magics exist to close). Probes therefore defer on the
+#: FAMILY prefix: any lease-family marker defers a flock probe and any
+#: flock-family marker defers a lease probe, whatever the version tag.
+_LEASE_FAMILY = b"lease"
+_FLOCK_FAMILY = b"flock"
 
 
 def _liveness_magic(path: str) -> bytes:
@@ -220,7 +229,7 @@ class _FlockLivenessMixin:
         import os
 
         magic = _liveness_magic(path)
-        if magic.startswith(_LEASE_MAGIC):
+        if magic.startswith(_LEASE_FAMILY):
             _warn_foreign(path, _FLOCK_MAGIC, magic)
             return False
         try:
@@ -238,7 +247,7 @@ class _FlockLivenessMixin:
             # winning it proves nothing about them)
             magic = _liveness_magic(path)
             fcntl.flock(fd, fcntl.LOCK_UN)
-            if magic.startswith(_LEASE_MAGIC):
+            if magic.startswith(_LEASE_FAMILY):
                 _warn_foreign(path, _FLOCK_MAGIC, magic)
                 return False
             return True
@@ -393,7 +402,7 @@ class HeartbeatLeaseProtocol(CommitProtocol):
         import time
 
         magic = _liveness_magic(path)
-        if magic.startswith(_FLOCK_MAGIC):
+        if magic.startswith(_FLOCK_FAMILY):
             _warn_foreign(path, _LEASE_MAGIC, magic)
             return False
         try:

@@ -365,17 +365,19 @@ ORDER BY window_start, event_type
     oracle=_WM_ORACLE,
     doc="Watermarked streaming windowed aggregation REPLAYED end to "
     "end under the driver hash (round-12): three deterministic drops "
-    "(days 1-2; day 3 + late day-1 rows + late day-2 rows; day-4 "
-    "morning flush) drain as ordered availableNow micro-batches "
-    "through withWatermark('2 hours') + 1-day tumbling window + "
-    "append-mode parquet sink. The hash pins the ENGINE's stateful "
-    "semantics: late day-1 rows are dropped by watermark eviction "
-    "(day-1 counts equal drop-0 counts alone), late day-2 rows are "
-    "accepted into the still-open window (double-counted exactly "
-    "once), and the day-3/day-4 windows are never finalized. "
-    "In-query asserts prove both straggler classes were physically "
-    "present in drop 2. Batch twin: q94; custom-merge streaming "
-    "twin: q144.",
+    "(days 1-2; day 3; day-4 morning flush + replayed day-1 "
+    "stragglers + replayed day-3 stragglers) drain as ordered "
+    "availableNow micro-batches through withWatermark('2 hours') + "
+    "1-day tumbling window + append-mode parquet sink. The hash pins "
+    "the ENGINE's stateful semantics: replayed day-1 rows (user_id % "
+    "7) are dropped by watermark eviction (day-1 counts equal drop-0 "
+    "counts alone), replayed day-3 rows (user_id % 5) are accepted "
+    "into the still-open day-3 window (double-counted exactly once — "
+    "the oracle's win3 CTE), and the day-4 window is never "
+    "finalized; day-3 finalizes only via the trailing no-data "
+    "micro-batch. In-query asserts prove both straggler classes were "
+    "physically present in the final drop. Batch twin: q94; "
+    "custom-merge streaming twin: q144.",
 )
 def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -462,7 +464,11 @@ def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(work, "sink")
     # day-3's finalization rides on the trailing no-data micro-batch;
     # pin the (default-on) conf so the oracle's third window doesn't
-    # silently depend on a deployment override
+    # silently depend on a deployment override — and restore the
+    # caller's value afterwards, same as shuffle.partitions below
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     # state-partition sizing: shuffle.partitions at stream start IS the
     # StateStore partition count for the query's lifetime. This agg's
@@ -483,6 +489,9 @@ def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         finished = q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     if not finished:
         q.stop()
         raise RuntimeError(

@@ -338,3 +338,80 @@ def test_prefix_filter_equals_bruteforce_and_prunes_hot_token(spark):
     # the stopword sorts last in the rarest-first order, so prefixes
     # (length 4-2+1=3 for docs 1/2, 3-2+1=2 for docs 3/4) exclude it
     assert all(a < b for a, b in cand)
+
+
+def test_positional_filter_prunes_prefix_collision(spark):
+    """Round-13: the WWW'08 positional filter must prune a candidate
+    whose shared prefix token sits too LATE in one set for the overlap
+    to ever reach ceil(t(sa+sb)/(1+t)) — a pair the prefix filter
+    alone would pass to verification — while leaving the exact result
+    set untouched (lossless)."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_candidates,
+        prefix_filter_jaccard_pairs,
+    )
+
+    # dfs by construction: u1/u2 df=1; C df=2 (docs 1+2 only); f1..f4
+    # df=3 (one filler doc each reuses them). Ascending order puts C
+    # at pos 3 of doc 1 (after its two df-1 tokens, inside the
+    # length-3 prefix) and pos 1 of doc 2 — positional bound
+    # min(3,1)+min(4-3,4-1) = 2 < alpha = ceil(0.5*8/1.5) = 3, so the
+    # (1,2) candidate the prefix join generates via C is pruned.
+    rows = [
+        (1, ["u1", "u2", "C", "f1"]),
+        (2, ["C", "f2", "f3", "f4"]),
+        (3, ["f1", "f2", "f3", "z1"]),
+        (4, ["f1", "f2", "f4", "z2"]),
+        (5, ["f3", "f4", "z3", "z4"]),
+    ]
+    sh = spark.createDataFrame(
+        [(i, s) for i, toks in rows for s in toks], "doc_id long, shingle string"
+    )
+    cand = {
+        (r.id1, r.id2)
+        for r in prefix_filter_candidates(sh, "doc_id", 500).collect()
+    }
+    assert (1, 2) not in cand, (
+        "docs 1/2 share prefix token C, so only the positional filter "
+        "can prune them — it did not"
+    )
+    got = sorted(
+        (r.id1, r.id2, r.jaccard_permille)
+        for r in prefix_filter_jaccard_pairs(sh, "doc_id", 500).collect()
+    )
+    brute = sorted(
+        (r.id1, r.id2, r.jaccard_permille)
+        for r in jaccard_pairs(sh, "doc_id", min_permille=500).collect()
+    )
+    assert got == brute, "positional filter lost a true pair"
+
+
+def test_pruning_audit_fires_on_degenerate_token_order(spark):
+    """Round-13 (verdict item 3): the q166 pruning audit must FIRE
+    when the prefix filter degenerates. Hottest-first token order puts
+    the corpus stopword at the head of every prefix, so every pair
+    becomes a candidate — the exact failure the (fixed) candidate-count
+    assert exists to catch; the healthy rarest-first order on the same
+    corpus yields zero candidates and passes."""
+    import pytest
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        _assert_pruning_engaged,
+        prefix_filter_candidates,
+    )
+
+    rows = [(i, ["HOT", f"a{i}", f"b{i}"]) for i in range(1, 5)]
+    sh = spark.createDataFrame(
+        [(i, s) for i, toks in rows for s in toks], "doc_id long, shingle string"
+    )
+    healthy = prefix_filter_candidates(sh, "doc_id", 500).count()
+    _assert_pruning_engaged(healthy, 4)  # passes: stopword sorts last
+    assert healthy == 0
+
+    degenerate = prefix_filter_candidates(
+        sh, "doc_id", 500, _token_order="desc"
+    ).count()
+    assert degenerate == 6, "hottest-first must make every pair a candidate"
+    with pytest.raises(AssertionError, match="degenerated to all-pairs"):
+        _assert_pruning_engaged(degenerate, 4)
