@@ -664,3 +664,219 @@ def q165_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167: the stream-stream INTERVAL JOIN under a driver value hash
+# (round-13, verdict item 1) — the last Structured Streaming state
+# path without driver-grade evidence (q164 = built-in stateful agg,
+# q165 = custom state). Two ordered drop-streams (clicks ⋈ purchases
+# within 4 hours, the reference's delivery⋈order FK pairing run on
+# live streams — `08 Delivery Entity.sql:96-98`) drain as paired
+# availableNow micro-batches; the sink must end up holding EXACTLY
+# the batch join's pairs:
+# - pairs whose sides arrive in the SAME batch emit immediately
+#   (inner interval joins emit on match, not on watermark);
+# - a WITHHELD class of right rows (purchases of batch 1's last day,
+#   shipped one batch late) must still pair — their left partners'
+#   state has to survive the batch boundary (global watermark
+#   min(leftWM, rightWM) = Jan 6 16:00 entering batch 2; partners
+#   sit at ≥ Jan 6 20:00 + the 4 h join bound, an 8 h margin);
+# - a REPLAYED class of right rows (day-1 purchases, re-shipped two
+#   batches later — q164's measured filter-lag convention makes two
+#   batches the guaranteed distance) must NOT double-emit: the
+#   watermark input filter drops them, and even a filter miss finds
+#   their left partners' state long evicted — both engine mechanisms
+#   have to agree with the oracle's exactly-once pairs.
+# Oracle: the plain batch interval join (q72's kernel shape) over the
+# same ten days.
+# ---------------------------------------------------------------------------
+
+#: epoch microseconds, UTC midnight Jan N 2024
+_JAN_US = {n: (1704067200 + (n - 1) * 86400) * 1_000_000 for n in (1, 5, 7, 8, 11)}
+
+_SSJ_ORACLE = f"""
+WITH l AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us FROM events
+  WHERE ts IS NOT NULL AND event_type = 'click'
+    AND epoch_us(ts) >= {_JAN_US[1]} AND epoch_us(ts) < {_JAN_US[11]}
+), r AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us FROM events
+  WHERE ts IS NOT NULL AND event_type = 'purchase'
+    AND epoch_us(ts) >= {_JAN_US[1]} AND epoch_us(ts) < {_JAN_US[11]}
+)
+SELECT l.click_id, r.purchase_id, l.user_id,
+       CAST(l.c_us AS BIGINT) AS click_ts_us,
+       CAST(r.p_us AS BIGINT) AS purchase_ts_us
+FROM l JOIN r ON l.user_id = r.user_id
+  AND r.p_us >= l.c_us AND r.p_us <= l.c_us + 14400000000
+ORDER BY click_id, purchase_id
+"""
+
+
+@register(
+    "q167_stream_stream_interval_join",
+    oracle=_SSJ_ORACLE,
+    doc="Watermarked stream-stream interval join REPLAYED end to end "
+    "under the driver hash (round-13): clicks ⋈ purchases (same user, "
+    "purchase within 4 h of the click) over ten days, each side "
+    "draining as three paired availableNow micro-batches with 8 h "
+    "watermarks and the range bound in the join condition — the shape "
+    "that lets the engine EVICT buffered state instead of growing it "
+    "with stream history. The hash pins three behaviors at once: "
+    "same-batch pairs emit exactly once; a withheld right class "
+    "(batch 1's last-day purchases, shipped one batch late) still "
+    "pairs because the left state survived the boundary; a replayed "
+    "right class (day-1 purchases re-shipped two batches later) "
+    "never double-emits — watermark input filtering and left-state "
+    "eviction must both say so. Oracle: the batch interval join "
+    "(q72's kernel) over the same window. In-query asserts prove all "
+    "three classes are physically non-empty, including >0 "
+    "cross-batch pairs. Batch twin: q72; pytest twin: "
+    "tests/test_streaming.py join_streams_within.",
+)
+def q167_stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load
+    from ..workdirs import replay_workdir
+
+    work = replay_workdir("ssj_replay")
+    land_l = os.path.join(work, "clicks")
+    land_r = os.path.join(work, "purchases")
+    os.makedirs(land_l)
+    os.makedirs(land_r)
+
+    c0, c1, c2, end = _JAN_US[1], _JAN_US[5], _JAN_US[8], _JAN_US[11]
+    wh_lo = _JAN_US[7]  # withheld: purchases of batch 1's last day
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_id",
+            "event_type",
+        )
+    )
+    t = F.col("ts_us")
+    clicks = ev.filter((F.col("event_type") == "click") & (t >= c0) & (t < end))
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & (t >= c0) & (t < end)
+    ).drop("event_type")
+    clicks = clicks.drop("event_type")
+    withheld = purch.filter((t >= wh_lo) & (t < c2))
+    replayed = purch.filter((t < c0 + 86400 * 1_000_000) & (F.col("user_id") % 3 == 0))
+    ldrops = (
+        clicks.filter(t < c1),
+        clicks.filter((t >= c1) & (t < c2)),
+        clicks.filter(t >= c2),
+    )
+    rdrops = (
+        purch.filter(t < c1),
+        purch.filter((t >= c1) & (t < wh_lo)),
+        purch.filter(t >= c2).unionByName(withheld).unionByName(replayed),
+    )
+    n_with, n_rep = withheld.count(), replayed.count()
+    assert n_with > 0 and n_rep > 0, (
+        f"straggler classes empty (withheld={n_with}, replayed={n_rep}) — "
+        "the state-retention / exactly-once paths were not exercised"
+    )
+    # the withheld rows must have SAME-BATCH-EARLIER left partners,
+    # else the hash can't see cross-batch state retention at all
+    n_cross = (
+        clicks.alias("l")
+        .join(
+            withheld.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts_us") >= F.col("l.ts_us"))
+            & (F.col("r.ts_us") <= F.col("l.ts_us") + 14_400_000_000),
+        )
+        .count()
+    )
+    assert n_cross > 0, (
+        "no click⋈withheld-purchase pairs — cross-batch left-state "
+        "retention was not exercised"
+    )
+
+    for landing, drops in ((land_l, ldrops), (land_r, rdrops)):
+        for i, frame in enumerate(drops):
+            assert frame.count() > 0, f"empty drop {i} under {landing}"
+            tmp = os.path.join(work, f"w{i}")
+            frame.coalesce(1).write.mode("overwrite").json(tmp)
+            src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+            dst = os.path.join(landing, f"drop{i}.json")
+            os.replace(os.path.join(tmp, src), dst)
+            # file-source batches order by mtime: one file per batch,
+            # L_i and R_i pairing into micro-batch i
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = "ts_us long, user_id long, event_id long"
+    ls = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(land_l)
+        .select(
+            F.timestamp_micros("ts_us").alias("click_ts"),
+            "user_id",
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    rs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(land_r)
+        .select(
+            F.timestamp_micros("ts_us").alias("purchase_ts"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = join_streams_within(
+        ls,
+        rs,
+        "user_id",
+        "r_user_id",
+        "click_ts",
+        "purchase_ts",
+        within="4 hours",
+        watermark="8 hours",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    out_dir = os.path.join(work, "sink")
+    # state-partition sizing (the q164 note): the join buffers a few
+    # thousand rows — 32 StateStore partitions is per-batch overhead
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "q167_stream_stream_interval_join: availableNow drain did "
+            "not finish within 600 s"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("click_id", "purchase_id", "user_id", "click_ts_us", "purchase_ts_us")
+        .orderBy("click_id", "purchase_id")
+    )
