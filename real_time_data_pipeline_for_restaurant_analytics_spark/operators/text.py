@@ -1552,13 +1552,23 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
       that are equal — the "batch batch batch" stutter signal;
     - ``keep``: the composite Gopher-style gate.
 
-    Scale shape: n-grams are built INSIDE the row with zip_with over
-    array slices (no sequence(1,0) reversal hazard, no explode until
-    counting), then ONE (doc_id, gram)-keyed shuffle per n-gram order
-    with map-side partial counts; the per-doc reduce rides the same
-    key prefix. No pairwise work, no driver collection, no UDF.
+    Scale shape (round-13): MAP-ONLY. N-grams are built INSIDE the
+    row with zip_with over array slices (no sequence(1,0) reversal
+    hazard), and the per-doc counting happens in-row too — sort the
+    gram array, run-length encode it from the run-start indexes
+    (transform/filter/zip_with, all whole-stage codegen), then fold
+    the runs for the argmax 2-gram and the duplicated-3-gram
+    character mass. Round 12 shipped this with a (doc_id, gram)
+    exchange per n-gram order; at 10× data that shuffle of raw gram
+    strings was the whole growth curve (5.19× measured), and it buys
+    nothing — every gram of a doc is already in the doc's row. Zero
+    exchanges now: partitioning, pushdown, and pruning pass straight
+    through, and the operator scales exactly like the scan. Per-row
+    cost is O(grams · log grams) in codegen; gram arrays are the same
+    ones the round-12 version already materialized pre-explode, so
+    peak row memory is unchanged. No pairwise work, no driver
+    collection, no UDF.
     """
-    from pyspark.sql import Window
     two = "greatest(size(ws) - 1, 0)"
     three = "greatest(size(ws) - 2, 0)"
     base = df.select(
@@ -1585,34 +1595,59 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .cast("bigint")
         .alias("adj_pairs"),
     )
-    c2 = (
-        base.select(id_col, F.explode("g2").alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("n"), F.asc("gram"))
-    top2 = (
-        c2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            F.col("n").alias("top2_count"),
-            F.col("gram").alias("top2_gram"),
+    def bounds_expr(arr: str) -> str:
+        # 0-based run-start indexes of the sorted gram array: index 0
+        # plus every index whose gram differs from its predecessor
+        # (grams are concat products of split parts — never NULL)
+        return (
+            f"CASE WHEN size({arr}) = 0 THEN array() ELSE "
+            f"filter(transform({arr}, (x, i) -> i), "
+            f"i -> i = 0 OR element_at({arr}, i + 1) != element_at({arr}, i)) "
+            "END"
         )
-    )
-    dup3 = (
-        base.select(id_col, F.explode("g3").alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .groupBy(id_col)
-        .agg(F.sum(F.col("n") * F.length("gram")).alias("dup3_chars"))
+
+    def runs_expr(arr: str, b: str) -> str:
+        # run k spans [start_k, start_{k+1}) — zip starts with the
+        # next-start list (tail of starts ++ [size]) for (count, gram)
+        return (
+            f"CASE WHEN size({arr}) = 0 THEN "
+            "cast(array() as array<struct<cnt: bigint, gram: string>>) ELSE "
+            f"zip_with({b}, concat(slice({b}, 2, size({b}) - 1), "
+            f"array(size({arr}))), (s, e) -> "
+            f"struct(cast(e - s as bigint) AS cnt, "
+            f"element_at({arr}, s + 1) AS gram)) END"
+        )
+
+    enriched = (
+        base.withColumn("g2s", F.array_sort("g2"))
+        .withColumn("g3s", F.array_sort("g3"))
+        .withColumn("b2", F.expr(bounds_expr("g2s")))
+        .withColumn("b3", F.expr(bounds_expr("g3s")))
+        .withColumn("runs2", F.expr(runs_expr("g2s", "b2")))
+        .withColumn("runs3", F.expr(runs_expr("g3s", "b3")))
+        # argmax fold: max count, ties on the LEXICALLY SMALLEST gram
+        # — the exact (n DESC, gram ASC) order the round-12 window used
+        .withColumn(
+            "best2",
+            F.expr(
+                "aggregate(runs2, "
+                "cast(null as struct<cnt: bigint, gram: string>), "
+                "(b, x) -> CASE WHEN b IS NULL OR x.cnt > b.cnt "
+                "OR (x.cnt = b.cnt AND x.gram < b.gram) THEN x ELSE b END)"
+            ),
+        )
+        .withColumn(
+            "dup3_chars",
+            F.expr(
+                "aggregate(filter(runs3, r -> r.cnt > 1), "
+                "cast(0 as bigint), (s, r) -> s + r.cnt * length(r.gram))"
+            ),
+        )
+        .withColumn("top2_count", F.col("best2.cnt"))
+        .withColumn("top2_gram", F.col("best2.gram"))
     )
     out = (
-        base.drop("g2", "g3")
-        .join(top2, id_col, "left")
-        .join(dup3, id_col, "left")
-        .select(
+        enriched.select(
             id_col,
             "n_tokens",
             F.coalesce("top2_count", F.lit(0)).cast("bigint").alias("top2_count"),

@@ -110,6 +110,11 @@ _SCALAR_CROSS_OK = (
     # vocabulary rewrite as a 1-row broadcast ARRAY cross (collect_list
     # over a bounded frame — the q130 scalar pattern, batched).
     "q138_bpe_train_batched",
+    # q168: the trained PQ codebook rides into the corpus coding pass
+    # and the query LUT pass as a 1-row broadcast cross (k×dim scalar
+    # state — q160's audited pattern); candidate generation itself is
+    # the probed-cell equi-join.
+    "q168_ivfpq_serving_topk",
 )
 
 
