@@ -279,6 +279,7 @@ def join_streams_within(
     right_ts: str,
     within: str = "15 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join bounded by event time: right rows match
     a left row with the same key when ``left_ts <= right_ts <=
@@ -291,7 +292,15 @@ def join_streams_within(
     ``left_ts + within``, so state is O(in-flight window), not
     O(stream history). Without the range condition the state store
     grows unboundedly; that shape is refused here by construction.
-    Works identically on batch frames (the watermark is a no-op)."""
+    Works identically on batch frames (the watermark is a no-op).
+
+    ``how="left_outer"`` adds the outer contract: an unmatched left
+    row emits once, with NULL right columns, when the watermark
+    passes ``left_ts + within`` (its window provably can't match
+    anymore) — never eagerly, or a match arriving later in the window
+    would make the null row a lie. Left rows whose window is still
+    open when an ``availableNow`` drain ends are withheld (the q165
+    open-session contract)."""
     l, r = left, right  # noqa: E741
     if l.isStreaming:
         l = l.withWatermark(left_ts, watermark)
@@ -302,7 +311,7 @@ def join_streams_within(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 # ---------------------------------------------------------------------------
@@ -880,3 +889,213 @@ def q167_stream_stream_interval_join(
         .select("click_id", "purchase_id", "user_id", "click_ts_us", "purchase_ts_us")
         .orderBy("click_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169: the stream-stream LEFT OUTER interval join's NULL-EMISSION
+# path under a driver value hash (round-13). q167 pins the inner
+# join's state retention/eviction; the outer variant has one more
+# engine behavior nothing else exercises: an unmatched left row must
+# emit (left, NULL) exactly once, and only after the watermark proves
+# its window can't match anymore — eager emission would lie when a
+# match arrives later in the window; a second emission would
+# double-count. Determinism is engineered with a SENTINEL click 1 ms
+# before Jan 10 (user -1, matches nothing): it pins the final left
+# watermark to a constant, so the null-emission threshold lands at
+# Jan 9 12:00 while every real left row sits before Jan 9 11:00 — a
+# full-hour guard band instead of a data-dependent boundary. The
+# sentinel itself ends the stream with its window still open and must
+# be WITHHELD (the q165 open-session contract), so the oracle is
+# exactly the batch LEFT JOIN over the real rows.
+# ---------------------------------------------------------------------------
+
+_OJ_ORACLE = f"""
+WITH l AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us FROM events
+  WHERE ts IS NOT NULL AND event_type = 'click'
+    AND epoch_us(ts) >= {_JAN_US[1]}
+    AND epoch_us(ts) < {_JAN_US[8] + (24 + 11) * 3600 * 1_000_000}
+), r AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us FROM events
+  WHERE ts IS NOT NULL AND event_type = 'purchase'
+    AND epoch_us(ts) >= {_JAN_US[1]} AND epoch_us(ts) < {_JAN_US[11]}
+)
+SELECT l.click_id, r.purchase_id, l.user_id,
+       CAST(l.c_us AS BIGINT) AS click_ts_us,
+       CAST(r.p_us AS BIGINT) AS purchase_ts_us
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+  AND r.p_us >= l.c_us AND r.p_us <= l.c_us + 14400000000
+ORDER BY click_id, purchase_id
+"""
+
+
+@register(
+    "q169_stream_outer_join_null_emission",
+    oracle=_OJ_ORACLE,
+    doc="Stream-stream LEFT OUTER interval join REPLAYED end to end "
+    "under the driver hash (round-13): clicks ⋈ purchases (same user, "
+    "within 4 h) with 8 h watermarks, three paired availableNow "
+    "micro-batches per side. The hash pins the outer contract q167's "
+    "inner join can't see: every unmatched left row emits (left, "
+    "NULL) exactly once — only after the watermark passes its window "
+    "end (never eagerly; the trailing no-data micro-batch runs the "
+    "final eviction), while a sentinel click whose window is still "
+    "open at end-of-stream is withheld. A 1 ms-before-Jan-10 sentinel "
+    "pins the final left watermark so the emission threshold (Jan 9 "
+    "12:00) clears every real left row (< Jan 9 11:00) by a full "
+    "hour — no data-dependent boundary. Oracle: the batch LEFT JOIN. "
+    "In-query asserts prove both matched and unmatched left rows "
+    "exist. Inner twin: q167.",
+)
+def q169_stream_outer_join_null_emission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load
+    from ..workdirs import replay_workdir
+
+    work = replay_workdir("ssj_outer_replay")
+    land_l = os.path.join(work, "clicks")
+    land_r = os.path.join(work, "purchases")
+    os.makedirs(land_l)
+    os.makedirs(land_r)
+
+    c0, c4, c7, end = _JAN_US[1], _JAN_US[1] + 3 * 86400_000_000, _JAN_US[7], _JAN_US[11]
+    l_end = _JAN_US[8] + (24 + 11) * 3600 * 1_000_000  # Jan 9 11:00
+    sentinel_us = _JAN_US[8] + 2 * 86400_000_000 - 1000  # Jan 10 - 1 ms
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_id",
+            "event_type",
+        )
+    )
+    t = F.col("ts_us")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (t >= c0) & (t < l_end)
+    ).drop("event_type")
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & (t >= c0) & (t < end)
+    ).drop("event_type")
+    sentinel = spark.createDataFrame(
+        [(sentinel_us, -1, -1)], "ts_us long, user_id long, event_id long"
+    )
+    ldrops = (
+        clicks.filter(t < c4),
+        clicks.filter((t >= c4) & (t < c7)),
+        clicks.filter(t >= c7).unionByName(sentinel),
+    )
+    rdrops = (
+        purch.filter(t < c4),
+        purch.filter((t >= c4) & (t < c7)),
+        purch.filter(t >= c7),
+    )
+    # both outer-path classes must exist in the fixture
+    matched = clicks.alias("l").join(
+        purch.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts_us") >= F.col("l.ts_us"))
+        & (F.col("r.ts_us") <= F.col("l.ts_us") + 14_400_000_000),
+        "left_semi",
+    )
+    n_clicks, n_matched = clicks.count(), matched.count()
+    assert 0 < n_matched < n_clicks, (
+        f"outer-join fixture degenerate ({n_matched}/{n_clicks} matched) — "
+        "need both matched and unmatched left rows to pin null emission"
+    )
+
+    for landing, drops in ((land_l, ldrops), (land_r, rdrops)):
+        for i, frame in enumerate(drops):
+            assert frame.count() > 0, f"empty drop {i} under {landing}"
+            tmp = os.path.join(work, f"w{i}")
+            frame.coalesce(1).write.mode("overwrite").json(tmp)
+            src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+            dst = os.path.join(landing, f"drop{i}.json")
+            os.replace(os.path.join(tmp, src), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = "ts_us long, user_id long, event_id long"
+    ls = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(land_l)
+        .select(
+            F.timestamp_micros("ts_us").alias("click_ts"),
+            "user_id",
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    rs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(land_r)
+        .select(
+            F.timestamp_micros("ts_us").alias("purchase_ts"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = join_streams_within(
+        ls,
+        rs,
+        "user_id",
+        "r_user_id",
+        "click_ts",
+        "purchase_ts",
+        within="4 hours",
+        watermark="8 hours",
+        how="left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+    )
+    out_dir = os.path.join(work, "sink")
+    # the null emission for closed windows rides on the trailing
+    # no-data micro-batch — pin the (default-on) conf and restore it
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "q169_stream_outer_join_null_emission: availableNow drain "
+            "did not finish within 600 s"
+        )
+    out = spark.read.parquet(out_dir)
+    # the sentinel must have been withheld (open window at end of
+    # stream) — if it leaked, the open-window contract broke even
+    # though the oracle (which excludes it) would catch it anyway
+    assert out.filter(F.col("click_id") == -1).count() == 0, (
+        "sentinel click emitted despite its window being open at "
+        "end-of-stream"
+    )
+    return out.select(
+        "click_id", "purchase_id", "user_id", "click_ts_us", "purchase_ts_us"
+    ).orderBy("click_id", "purchase_id")
