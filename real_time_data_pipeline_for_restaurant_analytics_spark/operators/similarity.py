@@ -2338,6 +2338,7 @@ def _ivf_pq_scored(
     id_col: str,
     vec_col: str,
     max_query_rows: int,
+    train_max_id: int = 2000,
 ) -> tuple[DataFrame, DataFrame]:
     """The probe→ADC candidate construction shared by the serving
     path (q168: this IS the query) and the recall audit (q160: this
@@ -2346,10 +2347,34 @@ def _ivf_pq_scored(
     neighbor_id, cell_rank ≤ ``maxp``, adc_dist) — cells assigned and
     PQ codes computed in ONE map-side corpus pass, queries' LUT+probe
     lists broadcast, candidates carrying code BYTES only (vectors
-    never shuffle)."""
+    never shuffle).
+
+    The PQ codebook trains on a BOUNDED deterministic sample
+    (``{id} < train_max_id`` — round-13): Lloyd over the full corpus
+    made the 10× wall 10× (28 s of q168's 26 s sf1.0 wall was
+    training), and it is also just not how PQ deploys — FAISS trains
+    codebooks on a fixed-size sample (~100k vectors) regardless of
+    corpus size, then encodes everything. Training cost is now O(1)
+    in the corpus; the corpus pays exactly one encode pass. The
+    DuckDB oracle samples identically (pext CTE), so results stay
+    engine-exact at every scale."""
     dim = _vec_dim(emb, vec_col) or 64
     sub = dim // n_sub
     base = _int8_base(emb, id_col, vec_col)
+    # the encode is CPU-dense (coarse argmin + per-subspace code argmin
+    # ≈ thousands of arithmetic lambda ops per row, ~1 ms/row measured)
+    # over a ~300 B/row frame: when the scan yields fewer splits than
+    # the work wants (the single-row-group fixture caps the map at 1-2
+    # tasks), ONE narrow shuffle of (id, int8 grid) buys the encode —
+    # and the audit's full-scan baseline — real parallelism. Width is
+    # sized to ~512 rows/task (≈0.5 s of encode), never past the core
+    # count: a 2k-row corpus gets 3 tasks, not 32 empty-ish ones. The
+    # count is a parquet-metadata job (no projection evaluated). At
+    # 100 TB file splits already exceed cores and this is a no-op.
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    want = int(min(cores, max(1, base.count() // 512)))
+    if base.rdd.getNumPartitions() < want:
+        base = base.repartition(want)
 
     # coarse centroids as inlined literals (the q34 recipe: the
     # Column-object equivalent costs n_cells × dim Py4J round trips;
@@ -2374,10 +2399,11 @@ def _ivf_pq_scored(
             f"transform(slice(array_sort(array({structs})), 1, {n}), st -> st.c)"
         )
 
+    train_src = base.filter(F.col(id_col) < train_max_id)
     cb = (
-        _pq_train_codebook(base, id_col, n_sub, sub, n_codes, train_rounds)
+        _pq_train_codebook(train_src, id_col, n_sub, sub, n_codes, train_rounds)
         if train_rounds
-        else _pq_codebook(base, id_col, n_sub, sub, n_codes)
+        else _pq_codebook(train_src, id_col, n_sub, sub, n_codes)
     )
     # index side: ONE corpus pass — cell + PQ codes, both map-side
     # (coalesce: see ivf_scored_candidates — keeps the join key
@@ -2593,20 +2619,24 @@ def _ivf_pq_ctes(
     query_max_id: int,
     sub: int,
     dim: int,
+    train_max_id: int = 2000,
 ) -> str:
     """The DuckDB CTE chain shared by the q160 and q168 oracles:
-    int8 grid → coarse cells → per-query ranked cells → PQ training →
+    int8 grid → coarse cells → per-query ranked cells → PQ training
+    (on the bounded ``pext`` sample, vec_id < ``train_max_id`` —
+    mirroring the Spark side's FAISS-style fixed training sample) →
     codes → per-query LUTs → the ``adc`` candidate frame (query_id,
     neighbor_id, cell_rank ≤ ``maxp``, adc_dist). Callers append
     their own tail after the closing paren."""
     # unrolled per-subspace Lloyd refinement (the q79 oracle pattern):
     # pc{i} = the codebook after i rounds; an emptied code keeps its
-    # previous centroid via the LEFT JOIN + COALESCE
+    # previous centroid via the LEFT JOIN + COALESCE. Training reads
+    # ONLY pext; the final assignment (d/codes) covers all of pex.
     train = ""
     for i in range(train_rounds):
         train += f""", pd{i} AS (
   SELECT s.vec_id, s.m, c.code, SUM((s.e - c.cm) * (s.e - c.cm)) AS d
-  FROM pex s JOIN pc{i} c ON s.m = c.m AND s.pos = c.pos
+  FROM pext s JOIN pc{i} c ON s.m = c.m AND s.pos = c.pos
   GROUP BY 1, 2, 3
 ), pa{i} AS (
   SELECT vec_id, m, code FROM (
@@ -2618,7 +2648,7 @@ def _ivf_pq_ctes(
   FROM pc{i} c LEFT JOIN (
     SELECT a.m, a.code, e.pos,
            CAST(floor(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-    FROM pa{i} a JOIN pex e ON a.vec_id = e.vec_id AND a.m = e.m
+    FROM pa{i} a JOIN pext e ON a.vec_id = e.vec_id AND a.m = e.m
     GROUP BY 1, 2, 3
   ) n ON c.m = n.m AND c.code = n.code AND c.pos = n.pos
 )"""
@@ -2655,6 +2685,8 @@ WITH base AS (
 ), pex AS (
   SELECT vec_id, m, unnest(generate_series(1, {sub})) AS pos, unnest(sub) AS e
   FROM subs
+), pext AS (
+  SELECT * FROM pex WHERE vec_id < {train_max_id}
 ), pc0 AS (
   SELECT m, vec_id AS code, pos, e AS cm FROM pex WHERE vec_id < {n_codes}
 ){train}, d AS (
