@@ -206,10 +206,13 @@ def main() -> None:
     # uniform inflation and needed ~40 s more for the slowest tail's
     # second rep, hence 680 not 640) with headroom for the ~1.2×
     # driver host factor observed across rounds.
-    # 700 since round-13: registry 166→168 (q167 a ~7 s stream-stream
-    # replay, q168 a ~2 s serving-path query) — +10 s per new query on
-    # the rep-2 side keeps `single_rep` empty at the same margins.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "700"))
+    # 740 since round-13: registry 166→169. The two stream-stream
+    # replays are the heaviest additions (q167 ~12 s, q169 ~10 s warm
+    # — two sources, 4+ micro-batches each); q168 adds ~6 s; q160 and
+    # q162 give back ~8 s/pass (bounded PQ training, map-only
+    # repetition fold). Net ≈ +25 s/pass × 2 passes over the 680
+    # sizing, kept at the same noisy-host margins.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "740"))
     bench_t0 = time.perf_counter()
 
     def timed_run(q) -> float:

@@ -789,10 +789,32 @@ def q167_stream_stream_interval_join(
         purch.filter((t >= c1) & (t < wh_lo)),
         purch.filter(t >= c2).unionByName(withheld).unionByName(replayed),
     )
-    n_with, n_rep = withheld.count(), replayed.count()
-    assert n_with > 0 and n_rep > 0, (
-        f"straggler classes empty (withheld={n_with}, replayed={n_rep}) — "
-        "the state-retention / exactly-once paths were not exercised"
+    # fixture audit in TWO jobs, not ten (round-13: per-drop count()
+    # calls dominated the replay's fixed cost): one conditional-sum agg
+    # covers every drop plus both straggler classes, one join counts
+    # the cross-batch pairs
+    is_click = F.col("event_type") == "click"
+    is_purch = F.col("event_type") == "purchase"
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    s = ev.agg(
+        cnt(is_click & (t < c1)).alias("l0"),
+        cnt(is_click & (t >= c1) & (t < c2)).alias("l1"),
+        cnt(is_click & (t >= c2) & (t < end)).alias("l2"),
+        cnt(is_purch & (t < c1)).alias("r0"),
+        cnt(is_purch & (t >= c1) & (t < wh_lo)).alias("r1"),
+        cnt(is_purch & (t >= c2) & (t < end)).alias("r2"),
+        cnt(is_purch & (t >= wh_lo) & (t < c2)).alias("n_with"),
+        cnt(
+            is_purch & (t < c0 + 86400 * 1_000_000) & (F.col("user_id") % 3 == 0)
+        ).alias("n_rep"),
+    ).collect()[0]
+    assert s["n_with"] > 0 and s["n_rep"] > 0, (
+        f"straggler classes empty (withheld={s['n_with']}, "
+        f"replayed={s['n_rep']}) — the state-retention / exactly-once "
+        "paths were not exercised"
+    )
+    assert all(s[k] > 0 for k in ("l0", "l1", "l2", "r0", "r1", "r2")), (
+        f"empty drop in {dict(s.asDict())} — a batch would carry no data"
     )
     # the withheld rows must have SAME-BATCH-EARLIER left partners,
     # else the hash can't see cross-batch state retention at all
@@ -813,7 +835,6 @@ def q167_stream_stream_interval_join(
 
     for landing, drops in ((land_l, ldrops), (land_r, rdrops)):
         for i, frame in enumerate(drops):
-            assert frame.count() > 0, f"empty drop {i} under {landing}"
             tmp = os.path.join(work, f"w{i}")
             frame.coalesce(1).write.mode("overwrite").json(tmp)
             src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
@@ -995,23 +1016,42 @@ def q169_stream_outer_join_null_emission(
         purch.filter((t >= c4) & (t < c7)),
         purch.filter(t >= c7),
     )
-    # both outer-path classes must exist in the fixture
-    matched = clicks.alias("l").join(
-        purch.alias("r"),
-        (F.col("l.user_id") == F.col("r.user_id"))
-        & (F.col("r.ts_us") >= F.col("l.ts_us"))
-        & (F.col("r.ts_us") <= F.col("l.ts_us") + 14_400_000_000),
-        "left_semi",
+    # fixture audit in TWO jobs (the q167 round-13 pattern): one
+    # conditional-sum agg for every drop + the click total, one
+    # left-semi count for the matched class
+    is_click = F.col("event_type") == "click"
+    is_purch = F.col("event_type") == "purchase"
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    s = ev.agg(
+        cnt(is_click & (t >= c0) & (t < c4)).alias("l0"),
+        cnt(is_click & (t >= c4) & (t < c7)).alias("l1"),
+        cnt(is_click & (t >= c0) & (t < l_end)).alias("n_clicks"),
+        cnt(is_purch & (t >= c0) & (t < c4)).alias("r0"),
+        cnt(is_purch & (t >= c4) & (t < c7)).alias("r1"),
+        cnt(is_purch & (t >= c7) & (t < end)).alias("r2"),
+    ).collect()[0]
+    assert all(s[k] > 0 for k in ("l0", "l1", "r0", "r1", "r2")), (
+        f"empty drop in {dict(s.asDict())} — a batch would carry no data"
     )
-    n_clicks, n_matched = clicks.count(), matched.count()
-    assert 0 < n_matched < n_clicks, (
-        f"outer-join fixture degenerate ({n_matched}/{n_clicks} matched) — "
-        "need both matched and unmatched left rows to pin null emission"
+    n_matched = (
+        clicks.alias("l")
+        .join(
+            purch.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts_us") >= F.col("l.ts_us"))
+            & (F.col("r.ts_us") <= F.col("l.ts_us") + 14_400_000_000),
+            "left_semi",
+        )
+        .count()
+    )
+    assert 0 < n_matched < s["n_clicks"], (
+        f"outer-join fixture degenerate ({n_matched}/{s['n_clicks']} "
+        "matched) — need both matched and unmatched left rows to pin "
+        "null emission"
     )
 
     for landing, drops in ((land_l, ldrops), (land_r, rdrops)):
         for i, frame in enumerate(drops):
-            assert frame.count() > 0, f"empty drop {i} under {landing}"
             tmp = os.path.join(work, f"w{i}")
             frame.coalesce(1).write.mode("overwrite").json(tmp)
             src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
