@@ -1139,3 +1139,176 @@ def q169_stream_outer_join_null_emission(
     return out.select(
         "click_id", "purchase_id", "user_id", "click_ts_us", "purchase_ts_us"
     ).orderBy("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q170: STREAMING EXACT DEDUP (dropDuplicatesWithinWatermark) under a
+# driver value hash (round-13). The last §2.7 streaming path whose
+# evidence was pytest-only: q164 hashed the built-in stateful agg,
+# q165 the custom-state sessionizer, q167/q169 the stream-stream join
+# — this hashes the engine's watermark-bounded dedup StateStore path,
+# C6 ("dedup before merge") run on a live stream. Three availableNow
+# micro-batches carry three distinct duplicate classes:
+# - SAME-BATCH duplicates (exact copies shipped in the same drop as
+#   their originals) must collapse inside the batch;
+# - CROSS-BATCH duplicates (copies of batch 0's last day, shipped in
+#   batch 1) must collapse against RETAINED state — entering batch 1
+#   the watermark sits at ~Jan 2 23:59 (batch-0 max minus the 2-day
+#   delay) while day-4 state expires only past Jan 6, a 3-day margin;
+# - REPLAYED duplicates (copies of day-1 rows, shipped two batches
+#   later — q164's measured filter-lag convention makes two batches
+#   the guaranteed distance) must NOT re-emit: the watermark input
+#   filter drops them, and their originals' state is long evicted
+#   (expiry Jan 3 < the batch-2 watermark), so a filter miss would
+#   re-emit the row and break the hash — both engine mechanisms have
+#   to agree with the oracle's exactly-once rows.
+# State is bounded by the watermark (dedup_stream's contract): a
+# key's entry drops once the watermark passes its event time + delay,
+# so state tracks the late-data window, not stream history — the
+# property that keeps this viable on an unbounded firehose.
+# Oracle: SELECT DISTINCT over the same ten days (the base table has
+# no full-row duplicates — verified in the fixture audit — so the
+# injected copies are exactly the duplicate population).
+# ---------------------------------------------------------------------------
+
+def _day_us(n: int) -> int:
+    """Epoch microseconds, UTC midnight Jan n 2024 (session tz UTC)."""
+    return (1704067200 + (n - 1) * 86400) * 1_000_000
+
+
+_SDD_ORACLE = f"""
+SELECT DISTINCT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events
+WHERE ts IS NOT NULL
+  AND epoch_us(ts) >= {_day_us(1)} AND epoch_us(ts) < {_day_us(11)}
+ORDER BY event_id, user_id, event_type, ts_us
+"""
+
+
+@register(
+    "q170_streaming_dedup_replay",
+    oracle=_SDD_ORACLE,
+    doc="Streaming exact dedup (dropDuplicatesWithinWatermark, via "
+    "dedup_stream) REPLAYED end to end under the driver hash "
+    "(round-13): ten days of events drain as three availableNow "
+    "micro-batches with a 2-day watermark delay, each batch salted "
+    "with a distinct duplicate class — same-batch exact copies "
+    "(user_id % 7), cross-batch copies of batch 0's last day shipped "
+    "in batch 1 (user_id % 5, collapsing against retained state with "
+    "a 3-day eviction margin), and day-1 copies replayed two batches "
+    "later (user_id % 3) that must NOT re-emit even though their "
+    "originals' state is evicted — the watermark input filter and "
+    "state eviction must both agree with the oracle's exactly-once "
+    "rows. State is watermark-bounded (late-data window, not stream "
+    "history). Oracle: SELECT DISTINCT over the same window (the "
+    "fixture audit proves the base slice is duplicate-free, so the "
+    "injected copies are exactly the duplicate population). Batch "
+    "twin: q19; pytest twin: tests/test_streaming.py dedup_stream.",
+)
+def q170_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load
+    from ..workdirs import replay_workdir
+
+    work = replay_workdir("sdedup_replay")
+    landing = os.path.join(work, "events")
+    os.makedirs(landing)
+
+    j1, j2, j4, j5, j8, j11 = (_day_us(n) for n in (1, 2, 4, 5, 8, 11))
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    t = F.col("ts_us")
+    base = ev.filter((t >= j1) & (t < j11))
+    d0 = base.filter(t < j5)
+    same_dups = d0.filter(F.col("user_id") % 7 == 0)
+    cross_dups = base.filter((t >= j4) & (t < j5) & (F.col("user_id") % 5 == 0))
+    replayed = base.filter((t < j2) & (F.col("user_id") % 3 == 0))
+    drops = (
+        d0.unionByName(same_dups),
+        base.filter((t >= j5) & (t < j8)).unionByName(cross_dups),
+        base.filter(t >= j8).unionByName(replayed),
+    )
+    # fixture audit in ONE job (the q167 round-13 pattern): every
+    # drop and duplicate class counted by conditional sums, plus the
+    # duplicate-free precondition the oracle's DISTINCT relies on
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    s = base.groupBy("event_id", "user_id", "event_type", "ts_us").agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(
+        cnt(F.col("n") > 1).alias("n_base_dups"),
+        cnt(t < j5).alias("d0"),
+        cnt((t >= j5) & (t < j8)).alias("d1"),
+        cnt(t >= j8).alias("d2"),
+        cnt((t < j5) & (F.col("user_id") % 7 == 0)).alias("n_same"),
+        cnt((t >= j4) & (t < j5) & (F.col("user_id") % 5 == 0)).alias("n_cross"),
+        cnt((t < j2) & (F.col("user_id") % 3 == 0)).alias("n_rep"),
+    ).collect()[0]
+    assert s["n_base_dups"] == 0, (
+        f"{s['n_base_dups']} full-row duplicates already in the base "
+        "slice — the DISTINCT oracle would hide an injected-dup miss"
+    )
+    assert all(
+        s[k] > 0 for k in ("d0", "d1", "d2", "n_same", "n_cross", "n_rep")
+    ), f"empty drop or duplicate class in {dict(s.asDict())}"
+
+    for i, frame in enumerate(drops):
+        tmp = os.path.join(work, f"w{i}")
+        frame.coalesce(1).write.mode("overwrite").json(tmp)
+        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+        dst = os.path.join(landing, f"drop{i}.json")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    deduped = dedup_stream(
+        stream,
+        keys=["event_id", "user_id", "event_type", "ts_us"],
+        ts_col="ts",
+        watermark_delay="2 days",
+    ).drop("ts")
+    out_dir = os.path.join(work, "sink")
+    # dedup state is a few thousand keys — 32 StateStore partitions
+    # would be per-batch overhead (the q164 sizing note)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "q170_streaming_dedup_replay: availableNow drain did not "
+            "finish within 600 s"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("event_id", "user_id", "event_type", "ts_us")
+    )
