@@ -1063,3 +1063,205 @@ SELECT * FROM card ORDER BY split, lang
 )
 def q125_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# q171 — DSIR: Data Selection with Importance Resampling (Xie et al.,
+# NeurIPS 2023 — public algorithm). Select raw-pool documents whose
+# hashed-bigram distribution looks like a TARGET domain: fit two
+# bag-of-hashed-ngram multinomials (target and raw, Laplace-smoothed),
+# score every raw doc with its log importance weight
+# log p_tgt(x) − log p_raw(x) = Σ_b c_b(x)·llr_b, then resample via
+# Gumbel-top-k (deterministic hash-seeded Gumbel noise, the paper's
+# sampling-without-replacement scheme made engine-reproducible).
+#
+# Scale shape: ONE corpus scan explodes bigrams to (doc, bucket)
+# counts (shuffle keyed by doc×bucket); the two multinomials are
+# B-row aggregates (B = 4096) that broadcast back; the per-doc weight
+# is one doc-keyed sum. Selection is PER SOURCE via a partitioned
+# window (the q66 decile pattern) — no global single-partition sort
+# at any corpus size. Floats appear only as ln over identical
+# integers on both engines, rounded to 6 decimals (the q48 TF-IDF
+# parity convention).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096  # hashed-ngram feature buckets (paper: 10k; 4096 keeps
+# the bucket relation broadcast-trivial and is plenty at test scale)
+_DSIR_KEEP_PCT = 20  # keep top 20% per raw source
+
+
+def dsir_importance_resample(
+    docs: DataFrame,
+    target_filter: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_buckets: int = _DSIR_B,
+    keep_pct: int = _DSIR_KEEP_PCT,
+) -> DataFrame:
+    """DSIR selection: rows of the raw pool (NOT matching
+    ``target_filter``) whose Gumbel-perturbed log importance weight
+    ranks in the top ``keep_pct`` percent of their ``group_col``.
+
+    Returns (id, group, n_grams, weight_r, sample_key_r, rn) with the
+    floats rounded to 6 decimals, ordered by id.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _H_SQL
+
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.expr(target_filter).alias("_is_tgt"),
+        F.split(F.col(text_col), " ").alias("_a"),
+    )
+    grams = base.select(
+        id_col,
+        group_col,
+        "_is_tgt",
+        F.explode(
+            F.expr(
+                "if(size(_a) < 2, array(), transform(sequence(1, size(_a) - 1), "
+                "i -> concat(element_at(_a, i), ' ', element_at(_a, i + 1))))"
+            )
+        ).alias("_g"),
+    ).select(
+        id_col,
+        group_col,
+        "_is_tgt",
+        F.expr(f"pmod({_H_SQL.format(s='_g')}, {n_buckets})").alias("b"),
+    )
+    # (doc, bucket) counts — the only corpus-sized shuffle
+    dbc = grams.groupBy(id_col, group_col, "_is_tgt", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # the two multinomials: B-row aggregates, broadcast back
+    marg = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_tgt"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("_is_tgt"), F.col("c")).otherwise(0)).alias("cr"),
+    )
+    tot = marg.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    scored = (
+        dbc.filter(~F.col("_is_tgt"))
+        .join(broadcast(marg), "b")
+        .crossJoin(broadcast(tot))
+        .groupBy(id_col, group_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(
+                F.col("c")
+                * (
+                    F.log(F.col("ct") + 1)
+                    - F.log(F.col("tt") + F.lit(n_buckets))
+                    - F.log(F.col("cr") + 1)
+                    + F.log(F.col("tr") + F.lit(n_buckets))
+                )
+            ).alias("w"),
+        )
+    )
+    # hash-seeded Gumbel noise: u in (0,1) from the doc id's md5 fold,
+    # identical integers on both engines -> identical doubles
+    u = (
+        F.expr(f"pmod({_H_SQL.format(s=f'CAST({id_col} AS STRING)')}, 1000000)")
+        + 1
+    ) / 1000001.0
+    keyed = scored.withColumn("skey", F.col("w") - F.log(-F.log(u)))
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.round("skey", 6).desc(), F.col(id_col)
+    )
+    wg = Window.partitionBy(group_col)
+    return (
+        keyed.select(
+            id_col,
+            group_col,
+            "n_grams",
+            F.round("w", 6).alias("weight_r"),
+            F.round("skey", 6).alias("sample_key_r"),
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(wg).alias("_gn"),
+        )
+        .filter(F.col("rn") <= F.greatest(F.lit(1), (F.col("_gn") * keep_pct) / 100))
+        .select(
+            id_col,
+            group_col,
+            "n_grams",
+            "weight_r",
+            "sample_key_r",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, (source = 'src0') AS is_tgt, string_split(text, ' ') AS a
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, source, is_tgt,
+         CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+  FROM (SELECT doc_id, source, is_tgt,
+               unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+        FROM base WHERE len(a) >= 2)
+),
+dbc AS (
+  SELECT doc_id, source, is_tgt, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY ALL
+),
+marg AS (
+  SELECT b,
+         SUM(CASE WHEN is_tgt THEN c ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT is_tgt THEN c ELSE 0 END) AS cr
+  FROM dbc GROUP BY b
+),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM marg),
+scored AS (
+  SELECT dbc.doc_id, dbc.source,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         SUM(c * (ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tt + {_DSIR_B} AS DOUBLE))
+                - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tr + {_DSIR_B} AS DOUBLE)))) AS w
+  FROM dbc JOIN marg USING (b) CROSS JOIN tot
+  WHERE NOT is_tgt
+  GROUP BY dbc.doc_id, dbc.source
+),
+keyed AS (
+  SELECT *,
+         w - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 1000000 + 1) / 1000001.0)) AS skey
+  FROM scored
+),
+ranked AS (
+  SELECT doc_id, source, n_grams,
+         round(w, 6) AS weight_r, round(skey, 6) AS sample_key_r,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY round(skey, 6) DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS gn
+  FROM keyed
+)
+SELECT doc_id, source, n_grams, weight_r, sample_key_r, CAST(rn AS BIGINT) AS rn
+FROM ranked
+WHERE rn <= greatest(1, (gn * {_DSIR_KEEP_PCT}) // 100)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q171_dsir_importance_resample",
+    oracle=_DSIR_ORACLE,
+    doc="DSIR data selection (Xie et al., NeurIPS 2023): fit "
+    "Laplace-smoothed hashed-bigram multinomials over a target domain "
+    "(source='src0' stands in for e.g. Wikipedia) and the raw pool, "
+    "score every raw doc with its log importance weight "
+    "log p_tgt − log p_raw, perturb with hash-seeded Gumbel noise "
+    "(the paper's without-replacement resampling, made deterministic), "
+    "and keep the top 20% per raw source via a partitioned window — "
+    "no global sort. One doc×bucket shuffle + two broadcast B-row "
+    "multinomials + one doc-keyed sum; ln only over identical "
+    "integers on both engines (q48 parity convention).",
+)
+def q171_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dsir_importance_resample(d, "source = 'src0'").orderBy("doc_id")

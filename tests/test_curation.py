@@ -276,3 +276,36 @@ def test_token_budget_sample_next_fit_boundary(spark):
     # determinism: same set on rerun
     again = sorted(r.doc_id for r in token_budget_sample(docs, 55).collect())
     assert again == sorted(r.doc_id for r in rows)
+
+
+def test_dsir_prefers_target_like_docs_and_respects_group_quota(spark):
+    """DSIR (q171 kernel): a raw doc sharing the target's bigram
+    vocabulary must out-weigh a raw doc with alien vocabulary, and the
+    per-group keep quota must hold with the id tie-break."""
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.curation import (
+        dsir_importance_resample,
+    )
+
+    tgt_text = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, tgt_text, "tgt")]
+    # rawA: 5 docs in the target's vocabulary; rawB: 5 alien docs
+    for i in range(1, 6):
+        rows.append((i, "the quick brown fox jumps again and again", "rawA"))
+    for i in range(6, 11):
+        rows.append((i, "zzq wwx vvr uus ttp qqo nnm llk", "rawB"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_importance_resample(
+        df, "source = 'tgt'", keep_pct=20
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, []).append(r)
+    # 20% of 5 -> max(1, 1) = 1 survivor per raw group
+    assert {g: len(v) for g, v in by_group.items()} == {"rawA": 1, "rawB": 1}
+    # target-vocabulary docs carry a strictly higher importance weight
+    assert by_group["rawA"][0].weight_r > by_group["rawB"][0].weight_r
+    # weights within a group of identical texts are identical, so the
+    # survivor is decided by the Gumbel key (then doc_id) — pinned
+    # deterministic: re-running yields the same doc
+    out2 = dsir_importance_resample(df, "source = 'tgt'", keep_pct=20).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
