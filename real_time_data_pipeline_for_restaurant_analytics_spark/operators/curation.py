@@ -1132,15 +1132,21 @@ def dsir_importance_resample(
         "_is_tgt",
         F.expr(f"pmod({_H_SQL.format(s='_g')}, {n_buckets})").alias("b"),
     )
-    # (doc, bucket) counts — the only corpus-sized shuffle
+    # (doc, bucket) counts — the only corpus-sized shuffle. The frame
+    # feeds BOTH multinomial fits and the per-doc scoring join;
+    # localCheckpoint materializes it once so the corpus text is
+    # scanned and bigram-hashed exactly once, not once per consumer
+    # (the q166 shingle-table pattern) — and it is count-compressed,
+    # orders smaller than the text it came from.
     dbc = grams.groupBy(id_col, group_col, "_is_tgt", "b").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    # the two multinomials: B-row aggregates, broadcast back
+    ).localCheckpoint()
+    # the two multinomials: B-row aggregates, broadcast back; the
+    # checkpoint makes tot's reuse of marg free (4096 rows)
     marg = dbc.groupBy("b").agg(
         F.sum(F.when(F.col("_is_tgt"), F.col("c")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("_is_tgt"), F.col("c")).otherwise(0)).alias("cr"),
-    )
+    ).localCheckpoint()
     tot = marg.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )

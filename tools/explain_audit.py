@@ -113,6 +113,18 @@ AUDIT = [
      "never BNLJ/cartesian); the df table and window share the "
      "(doc)-keyed shuffle; verification joins only the pruned "
      "candidate set back to the shingle table."),
+    ("q168_ivfpq_serving_topk", "IVF-PQ SERVING path alone (no "
+     "brute-force leg anywhere in the plan): sampled-trained "
+     "codebooks ride as broadcasts, candidate generation is the "
+     "probed-cell equi-join, ADC distance is in-plan array math, and "
+     "the only window is the per-query top-k on the probed "
+     "candidates — selectivity-bounded at any corpus size."),
+    ("q171_dsir_importance_resample", "DSIR data selection: one "
+     "doc×bucket count shuffle, the two 4096-row multinomials "
+     "broadcast back (BroadcastHashJoin, never a corpus-side "
+     "shuffle), per-doc weight as a partial-agg sum, and selection "
+     "via a window partitioned by SOURCE — no single-partition "
+     "global sort in the plan."),
 ]
 
 
