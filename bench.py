@@ -212,7 +212,12 @@ def main() -> None:
     # q162 give back ~8 s/pass (bounded PQ training, map-only
     # repetition fold). Net ≈ +25 s/pass × 2 passes over the 680
     # sizing, kept at the same noisy-host margins.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "740"))
+    # 810 late round-13: registry 169→171 (q170 streaming-dedup
+    # replay ~5 s, q171 DSIR ~1.5 s) — and the 740 sizing measured
+    # n1=2 (q145/q147 lost their second rep by ~27 s), so the bump
+    # is the new queries' 2 passes plus that measured shortfall with
+    # the usual driver-host margin.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "810"))
     bench_t0 = time.perf_counter()
 
     def timed_run(q) -> float:
