@@ -1312,3 +1312,157 @@ def q170_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "ts_us")
         .orderBy("event_id", "user_id", "event_type", "ts_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# q172: STREAM-STATIC broadcast enrichment join under a driver value
+# hash (round-13). Completes the streaming JOIN matrix: q167 pins
+# stream-stream inner state, q169 the outer null-emission contract —
+# this pins the third join mode Structured Streaming supports, the
+# stateless per-micro-batch join of a stream against a STATIC
+# dimension (the production enrichment shape: clickstream × customer
+# dim). Two behaviors the hash sees:
+# - the static side joins as a BROADCAST per micro-batch (no stream
+#   shuffle, no state store — stateless by construction);
+# - LEFT-outer null preservation: stream rows with no dim match (the
+#   dim is deliberately restricted to even c_custkey, a class split
+#   present at every scale factor) emit exactly once with NULL dim
+#   columns, in the batch
+#   they arrive — unlike q169 there is no watermark wait, because
+#   the static side is complete by definition.
+# Oracle: the batch LEFT JOIN over the same window and dim filter.
+# ---------------------------------------------------------------------------
+
+_SSE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE ts IS NOT NULL
+    AND epoch_us(ts) >= {(1704067200) * 1_000_000}
+    AND epoch_us(ts) < {(1704067200 + 6 * 86400) * 1_000_000}
+), dim AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+  WHERE c_custkey % 2 = 0
+)
+SELECT ev.event_id, ev.user_id, ev.event_type,
+       CAST(ev.ts_us AS BIGINT) AS ts_us,
+       dim.c_mktsegment AS segment,
+       dim.c_nationkey AS nation_key
+FROM ev LEFT JOIN dim ON ev.user_id = dim.c_custkey
+ORDER BY event_id, user_id, ts_us
+"""
+
+
+@register(
+    "q172_stream_static_enrichment",
+    oracle=_SSE_ORACLE,
+    doc="Stream-static broadcast enrichment join REPLAYED under the "
+    "driver hash (round-13), completing the streaming join matrix "
+    "(q167 stream-stream inner, q169 left-outer null emission): six "
+    "days of events drain as two availableNow micro-batches, each "
+    "LEFT-joined per batch against the static customer dim "
+    "(broadcast — stateless, no stream shuffle, no state store). "
+    "The dim is restricted to even c_custkey (a class present at "
+    "every scale factor), so the hash pins both enrichment of "
+    "matched rows and immediate exactly-once NULL emission of "
+    "unmatched odd-key rows (no watermark wait — the static side is "
+    "complete by definition). "
+    "Oracle: the batch LEFT JOIN. In-query assert proves both "
+    "classes are non-empty in both drops.",
+)
+def q172_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..catalog import load
+    from ..workdirs import replay_workdir
+
+    work = replay_workdir("sstatic_replay")
+    landing = os.path.join(work, "events")
+    os.makedirs(landing)
+
+    lo = 1704067200 * 1_000_000
+    mid = lo + 3 * 86400 * 1_000_000
+    hi = lo + 6 * 86400 * 1_000_000
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    t = F.col("ts_us")
+    base = ev.filter((t >= lo) & (t < hi))
+    # fixture audit in ONE job: both drops non-empty, both join
+    # classes (dim-matched even user, unmatched odd user) in BOTH
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    even = F.col("user_id") % 2 == 0
+    s = base.agg(
+        cnt((t < mid) & even).alias("m0"),
+        cnt((t < mid) & ~even).alias("u0"),
+        cnt((t >= mid) & even).alias("m1"),
+        cnt((t >= mid) & ~even).alias("u1"),
+    ).collect()[0]
+    assert all(s[k] > 0 for k in ("m0", "u0", "m1", "u1")), (
+        f"a drop is missing a join class in {dict(s.asDict())} — the "
+        "matched/unmatched contract would be under-exercised"
+    )
+
+    for i, frame in enumerate((base.filter(t < mid), base.filter(t >= mid))):
+        tmp = os.path.join(work, f"w{i}")
+        frame.coalesce(1).write.mode("overwrite").json(tmp)
+        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+        dst = os.path.join(landing, f"drop{i}.json")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+    )
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(landing)
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "left"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    out_dir = os.path.join(work, "sink")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
+        q.stop()
+        raise RuntimeError(
+            "q172_stream_static_enrichment: availableNow drain did "
+            "not finish within 600 s"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select("event_id", "user_id", "event_type", "ts_us", "segment", "nation_key")
+        .orderBy("event_id", "user_id", "ts_us")
+    )

@@ -115,6 +115,10 @@ _SCALAR_CROSS_OK = (
     # state — q160's audited pattern); candidate generation itself is
     # the probed-cell equi-join.
     "q168_ivfpq_serving_topk",
+    # q171: the two corpus token totals (tt, tr) ride into the per-doc
+    # scoring as a 1-row broadcast cross (the q48/q96 scalar-combine
+    # pattern); the bucket join itself is the broadcast EQUI-join on b.
+    "q171_dsir_importance_resample",
 )
 
 
