@@ -2371,10 +2371,17 @@ def _ivf_pq_scored(
     # count: a 2k-row corpus gets 3 tasks, not 32 empty-ish ones. The
     # count is a parquet-metadata job (no projection evaluated). At
     # 100 TB file splits already exceed cores and this is a no-op.
+    # ADVICE r13: check the split count FIRST — `want` is capped at
+    # `cores`, so when the scan already yields >= cores splits no
+    # repartition can result and the sizing count() job is skipped
+    # entirely (the 100 TB case). The count only runs on small scans,
+    # where it is one cheap job.
     cores = emb.sparkSession.sparkContext.defaultParallelism
-    want = int(min(cores, max(1, base.count() // 512)))
-    if base.rdd.getNumPartitions() < want:
-        base = base.repartition(want)
+    nparts = base.rdd.getNumPartitions()
+    if nparts < cores:
+        want = int(min(cores, max(1, base.count() // 512)))
+        if nparts < want:
+            base = base.repartition(want)
 
     # coarse centroids as inlined literals (the q34 recipe: the
     # Column-object equivalent costs n_cells × dim Py4J round trips;

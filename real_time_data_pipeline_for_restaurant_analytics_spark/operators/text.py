@@ -1740,9 +1740,9 @@ ORDER BY w.doc_id
     "duplicated-3-gram character coverage (sum-of-occurrences), "
     "adjacent-token stutter rate, and the composite keep flag. "
     "N-grams are built inside the row (zip_with over array slices, "
-    "no explode before counting); one (doc, gram)-keyed shuffle per "
-    "n-gram order with map-side partial counts — linear at any "
-    "corpus size, no UDFs.",
+    "no explode before counting) and counted by an in-row run-length "
+    "fold over the sorted gram arrays (round-13 rebuild) — MAP-ONLY, "
+    "zero exchanges, linear at any corpus size, no UDFs.",
 )
 def q162_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no trailing orderBy: the driver hash is order-insensitive, a

@@ -26,6 +26,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    """Spark scratch (shuffle blocks, broadcast, disk spill) location.
+
+    ``$SPARK_GRAFT_LOCAL_DIR`` if set; else the fastest writable
+    scratch volume (guide §2.1/§6: shuffle cost is disk-bound on slow
+    local disks — on a cluster you point spark.local.dir at NVMe; the
+    local twin of that decision is /dev/shm over the disk-backed
+    system tempdir). Scratch only — lost blocks recompute from
+    lineage, so volatility is fine.
+    """
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    from .workdirs import scratch_base
+
+    p = os.path.join(scratch_base(), "spark_graft_local")
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 def get_spark(
     app_name: str = "real_time_data_pipeline_for_restaurant_analytics_spark",
     master: str | None = None,
@@ -53,6 +73,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -152,6 +152,15 @@ _LEASE_FAMILY = b"lease"
 _FLOCK_FAMILY = b"flock"
 
 
+def _is_family(magic: bytes, family: bytes) -> bool:
+    """True iff ``magic`` is a protocol-FAMILY marker: the bare legacy
+    word or the word followed by the ``:`` version delimiter (ADVICE
+    r13: a bare ``startswith`` also matched unrelated markers that
+    merely share the prefix bytes, e.g. a hypothetical ``flocked:…``,
+    silently deferring probes for non-family markers)."""
+    return magic == family or magic.startswith(family + b":")
+
+
 def _liveness_magic(path: str) -> bytes:
     """First bytes of a liveness marker (b'' when absent/unreadable)."""
     try:
@@ -229,7 +238,7 @@ class _FlockLivenessMixin:
         import os
 
         magic = _liveness_magic(path)
-        if magic.startswith(_LEASE_FAMILY):
+        if _is_family(magic, _LEASE_FAMILY):
             _warn_foreign(path, _FLOCK_MAGIC, magic)
             return False
         try:
@@ -247,7 +256,7 @@ class _FlockLivenessMixin:
             # winning it proves nothing about them)
             magic = _liveness_magic(path)
             fcntl.flock(fd, fcntl.LOCK_UN)
-            if magic.startswith(_LEASE_FAMILY):
+            if _is_family(magic, _LEASE_FAMILY):
                 _warn_foreign(path, _FLOCK_MAGIC, magic)
                 return False
             return True
@@ -402,7 +411,7 @@ class HeartbeatLeaseProtocol(CommitProtocol):
         import time
 
         magic = _liveness_magic(path)
-        if magic.startswith(_FLOCK_FAMILY):
+        if _is_family(magic, _FLOCK_FAMILY):
             _warn_foreign(path, _LEASE_MAGIC, magic)
             return False
         try:

@@ -28,6 +28,36 @@ from pyspark.sql.types import (
 )
 
 
+def _write_json_drops(work: str, plan: list) -> None:
+    """Materialize replay drop files CONCURRENTLY (guide §2.6: each is
+    an independent coalesce(1) JSON job into its own scratch dir, and
+    the scheduler overlaps concurrent actions — the drop phase costs
+    roughly one job's wall instead of len(plan); the q145
+    ``_parallel_drops`` recipe applied to the streaming replays, which
+    wrote their 2-6 drops serially until round 14).
+
+    ``plan`` rows are ``(landing_dir, batch_index, frame)``; the
+    explicit mtime stamp (base + index) keeps the file-source
+    micro-batch ORDER independent of write completion order.
+    """
+    import os
+    import shutil
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(landing: str, i: int, frame: DataFrame) -> None:
+        tmp = os.path.join(work, "w_" + uuid.uuid4().hex)
+        frame.coalesce(1).write.mode("overwrite").json(tmp)
+        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
+        dst = os.path.join(landing, f"drop{i}.json")
+        os.replace(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    with ThreadPoolExecutor(max_workers=min(len(plan), 8)) as pool:
+        list(pool.map(lambda a: one(*a), plan))
+
+
 def hourly_window_kpi(
     events: DataFrame,
     ts_col: str = "ts",
@@ -390,7 +420,6 @@ ORDER BY window_start, event_type
 )
 def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from ..catalog import load
     from ..workdirs import replay_workdir
@@ -428,22 +457,23 @@ def q164_watermark_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no-data batches run
         flush.unionByName(late1).unionByName(late3),
     )
-    n_late1, n_late3, n_flush = late1.count(), late3.count(), flush.count()
+    # fixture audit in ONE job (the q167 pattern, applied here in
+    # round 14 — this was three separate count() jobs): every
+    # straggler class and the flush as conditional sums over one scan
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    s = e.agg(
+        cnt(day(1) & (F.col("user_id") % 7 == 0)).alias("n_late1"),
+        cnt(day(3) & (F.col("user_id") % 5 == 0)).alias("n_late3"),
+        cnt((t >= us[4]) & (t < us[4] + 12 * 3600 * 1_000_000)).alias("n_flush"),
+    ).collect()[0]
+    n_late1, n_late3, n_flush = s["n_late1"], s["n_late3"], s["n_flush"]
     assert n_late1 > 0 and n_late3 > 0, (
         f"straggler classes empty (late1={n_late1}, late3={n_late3}) — "
         "the watermark drop/accept paths were not exercised"
     )
     assert n_flush > 0, "empty flush drop — day-3 window would never finalize"
 
-    for i, frame in enumerate(drops):
-        tmp = os.path.join(work, f"w{i}")
-        frame.coalesce(1).write.mode("overwrite").json(tmp)
-        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-        dst = os.path.join(landing, f"drop{i}.json")
-        os.replace(os.path.join(tmp, src), dst)
-        # file-source batches order by mtime: one file per micro-batch
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_json_drops(work, [(landing, i, f) for i, f in enumerate(drops)])
 
     schema = (
         "ts_us long, user_id long, event_type string, cents long"
@@ -582,7 +612,6 @@ ORDER BY a.user_id, session_start
 )
 def q165_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from ..catalog import load
     from ..workdirs import replay_workdir
@@ -607,30 +636,35 @@ def q165_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFr
         e.filter((t >= cut1) & (t < cut2)),
         e.filter(t >= cut2),
     )
-    counts = [d.count() for d in drops]
+    # fixture audit in ONE job (round 14 — this was four: three drop
+    # counts plus an intersect): per-user conditional sums roll up to
+    # the three drop counts AND the consecutive-drop spanning count
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    s = (
+        e.groupBy("user_id")
+        .agg(
+            cnt(t < cut1).alias("u0"),
+            cnt((t >= cut1) & (t < cut2)).alias("u1"),
+            cnt(t >= cut2).alias("u2"),
+        )
+        .agg(
+            F.sum("u0").alias("c0"),
+            F.sum("u1").alias("c1"),
+            F.sum("u2").alias("c2"),
+            cnt((F.col("u0") > 0) & (F.col("u1") > 0)).alias("spanning"),
+        )
+        .collect()[0]
+    )
+    counts = [s["c0"], s["c1"], s["c2"]]
     assert all(c > 0 for c in counts), (
         f"empty drop in {counts} — the multi-batch state path was not exercised"
     )
-    spanning = (
-        drops[0]
-        .select("user_id")
-        .intersect(drops[1].select("user_id"))
-        .limit(1)
-        .count()
-    )
-    assert spanning > 0, (
+    assert s["spanning"] > 0, (
         "no user appears in consecutive drops — cross-batch state "
         "merge was not exercised"
     )
 
-    for i, frame in enumerate(drops):
-        tmp = os.path.join(work, f"w{i}")
-        frame.coalesce(1).write.mode("overwrite").json(tmp)
-        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-        dst = os.path.join(landing, f"drop{i}.json")
-        os.replace(os.path.join(tmp, src), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_json_drops(work, [(landing, i, f) for i, f in enumerate(drops)])
 
     stream = (
         spark.readStream.schema("ts_us long, user_id long")
@@ -748,7 +782,6 @@ def q167_stream_stream_interval_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import shutil
 
     from ..catalog import load
     from ..workdirs import replay_workdir
@@ -833,17 +866,15 @@ def q167_stream_stream_interval_join(
         "retention was not exercised"
     )
 
-    for landing, drops in ((land_l, ldrops), (land_r, rdrops)):
-        for i, frame in enumerate(drops):
-            tmp = os.path.join(work, f"w{i}")
-            frame.coalesce(1).write.mode("overwrite").json(tmp)
-            src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-            dst = os.path.join(landing, f"drop{i}.json")
-            os.replace(os.path.join(tmp, src), dst)
-            # file-source batches order by mtime: one file per batch,
-            # L_i and R_i pairing into micro-batch i
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-            shutil.rmtree(tmp, ignore_errors=True)
+    # one file per batch, L_i and R_i pairing into micro-batch i
+    _write_json_drops(
+        work,
+        [
+            (landing, i, frame)
+            for landing, drops in ((land_l, ldrops), (land_r, rdrops))
+            for i, frame in enumerate(drops)
+        ],
+    )
 
     schema = "ts_us long, user_id long, event_id long"
     ls = (
@@ -972,7 +1003,6 @@ def q169_stream_outer_join_null_emission(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import shutil
 
     from ..catalog import load
     from ..workdirs import replay_workdir
@@ -1050,15 +1080,14 @@ def q169_stream_outer_join_null_emission(
         "null emission"
     )
 
-    for landing, drops in ((land_l, ldrops), (land_r, rdrops)):
-        for i, frame in enumerate(drops):
-            tmp = os.path.join(work, f"w{i}")
-            frame.coalesce(1).write.mode("overwrite").json(tmp)
-            src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-            dst = os.path.join(landing, f"drop{i}.json")
-            os.replace(os.path.join(tmp, src), dst)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-            shutil.rmtree(tmp, ignore_errors=True)
+    _write_json_drops(
+        work,
+        [
+            (landing, i, frame)
+            for landing, drops in ((land_l, ldrops), (land_r, rdrops))
+            for i, frame in enumerate(drops)
+        ],
+    )
 
     schema = "ts_us long, user_id long, event_id long"
     ls = (
@@ -1208,7 +1237,6 @@ ORDER BY event_id, user_id, event_type, ts_us
 )
 def q170_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from ..catalog import load
     from ..workdirs import replay_workdir
@@ -1262,14 +1290,7 @@ def q170_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         s[k] > 0 for k in ("d0", "d1", "d2", "n_same", "n_cross", "n_rep")
     ), f"empty drop or duplicate class in {dict(s.asDict())}"
 
-    for i, frame in enumerate(drops):
-        tmp = os.path.join(work, f"w{i}")
-        frame.coalesce(1).write.mode("overwrite").json(tmp)
-        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-        dst = os.path.join(landing, f"drop{i}.json")
-        os.replace(os.path.join(tmp, src), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_json_drops(work, [(landing, i, f) for i, f in enumerate(drops)])
 
     schema = "event_id long, user_id long, event_type string, ts_us long"
     stream = (
@@ -1371,7 +1392,6 @@ ORDER BY event_id, user_id, ts_us
 )
 def q172_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
 
     from ..catalog import load
     from ..workdirs import replay_workdir
@@ -1410,14 +1430,10 @@ def q172_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         "matched/unmatched contract would be under-exercised"
     )
 
-    for i, frame in enumerate((base.filter(t < mid), base.filter(t >= mid))):
-        tmp = os.path.join(work, f"w{i}")
-        frame.coalesce(1).write.mode("overwrite").json(tmp)
-        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-        dst = os.path.join(landing, f"drop{i}.json")
-        os.replace(os.path.join(tmp, src), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    _write_json_drops(
+        work,
+        [(landing, i, f) for i, f in enumerate((base.filter(t < mid), base.filter(t >= mid)))],
+    )
 
     dim = (
         load(spark, sf_dir, "customer")

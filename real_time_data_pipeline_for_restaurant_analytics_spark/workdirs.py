@@ -5,7 +5,7 @@ materialize real warehouse state — landing drops, stream checkpoints,
 snapshot tables — as part of their run. That scratch lives OUTSIDE the
 repo tree (round-8 verdict blemish: q144 wrote `.tmp_stream_replay/`
 under the source tree): ``$SPARK_GRAFT_TMPDIR`` if set, else the
-system tempdir.
+fastest writable scratch volume (see :func:`scratch_base`).
 
 Cleanup is age-based, not delete-on-exit: the DataFrame a replay query
 returns lazily reads this run's parquet, so the directory must outlive
@@ -22,11 +22,32 @@ import time
 import uuid
 
 
+def scratch_base() -> str:
+    """Base directory for ephemeral replay scratch.
+
+    Order: ``$SPARK_GRAFT_TMPDIR`` (production points this at whatever
+    storage its durability needs — replay scratch needs none: it is
+    per-run fixture state, age-purged within the hour) → ``/dev/shm``
+    when present and writable (guide §6: put ephemeral small-file-heavy
+    scratch — streaming checkpoints' per-batch state/commit/offset
+    files, snapshot-table versions — on the fastest local volume; the
+    system tempdir here is a spinning/virtual disk and every streaming
+    micro-batch pays its fsync latency) → the system tempdir.
+    """
+    base = os.environ.get("SPARK_GRAFT_TMPDIR")
+    if base:
+        return base
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 def replay_workdir(family: str, max_age_s: float = 3600.0) -> str:
     """A fresh unique scratch directory under
-    ``$SPARK_GRAFT_TMPDIR/spark_graft_<family>/`` (default: the system
-    tempdir), purging siblings older than ``max_age_s`` seconds."""
-    base = os.environ.get("SPARK_GRAFT_TMPDIR") or tempfile.gettempdir()
+    ``<scratch_base()>/spark_graft_<family>/``, purging siblings older
+    than ``max_age_s`` seconds."""
+    base = scratch_base()
     root = os.path.join(base, f"spark_graft_{family}")
     os.makedirs(root, exist_ok=True)
     now = time.time()
