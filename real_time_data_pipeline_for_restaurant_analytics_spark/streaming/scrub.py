@@ -201,7 +201,6 @@ _REPLAY_ORACLE = (
     "idempotent sinks.",
 )
 def q144_streaming_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
 
     from ..workdirs import replay_workdir
 
@@ -218,17 +217,13 @@ def q144_streaming_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 5 == 3).select("doc_id", "text"),
         d.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text"),
     )
-    for i, frame in enumerate(drops):
-        # one JSON file per drop + pinned mtimes: the file source
-        # orders micro-batches by modification time, so each drop is
-        # exactly one batch and drop 0 always precedes drop 1
-        tmp = os.path.join(work, f"w{i}")
-        frame.coalesce(1).write.mode("overwrite").json(tmp)
-        src = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".json"))
-        dst = os.path.join(landing, f"drop{i}.json")
-        os.replace(os.path.join(tmp, src), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        shutil.rmtree(tmp, ignore_errors=True)
+    # one JSON file per drop + pinned mtimes: the file source orders
+    # micro-batches by modification time, so each drop is exactly one
+    # batch and drop 0 always precedes drop 1 (drops written
+    # concurrently — see _write_json_drops)
+    from .windows import _write_json_drops
+
+    _write_json_drops(work, [(landing, i, f) for i, f in enumerate(drops)])
 
     q = scrub_stream(
         spark,

@@ -36,6 +36,13 @@ def _write_json_drops(work: str, plan: list) -> None:
     ``_parallel_drops`` recipe applied to the streaming replays, which
     wrote their 2-6 drops serially until round 14).
 
+    A parallel encode (repartition + part-file concat) was measured
+    here in round 14 and REJECTED: with the q169 sentinel fixed to a
+    JVM relation the single-task coalesce(1) encode of a 1-2 MB drop is
+    ~0.3 s, and the repartition's extra exchange cost more than the
+    encode parallelism saved on every replay in the family (A/B:
+    bench_logs/qprof_stream_{w2,par1}.txt).
+
     ``plan`` rows are ``(landing_dir, batch_index, frame)``; the
     explicit mtime stamp (base + index) keeps the file-source
     micro-batch ORDER independent of write completion order.
@@ -1033,8 +1040,14 @@ def q169_stream_outer_join_null_emission(
     purch = ev.filter(
         (F.col("event_type") == "purchase") & (t >= c0) & (t < end)
     ).drop("event_type")
-    sentinel = spark.createDataFrame(
-        [(sentinel_us, -1, -1)], "ts_us long, user_id long, event_id long"
+    # pure-JVM one-row relation (guide §4: the createDataFrame([...])
+    # equivalent is a Python-RDD-backed scan — unioning it into a drop
+    # forced Python-worker startup INSIDE the drop-write job, ~5 s of
+    # the q169 wall at sf0.1 for one sentinel row)
+    sentinel = spark.range(1).select(
+        F.lit(sentinel_us).alias("ts_us"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("event_id"),
     )
     ldrops = (
         clicks.filter(t < c4),
