@@ -1818,74 +1818,75 @@ def _pq_train_codebook(
     centroid. Returns the trained codebook as ONE one-row broadcastable
     frame (the `cb` contract of :func:`_pq_codebook`).
 
-    Scale shape per round: the assign join streams corpus × n_codes
-    candidate distances through map-side partial aggregation; the
-    recompute shuffles only n_sub × n_codes × sub rows (KBs) — the
-    same bounded sync as q79's k×dim. Production trains on a corpus
-    SAMPLE (FAISS trains PQ on ~100k vectors regardless of corpus
-    size); the full-corpus pass here keeps the oracle replay exact.
-    """
-    subs = base.select(
-        F.col(id_col), F.explode(_pq_subvector_pieces(n_sub, sub)).alias("p")
-    ).select(F.col(id_col), F.col("p.m").alias("m"), F.col("p.sub").alias("sub"))
-    pex = subs.select(
-        F.col(id_col), "m", F.posexplode("sub").alias("pos", "e")
-    )
-    cent = (
-        subs.filter(F.col(id_col) < n_codes)
-        .select(
-            "m",
-            F.col(id_col).cast("bigint").alias("code"),
-            F.posexplode("sub").alias("pos", "e"),
-        )
-        .select("m", "code", "pos", F.col("e").alias("cm"))
-        .localCheckpoint()
-    )
-    from pyspark.sql import Window
+    Round 14 (guide §1.2/§5): the loop runs ON THE DRIVER over the
+    collected sample. ``base`` here is always the bounded training
+    sample (train_max_id rows × dim int8 values ≈ 128 KB — a bounded
+    driver sync like q79's k×dim collect, O(1) in the corpus), yet the
+    distributed formulation cost ~10 Spark jobs per query — a 4M-row
+    assign join, two shuffles and a localCheckpoint PER ROUND — and was
+    ~4.5 s of each of q160's/q168's ~8 s at sf0.1
+    (bench_logs/ivfpq_probe.txt). This is also how PQ training deploys
+    (FAISS trains codebooks in-process on a fixed-size sample; only
+    encode/search distribute). The arithmetic is replayed exactly:
+    integer squared-L2 in int64, argmin ties to the lowest code,
+    centroid update = floor of ONE IEEE-754 double division
+    (numpy float64 division ≡ JVM double division), an emptied code
+    keeps its previous centroid — the DuckDB oracle CTE chain and the
+    old distributed loop produce byte-identical codebooks (driver-hash
+    checked: q160/q168 green at sf0.01 and sf0.1).
 
-    wa = Window.partitionBy(id_col, "m").orderBy("d", "code")
+    The trained codebook returns as a one-row PURE-JVM literal frame
+    (``range(1).select(expr(...))`` — the q34/best_cells inlining
+    recipe; a createDataFrame would be a Python-RDD relation, guide §4)
+    so every consumer broadcast stays plan-identical.
+    """
+    import numpy as np
+
+    spark = base.sparkSession
+    rows = base.select(F.col(id_col).cast("bigint").alias("_id"), "qv").collect()
+    vecs = sorted((int(r["_id"]), [int(x) for x in r["qv"]]) for r in rows)
+    x = np.asarray([v for _, v in vecs], dtype=np.int64)  # (N, dim)
+    # init: the first n_codes vectors' subvectors (code = vector id),
+    # codes ascending — index order below IS code order, so argmin's
+    # first-minimum rule ties to the lowest code
+    codes = [i for i, _ in vecs if i < n_codes]
+    by_id = {i: v for i, v in vecs}
+    # cent[m]: (K, sub) int64, row k = centroid of codes[k]
+    cent = [
+        np.asarray([by_id[c][m * sub : (m + 1) * sub] for c in codes], dtype=np.int64)
+        for m in range(n_sub)
+    ]
     for _ in range(rounds):
-        d = (
-            pex.join(cent, ["m", "pos"])
-            .groupBy(id_col, "m", "code")
-            .agg(F.sum((F.col("e") - F.col("cm")) * (F.col("e") - F.col("cm"))).alias("d"))
+        for m in range(n_sub):
+            xm = x[:, m * sub : (m + 1) * sub]  # (N, sub)
+            diff = xm[:, None, :] - cent[m][None, :, :]  # (N, K, sub)
+            assign = (diff * diff).sum(axis=2).argmin(axis=1)  # (N,)
+            sums = np.zeros((len(codes), sub), dtype=np.int64)
+            np.add.at(sums, assign, xm)
+            counts = np.bincount(assign, minlength=len(codes)).astype(np.int64)
+            # recompute: floor(int_sum / n) via ONE IEEE float64
+            # division per element (numpy ≡ JVM double division); an
+            # emptied code keeps its previous centroid
+            nonempty = counts > 0
+            updated = np.floor(
+                sums[nonempty].astype(np.float64) / counts[nonempty, None]
+            ).astype(np.int64)
+            nxt = cent[m].copy()
+            nxt[nonempty] = updated
+            cent[m] = nxt
+    cents_sql = ", ".join(
+        "named_struct('m', {m}L, 'cents', array({cs}))".format(
+            m=m,
+            cs=", ".join(
+                "named_struct('cent_id', {c}L, 'csub', array({vals}))".format(
+                    c=c, vals=", ".join(f"{int(v)}L" for v in cent[m][k])
+                )
+                for k, c in enumerate(codes)
+            ),
         )
-        a = (
-            d.withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "m", "code")
-        )
-        newc = (
-            a.join(pex, [id_col, "m"])
-            .groupBy("m", "code", "pos")
-            .agg(
-                F.floor(
-                    F.sum("e").cast("double") / F.count(F.lit(1))
-                ).cast("bigint").alias("ncm")
-            )
-        )
-        cent = (
-            cent.join(newc, ["m", "code", "pos"], "left")
-            .select(
-                "m", "code", "pos", F.coalesce("ncm", "cm").alias("cm")
-            )
-            .localCheckpoint()
-        )
-    csubs = cent.groupBy("m", "code").agg(
-        F.expr(
-            "transform(sort_array(collect_list(struct(pos, cm))), s -> s.cm)"
-        ).alias("csub")
+        for m in range(n_sub)
     )
-    return (
-        csubs.groupBy("m")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("code").alias("cent_id"), "csub"))
-            ).alias("cents")
-        )
-        .groupBy()
-        .agg(F.sort_array(F.collect_list(F.struct("m", "cents"))).alias("cb"))
-    )
+    return spark.range(1).select(F.expr(f"array({cents_sql})").alias("cb"))
 
 
 def _pq_adc_expr(n_sub: int, n_codes: int) -> Column:
@@ -2563,57 +2564,143 @@ def ivf_pq_recall_audit(
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
-    possible = exact.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
-    wa = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    # ---- all probe levels in ONE pass over the candidate frame
+    # (round 14, guide §2.4: the per-level loop re-scanned `scored`
+    # 3× and planned 9 aggregation jobs + 6 broadcasts; at corpus
+    # scale the candidate frame is the big side, so the loop tripled
+    # the heavy pass). Per level p, the old plan's row_number over the
+    # cell_rank<=p SUBSET equals a running conditional count over ONE
+    # window sorted the same way: rank_p(r) = Σ_{r' ≤ r} (cell_rank<=p)
+    # with (adc_dist, neighbor_id) a strict total order per query —
+    # identical because row_number of a filtered frame IS the running
+    # count of filter-passers in sort order. All three level ranks
+    # share one sort (same partition key + order → one exchange), the
+    # exact-baseline membership attaches once as a broadcast flag, and
+    # one conditional-sum aggregation yields every level's counters.
     neigh_vecs = base.select(F.col(id_col).alias("neighbor_id"), "qv")
-    out = None
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy("adc_dist", "neighbor_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_lvl = {p: (F.col("cell_rank") <= p).cast("long") for p in probe_levels}
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cell_rank",
+        *[F.sum(in_lvl[p]).over(wrun).alias(f"rank_{p}") for p in probe_levels],
+    )
+    # exact-baseline membership as a broadcast flag (queries × k rows)
+    ranked = ranked.join(
+        F.broadcast(exact.withColumn("_hit", F.lit(1).cast("long"))),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).withColumn("_hit", F.coalesce("_hit", F.lit(0).cast("long")))
+    # refine: read back ONLY the union of the levels' shortlists and
+    # re-rank by exact integer L2 (the same fold as the baseline) —
+    # still queries × refine_r vector reads per level, not a rescan.
+    # A row is in level p's shortlist iff cell_rank<=p AND rank_p<=R;
+    # the per-level refined rank is the same running-count identity
+    # over the (d2, neighbor_id) order.
+    short_pred = None
     for p in probe_levels:
-        lvl = scored.filter(F.col("cell_rank") <= p)
-        scanned = lvl.agg(F.count(F.lit(1)).cast("bigint").alias("scanned"))
-        short = (
-            lvl.withColumn("rank", F.row_number().over(wa))
-            .filter(F.col("rank") <= refine_r)
-            .select("query_id", "neighbor_id", "rank")
+        c = (F.col("cell_rank") <= p) & (F.col(f"rank_{p}") <= refine_r)
+        short_pred = c if short_pred is None else (short_pred | c)
+    shortlist = ranked.filter(short_pred).select(
+        "query_id", "neighbor_id", "cell_rank", "_hit",
+        *[f"rank_{p}" for p in probe_levels],
+    )
+    wref = (
+        Window.partitionBy("query_id")
+        .orderBy("d2", "neighbor_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_short = {
+        p: ((F.col("cell_rank") <= p) & (F.col(f"rank_{p}") <= refine_r)).cast("long")
+        for p in probe_levels
+    }
+    refined = (
+        F.broadcast(shortlist)
+        .join(neigh_vecs, "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id", "neighbor_id", "cell_rank", "_hit",
+            *[f"rank_{p}" for p in probe_levels],
+            d2.alias("d2"),
         )
-        hits_adc = (
-            short.filter(F.col("rank") <= k)
-            .join(exact, ["query_id", "neighbor_id"])
-            .agg(F.count(F.lit(1)).cast("bigint").alias("hits_adc"))
+        .select(
+            "query_id", "neighbor_id", "cell_rank", "_hit",
+            *[f"rank_{p}" for p in probe_levels],
+            *[F.sum(in_short[p]).over(wref).alias(f"rrank_{p}") for p in probe_levels],
         )
-        # refine: read back ONLY the shortlist's full vectors and
-        # re-rank them by exact integer L2 (the same fold as the
-        # baseline) — queries × refine_r vector reads, not a rescan
-        refined = (
-            F.broadcast(short.drop("rank"))
-            .join(neigh_vecs, "neighbor_id")
-            .join(F.broadcast(qside), "query_id")
-            .select("query_id", "neighbor_id", d2.alias("d2"))
-            .withColumn("rank", F.row_number().over(we))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id")
-        )
-        hits_ref = refined.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("hits_refined")
-        )
-        row = (
-            scanned.crossJoin(F.broadcast(hits_adc))
-            .crossJoin(F.broadcast(hits_ref))
-            .crossJoin(F.broadcast(possible))
-            .select(
-                F.lit(p).cast("bigint").alias("n_probe"),
-                "scanned",
-                "hits_adc",
-                "hits_refined",
-                "possible",
-                F.expr("CAST((hits_adc * 1000) div possible AS BIGINT)").alias(
-                    "recall_adc_permille"
+    )
+    # one aggregation per frame: scanned + ADC hits from `ranked`,
+    # refined hits from `refined`, possible from `exact`
+    # coalesce(sum, 0): the old per-level count() of an empty frame
+    # was 0, a sum over an empty frame is NULL — keep value parity
+    zero = F.lit(0).cast("bigint")
+    agg_adc = ranked.agg(
+        *[F.coalesce(F.sum(in_lvl[p]), zero).alias(f"scanned_{p}") for p in probe_levels],
+        *[
+            # min(k, refine_r): the old plan took rank<=k FROM the
+            # rank<=refine_r shortlist, so both caps apply
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("cell_rank") <= p)
+                        & (F.col(f"rank_{p}") <= min(k, refine_r))
+                    ).cast("long")
+                    * F.col("_hit")
                 ),
-                F.expr("CAST((hits_refined * 1000) div possible AS BIGINT)").alias(
-                    "recall_refined_permille"
+                zero,
+            ).alias(f"hits_adc_{p}")
+            for p in probe_levels
+        ],
+    )
+    agg_ref = refined.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    in_short[p]
+                    * (F.col(f"rrank_{p}") <= k).cast("long")
+                    * F.col("_hit")
                 ),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
+                zero,
+            ).alias(f"hits_ref_{p}")
+            for p in probe_levels
+        ]
+    )
+    possible = exact.agg(F.count(F.lit(1)).cast("bigint").alias("possible"))
+    flat = (
+        agg_adc.crossJoin(F.broadcast(agg_ref))
+        .crossJoin(F.broadcast(possible))
+    )
+    # unpivot to one row per probe level (stack keeps the exact
+    # column math of the old per-level rows)
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), CAST(scanned_{p} AS BIGINT), "
+        f"CAST(hits_adc_{p} AS BIGINT), CAST(hits_ref_{p} AS BIGINT)"
+        for p in probe_levels
+    )
+    out = flat.select(
+        F.expr(
+            f"stack({len(probe_levels)}, {stack}) AS "
+            "(n_probe, scanned, hits_adc, hits_refined)"
+        ),
+        "possible",
+    ).select(
+        "n_probe",
+        "scanned",
+        "hits_adc",
+        "hits_refined",
+        "possible",
+        F.expr("CAST((hits_adc * 1000) div possible AS BIGINT)").alias(
+            "recall_adc_permille"
+        ),
+        F.expr("CAST((hits_refined * 1000) div possible AS BIGINT)").alias(
+            "recall_refined_permille"
+        ),
+    )
     return out.orderBy("n_probe")
 
 

@@ -93,6 +93,19 @@ def merge_entity_batch(
       streaming driver must keep ``True``. One fewer Spark job per
       entity per day (round-12: the replay family's fixed per-job
       overhead dominated its bench wall).
+    - ``"fork"`` → ``localCheckpoint`` + CONCURRENT clean and dim
+      merges (guide §2.6 — round 14). The two merges share no state
+      (different snapshot tables, different writer locks) and both
+      consume only the typed batch, so they commute; at replay scale
+      their cost is job latency, not data, and overlapping them cuts
+      the per-entity critical path from stage→clean→dim to
+      stage→max(clean, dim). The eager checkpoint pins the batch
+      BEFORE the fork: ``latest_per_key``'s row_number can break
+      order ties arbitrarily, and two concurrent first actions on a
+      merely-persisted frame could each compute their own tie-break —
+      the checkpoint makes both merges read the same materialized
+      rows (day-2 phase measured 3.2 s → 2.3 s at sf0.1,
+      bench_logs/day2_probe.txt).
     """
     # --- clean: typed transform + guarded SCD1 merge (C3)
     typed = spec.clean(raw)
@@ -108,14 +121,16 @@ def merge_entity_batch(
     if checkpoint == "persist":
         typed = typed.persist()
         persisted = True
-    elif checkpoint:
+    elif checkpoint:  # True or "fork": eager lineage-break checkpoint
         typed = typed.localCheckpoint()
-    try:
+
+    def _merge_clean() -> None:
         clean_tbl = wh.clean(spec.name)
         prev_clean = clean_tbl.read(spark)
         attrs = [c for c in typed.columns if c not in spec.key]
         clean_tbl.write(merge_upsert(prev_clean, typed, spec.key, attrs))
 
+    def _merge_dim() -> None:
         # --- consumption: SCD2 dim (C4) or SCD1 fact (C5)
         dim_tbl = wh.dim(spec.name)
         hk_name = f"{spec.name}_hk"
@@ -132,6 +147,18 @@ def merge_entity_batch(
                 first_start_from_created=True,
             )
             dim_tbl.write(apply_scd2(prev_dim, with_hk, cfg, batch_ts))
+
+    try:
+        if checkpoint == "fork":
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fut = pool.submit(_merge_clean)
+                _merge_dim()
+                fut.result()
+        else:
+            _merge_clean()
+            _merge_dim()
     finally:
         if persisted:
             typed.unpersist()
@@ -157,7 +184,8 @@ def run_entity(
     guard instead of re-parsing the stage file for each of the clean
     and dim merges — ``True`` via localCheckpoint (an extra eager
     job), ``"persist"`` via cache (no extra job; the batch source is
-    re-readable, so the lineage break isn't needed — see
+    re-readable, so the lineage break isn't needed), ``"fork"`` via
+    localCheckpoint + concurrent stage/clean/dim jobs — see
     :func:`merge_entity_batch`)."""
     batch_ts = batch_ts if batch_ts is not None else F.current_timestamp()
     ledger = wh.ledger(spec.name)
@@ -185,15 +213,31 @@ def run_entity(
         f"{fp['path']}|{fp['size']}|{fp['mtime']}".encode()
     ).hexdigest()
     raw = _read_source(spark, spec, file_path)
-    (
-        raw.withColumn("_ingest_fp", F.lit(ingest_tag))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_ingest_fp")
-        .parquet(os.path.join(wh.stage_dir(spec.name), "data"))
-    )
 
-    merge_entity_batch(spark, wh, spec, raw, batch_ts, checkpoint=checkpoint)
+    def _stage_write() -> None:
+        (
+            raw.withColumn("_ingest_fp", F.lit(ingest_tag))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_ingest_fp")
+            .parquet(os.path.join(wh.stage_dir(spec.name), "data"))
+        )
+
+    if checkpoint == "fork":
+        # the stage append and the merges share no state (the merges
+        # read the SOURCE file, not the staged parquet), so overlap
+        # them too (guide §2.6); the join() below keeps ledger.mark
+        # strictly after the stage write — the exactly-once contract
+        # is unchanged
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_stage_write)
+            merge_entity_batch(spark, wh, spec, raw, batch_ts, checkpoint=checkpoint)
+            fut.result()
+    else:
+        _stage_write()
+        merge_entity_batch(spark, wh, spec, raw, batch_ts, checkpoint=checkpoint)
 
     ledger.mark(todo)
     out = {"entity": spec.name, "staged_files": len(todo), "skipped": False}

@@ -57,13 +57,13 @@ def main() -> None:
 
         wh = Warehouse(os.path.join(work, "wh"))
         run_all(spark, wh, day_dirs[0], batch_ts=F.lit(rp._TS1).cast("timestamp"),
-                collect_stats=False, checkpoint="persist", parallel=True)
+                collect_stats=False, checkpoint="fork", parallel=True)
         marks.append(("day1", time.perf_counter()))
         run_all(spark, wh, day_dirs[1], batch_ts=F.lit(rp._TS2).cast("timestamp"),
-                collect_stats=False, checkpoint="persist", parallel=True)
+                collect_stats=False, checkpoint="fork", parallel=True)
         marks.append(("day2", time.perf_counter()))
         run_all(spark, wh, day_dirs[1], batch_ts=F.lit(rp._TS3).cast("timestamp"),
-                collect_stats=False, checkpoint="persist", parallel=True)
+                collect_stats=False, checkpoint="fork", parallel=True)
         marks.append(("rerun", time.perf_counter()))
 
         out = (
