@@ -164,14 +164,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def jaccard_pairs(
     sh: DataFrame, id_col: str, min_permille: int = 0
 ) -> DataFrame:
-    """Exact pairwise Jaccard from a (id, shingle) table via inverted-
-    index self-join. Integer-exact: jaccard_permille = ⌊1000·|∩|/|∪|⌋."""
+    """Exact pairwise Jaccard from a (id, shingle) table via inverted
+    index. Integer-exact: jaccard_permille = ⌊1000·|∩|/|∪|⌋.
+
+    Pair generation is group-and-expand, not a self-join: one shuffle
+    of the shingle table (the self-join shuffles BOTH aliases — 2× the
+    bytes — and evaluates the upstream shingle kernel once per side),
+    then in-bucket upper-triangle expansion over the sorted id list.
+    Identical pair set: per-doc shingles are distinct, so the count of
+    (id1, id2) rows across buckets IS |∩|."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+    )
     inter = (
-        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        groups.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter_ct"))
     )
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
@@ -388,28 +402,31 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+        # One shuffle round: neighbor label messages UNION the vertex's
+        # own label, min-folded per vertex. The self message carries the
+        # old label in a second column, so the convergence check is a
+        # local filter over the checkpointed result instead of a join
+        # against the previous labels (guide §2.4 — one join per round,
+        # not two, and no extra shuffle for the fixpoint test).
+        msgs = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"),
+            F.col("component"),
+            F.lit(None).cast(dict(labels.dtypes)["component"]).alias("old"),
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+        own = labels.select(
+            "id", "component", F.col("component").alias("old")
+        )
+        stepped = (
+            msgs.union(own)
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("old").alias("old"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter("n.component != o.component")
-            .head(1)
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("component") < F.col("old")).head(1)
+        labels = stepped.select("id", "component")
         if not changed:
             break
     return labels
@@ -464,7 +481,7 @@ JOIN sizes s2 ON i.id2 = s2.doc_id
 WHERE CAST(i.inter_ct * 1000 AS BIGINT) // (s1.sz + s2.sz - i.inter_ct) >= 100
 ORDER BY id1, id2
 """,
-    doc="Exact n-gram Jaccard near-dup pairs (inverted-index self-join, integer-exact).",
+    doc="Exact n-gram Jaccard near-dup pairs (inverted-index group-and-expand, integer-exact).",
 )
 def q20_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -2220,20 +2237,23 @@ def containment_pairs(
     ``containment_permille = ⌊1000·|∩| / min(|A|,|B|)⌋`` — 1000 means
     the smaller document's shingle set is entirely inside the larger.
 
-    Same inverted-index self-join shape (and cost bound) as
-    :func:`jaccard_pairs`: one shuffle on the shingle key, pair rows
+    Same inverted-index group-and-expand shape (and cost bound) as
+    :func:`jaccard_pairs`: one shuffle of the shingle table, pair rows
     exist only where documents actually share a shingle.
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        groups.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter_ct"))
     )
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
