@@ -125,23 +125,60 @@ ORDER BY o_custkey
     "stream exists; one shuffle, integer-exact comparisons.",
 )
 def q90_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both snapshots come from the SAME table over overlapping windows,
+    # so the full-outer diff folds into ONE scan + ONE shuffle
+    # (round 14, guide §2.2/§3.5): per row, membership in each window
+    # is a flag, the per-window (count, cents-sum) are conditional
+    # aggregates, and "key absent from a snapshot" is exactly
+    # n_orders = 0 (every present key has >= 1 order). Results are
+    # row-identical to snapshot_diff(snap(old), snap(new)) — that
+    # generic two-frame operator remains for genuinely separate
+    # snapshots (tests pin it); this query's windows share a scan.
     orders = load(spark, sf_dir, "orders")
-
-    def snap(lo: str, hi: str) -> DataFrame:
-        return (
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
-            )
-            .groupBy("o_custkey")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-                F.sum(_cents("o_totalprice")).cast("bigint").alias("revenue_cents"),
-            )
+    in_old = (F.col("o_orderdate") >= F.lit(_OLD_LO)) & (
+        F.col("o_orderdate") < F.lit(_OLD_HI)
+    )
+    in_new = (F.col("o_orderdate") >= F.lit(_NEW_LO)) & (
+        F.col("o_orderdate") < F.lit(_NEW_HI)
+    )
+    cents = _cents("o_totalprice")
+    zero = F.lit(0).cast("bigint")
+    agg = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(_OLD_LO))
+            & (F.col("o_orderdate") < F.lit(_NEW_HI))
         )
-
-    return snapshot_diff(
-        snap(_OLD_LO, _OLD_HI),
-        snap(_NEW_LO, _NEW_HI),
-        key=["o_custkey"],
-        value_cols=["n_orders", "revenue_cents"],
-    ).orderBy("o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(in_old, 1).otherwise(0)).cast("bigint").alias("old_n"),
+            F.coalesce(F.sum(F.when(in_old, cents)), zero)
+            .cast("bigint")
+            .alias("old_c"),
+            F.sum(F.when(in_new, 1).otherwise(0)).cast("bigint").alias("new_n"),
+            F.coalesce(F.sum(F.when(in_new, cents)), zero)
+            .cast("bigint")
+            .alias("new_c"),
+        )
+    )
+    has_old = F.col("old_n") > 0
+    has_new = F.col("new_n") > 0
+    return (
+        agg.filter(has_old | has_new)
+        .select(
+            "o_custkey",
+            F.when(~has_old, F.lit("insert"))
+            .when(~has_new, F.lit("delete"))
+            .when(
+                (F.col("old_n") != F.col("new_n"))
+                | (F.col("old_c") != F.col("new_c")),
+                F.lit("update"),
+            )
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            F.when(has_old, F.col("old_n")).otherwise(-1).cast("bigint").alias("old_n_orders"),
+            F.when(has_new, F.col("new_n")).otherwise(-1).cast("bigint").alias("new_n_orders"),
+            F.when(has_old, F.col("old_c")).otherwise(-1).cast("bigint").alias("old_revenue_cents"),
+            F.when(has_new, F.col("new_c")).otherwise(-1).cast("bigint").alias("new_revenue_cents"),
+        )
+        .orderBy("o_custkey")
+    )

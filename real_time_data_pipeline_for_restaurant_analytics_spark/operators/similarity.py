@@ -204,33 +204,75 @@ def truncation_recall(
     tail dims carry the geometry and truncation would silently degrade
     every downstream dedup/dedup-lift/ANN consumer.
 
-    Two bounded brute-force passes (queries broadcast, corpus scanned
-    twice) joined on (query, neighbor) — the join is k×queries-sized.
-    Deterministic: both rankings use the exact double fold + (cos desc,
-    id) tie-break that q24 hash-proves engine-identical.
+    ONE bounded brute-force pass (round 14, guide §2.2/§3): the full
+    and truncated cosine are computed side-by-side on the SAME
+    broadcast-cross frame (formerly two corpus scans + two crossJoins
+    + a sort-merge join of the two top-k frames), and the two rankings
+    are two windows over one query_id exchange. A (query, neighbor)
+    pair is an overlap hit iff rank_full <= k AND rank_trunc <= k —
+    both ranks live on the same row, so the old top-k∩top-k join is a
+    per-query conditional sum. Deterministic: both rankings use the
+    exact double fold + (cos desc, id) tie-break that q24 hash-proves
+    engine-identical (the truncated norm/dot run on the sliced array,
+    the same IEEE sequence as scoring a pre-sliced corpus).
     """
+    from pyspark.sql import Window
+
     pred = query_filter if query_filter is not None else F.col(id_col) < 10
-    full = brute_force_topk(emb, k=k, id_col=id_col, vec_col=vec_col, query_filter=pred)
-    tr = emb.select(
-        F.col(id_col), F.expr(f"slice({vec_col}, 1, {trunc_dim})").alias(vec_col)
+    sliced = f"slice({vec_col}, 1, {trunc_dim})"
+    base = spread(emb, id_col).select(
+        F.col(id_col),
+        _to_double(vec_col).alias("v"),
+        _norm(vec_col).alias("nrm"),
+        _to_double(sliced).alias("tv"),
+        _norm(sliced).alias("tn"),
     )
-    trunc = brute_force_topk(tr, k=k, id_col=id_col, vec_col=vec_col, query_filter=pred)
-    hits = full.select("query_id", "neighbor_id").join(
-        trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    _assert_bounded_query_side(emb.filter(pred), id_col, DEFAULT_MAX_QUERY_ROWS)
+    q = base.filter(pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+        F.col("tv").alias("qtv"), F.col("tn").alias("qtn"),
     )
-    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_overlap"))
-    queries = full.select("query_id").distinct()
-    return (
-        queries.join(n_hits, "query_id", "left")
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"), F.col("nrm").alias("cn"),
+        F.col("tv").alias("ctv"), F.col("tn").alias("ctn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            "neighbor_id",
+            (_dot_d("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_full"),
+            (_dot_d("qtv", "ctv") / (F.col("qtn") * F.col("ctn"))).alias("cos_tr"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "neighbor_id")
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cos_tr"), "neighbor_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        ranked.filter(F.col("rf") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rt") <= k).cast("long")).cast("bigint").alias("n_overlap")
+        )
+        .select(
+            "query_id",
+            "n_overlap",
             # integer floor-div, NOT double-divide-then-truncate: double
             # division re-rounds (666.9999... vs 667) and the oracle's
             # CAST rounds half-even — integer `div` on both sides makes
             # any k hash-stable, not just divisors of 1000.
-            F.expr(f"(CAST(coalesce(n_overlap, 0) AS BIGINT) * 1000) div {k}")
-            .alias("recall_permille"),
+            F.expr(f"(CAST(n_overlap AS BIGINT) * 1000) div {k}").alias(
+                "recall_permille"
+            ),
         )
     )
 
@@ -2170,12 +2212,18 @@ def ivf_recall_audit(
     checkpointed so the sweep reuses it) + ONE IVF kernel pass: cell
     assignment, probe ranking, and candidate scoring run once at the
     DEEPEST probe level (:func:`ivf_scored_candidates` keeps each
-    candidate's ``cell_rank``), and every level is a filter + window
-    re-rank over that checkpointed frame — not a recomputation (a
-    probe-p candidate set is exactly the cell_rank <= p slice). Per
-    level, recall_permille = |IVF∩exact| * 1000 // |exact|. Run at
-    gate scale or on a query sample — the exact side is the audit's
-    cost, exactly as in the LSH audit (q114)."""
+    candidate's ``cell_rank``), and every level is sliced from that
+    ONE checkpointed frame in a SINGLE pass (round 14, guide §2.4 —
+    the q160 fold): per level p, the old plan's row_number over the
+    cell_rank<=p subset equals a running conditional count over one
+    shared (desc cos_sim, neighbor_id) sort, the exact-baseline
+    membership attaches once as a broadcast flag, and one
+    conditional-sum aggregation + ``stack`` unpivot yields every
+    level's counters — one window exchange and one aggregation job
+    instead of a window + join + agg PER LEVEL. Per level,
+    recall_permille = |IVF∩exact| * 1000 // |exact|. Run at gate
+    scale or on a query sample — the exact side is the audit's cost,
+    exactly as in the LSH audit (q114)."""
     from pyspark.sql import Window
 
     exact = (
@@ -2187,31 +2235,50 @@ def ivf_recall_audit(
     scored = ivf_scored_candidates(
         emb, n_cells=n_cells, n_probe=max(probe_levels), query_max_id=query_max_id
     ).localCheckpoint()
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    out = None
-    for p in probe_levels:
-        ivf = (
-            scored.filter(F.col("cell_rank") <= p)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id")
-        )
-        hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("hits")
-        )
-        row = (
-            hits.crossJoin(F.broadcast(possible))
-            .select(
-                F.lit(p).cast("bigint").alias("n_probe"),
-                "hits",
-                "possible",
-                F.expr("CAST((hits * 1000) div possible AS BIGINT)").alias(
-                    "recall_permille"
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cos_sim"), "neighbor_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_lvl = {p: (F.col("cell_rank") <= p).cast("long") for p in probe_levels}
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cell_rank",
+        *[F.sum(in_lvl[p]).over(wrun).alias(f"rank_{p}") for p in probe_levels],
+    ).join(
+        F.broadcast(exact.withColumn("_hit", F.lit(1).cast("long"))),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).withColumn("_hit", F.coalesce("_hit", F.lit(0).cast("long")))
+    zero = F.lit(0).cast("bigint")
+    agg = ranked.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    ((F.col("cell_rank") <= p) & (F.col(f"rank_{p}") <= k)).cast("long")
+                    * F.col("_hit")
                 ),
+                zero,
+            ).alias(f"hits_{p}")
+            for p in probe_levels
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), CAST(hits_{p} AS BIGINT), possible,"
+        f" CAST((hits_{p} * 1000) div possible AS BIGINT)"
+        for p in probe_levels
+    )
+    return (
+        agg.crossJoin(F.broadcast(possible))
+        .select(
+            F.expr(
+                f"stack({len(probe_levels)}, {stack})"
+                " AS (n_probe, hits, possible, recall_permille)"
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("n_probe")
+        .orderBy("n_probe")
+    )
 
 
 def _ivf_recall_oracle(
