@@ -1068,12 +1068,30 @@ def verified_near_dups(
     deployed at 100 TB: the exact |∩|/|∪| math runs on O(collisions)
     pairs, not O(n²) — the shingle inverted index joins against the
     candidate pair list first, so non-candidates never aggregate.
+
+    The verify side is candidate-restricted up front (round-14): the
+    candidate pair list is pinned once (O(collisions) rows), its id set
+    broadcast-semi-joins the shingle table, and the surviving candidate
+    shingles are materialized once — so the shingle kernel runs once
+    instead of three times (sizes / a / b) and the sizes aggregation
+    shuffles only candidate docs' shingles, not the full corpus.
     """
     sig = minhash_signatures(df, id_col, text_col)
-    cands = lsh_candidates(lsh_bands(sig, id_col), id_col).filter(
-        F.col("n_shared_bands") >= min_shared_bands
+    cands = (
+        lsh_candidates(lsh_bands(sig, id_col), id_col)
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+        .localCheckpoint()
     )
-    sh = shingles(df, id_col, text_col)
+    cand_ids = (
+        cands.select(F.col("id1").alias(id_col))
+        .unionByName(cands.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        shingles(df, id_col, text_col)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .localCheckpoint()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))
@@ -2328,12 +2346,29 @@ def containment_verified(
     Jaccard) can miss candidacy. That asymmetric-recall gap is exactly
     what the q135 audit twin measures; at equal-size near-dups the
     band recall math is q49's.
+
+    Verify side candidate-restricted exactly like
+    :func:`verified_near_dups` (round-14): candidates pinned once, the
+    shingle table broadcast-semi-joined to candidate ids and
+    materialized once — one shingle-kernel eval instead of three, and
+    the sizes shuffle bounded by candidates instead of the corpus.
     """
     sig = minhash_signatures(df, id_col, text_col)
-    cands = lsh_candidates(lsh_bands(sig, id_col), id_col).filter(
-        F.col("n_shared_bands") >= min_shared_bands
+    cands = (
+        lsh_candidates(lsh_bands(sig, id_col), id_col)
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+        .localCheckpoint()
     )
-    sh = shingles(df, id_col, text_col)
+    cand_ids = (
+        cands.select(F.col("id1").alias(id_col))
+        .unionByName(cands.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        shingles(df, id_col, text_col)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .localCheckpoint()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id1"), F.col("shingle"))
     b = sh.select(F.col(id_col).alias("id2"), F.col("shingle"))

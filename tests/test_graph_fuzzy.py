@@ -288,3 +288,62 @@ def test_containment_verified_equals_exact_on_candidates(spark):
     assert got == exact
     assert got[(1, 2)] == 1000  # identical docs
     assert 0 < got[(1, 3)] < 1000  # one-word edit
+
+
+def test_candidate_restricted_verify_loses_no_pair(spark):
+    """Round-14 invariant: the verify side of verified_near_dups is
+    candidate-restricted (broadcast semi-join of the shingle table to
+    candidate ids, materialized once) — the restriction must be
+    lossless, i.e. identical to re-verifying against the FULL shingle
+    table for the same candidate pairs."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+        verified_near_dups,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("w33 ", "x ")),
+        (4, "entirely unrelated content " + " ".join(f"u{i}" for i in range(30))),
+        (5, "another disjoint doc " + " ".join(f"v{i}" for i in range(30))),
+    ]
+    d = _docs(spark, rows)
+    got = {
+        (r.id1, r.id2): (r.n_shared_bands, r.inter_ct, r.jaccard_permille)
+        for r in verified_near_dups(d, "doc_id", "text", min_permille=0).collect()
+    }
+    # unrestricted reference: same candidate pairs, verify against the
+    # full (never semi-joined) shingle table
+    sig = minhash_signatures(d, "doc_id", "text")
+    cands = lsh_candidates(lsh_bands(sig, "doc_id"), "doc_id").filter(
+        F.col("n_shared_bands") >= 2
+    )
+    sh = shingles(d, "doc_id", "text")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("id1"), "shingle"), "id1")
+        .join(sh.select(F.col("doc_id").alias("id2"), "shingle"), ["id2", "shingle"])
+        .groupBy("id1", "id2", "n_shared_bands")
+        .agg(F.count(F.lit(1)).alias("inter_ct"))
+    )
+    want = {
+        (r.id1, r.id2): (
+            r.n_shared_bands,
+            r.inter_ct,
+            r.inter_ct * 1000 // (r.sz1 + r.sz2 - r.inter_ct),
+        )
+        for r in inter.join(
+            sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1")), "id1"
+        )
+        .join(sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 2  # the candidate set is non-trivial
