@@ -1150,6 +1150,17 @@ def dsir_importance_resample(
     tot = marg.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
+    # ACCEPTED RESIDUAL RISK (q48 float-parity convention): w is a
+    # floating-point SUM of per-bucket double terms, and Spark's and
+    # DuckDB's aggregation ORDER differ — each ln term is
+    # engine-identical (same integer inputs), but the sum can drift in
+    # the last ulp, and round(·, 6) below only probabilistically
+    # absorbs that (a value landing exactly on a 6-decimal rounding
+    # boundary, or a rank flip at the keep_pct cut between two
+    # near-equal keys, would break hash parity). Fixed-point
+    # accumulation would remove the risk but change every emitted
+    # weight_r/sample_key_r value, so it stays documented rather than
+    # fixed while driver hashes pin the current doubles.
     scored = (
         dbc.filter(~F.col("_is_tgt"))
         .join(broadcast(marg), "b")

@@ -2558,13 +2558,22 @@ def prefix_filter_jaccard_pairs(
 
 
 def verify_jaccard_candidates(
-    sh: DataFrame, cand: DataFrame, id_col: str, min_permille: int
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    min_permille: int,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of a (id1, id2) candidate frame:
     intersect counts via the token equi-join restricted to candidates,
     sizes joined back, integer permille threshold — the verify stage
     shared by the prefix-filter path (q166) and any caller that
-    generates candidates its own way."""
+    generates candidates its own way.
+
+    ``sizes`` lets a caller that already materialized the per-doc
+    (id, sz) aggregate (e.g. for a pruning audit's doc count) pass it
+    in instead of re-aggregating the shingle table here (guide §2.4:
+    two consumers of the same keyed aggregate share one exchange)."""
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
@@ -2573,7 +2582,8 @@ def verify_jaccard_candidates(
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("inter_ct"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
     return (
@@ -2636,13 +2646,23 @@ def q166_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
     d = load(spark, sf_dir, "documents")
     sh = shingles(d, "doc_id", "text").localCheckpoint()
     cand = prefix_filter_candidates(sh, "doc_id", 500).localCheckpoint()
+    # per-doc sizes materialized ONCE (round-14, guide §2.4): the
+    # pruning audit's doc count is sizes.count() (one row per doc by
+    # construction — identical to distinct-counting doc_id) and the
+    # verify stage reuses the same frame, so the shingle table is
+    # shuffled once for sizes instead of once for the audit's DISTINCT
+    # plus once (per join leg) inside the verify plan
+    sizes = (
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
+    )
     # pruning audit on the MATERIALIZED candidate frame (round-13 fix:
     # counting the verified OUTPUT is vacuous — verification alone
     # bounds it below all-pairs whether or not the prefix filter
     # degenerated; the candidate count is what the filter controls)
-    n_docs = sh.select("doc_id").distinct().count()
-    _assert_pruning_engaged(cand.count(), n_docs)
-    return verify_jaccard_candidates(sh, cand, "doc_id", 500).orderBy("id1", "id2")
+    _assert_pruning_engaged(cand.count(), sizes.count())
+    return verify_jaccard_candidates(sh, cand, "doc_id", 500, sizes=sizes).orderBy(
+        "id1", "id2"
+    )
 
 
 def _assert_pruning_engaged(n_cand: int, n_docs: int) -> None:

@@ -415,3 +415,46 @@ def test_pruning_audit_fires_on_degenerate_token_order(spark):
     assert degenerate == 6, "hottest-first must make every pair a candidate"
     with pytest.raises(AssertionError, match="degenerated to all-pairs"):
         _assert_pruning_engaged(degenerate, 4)
+
+
+def test_verify_with_precomputed_sizes_is_identical(spark):
+    """Round-14 (optimization): q166 materializes the per-doc sizes
+    aggregate once and hands it to ``verify_jaccard_candidates`` (the
+    same frame also supplies the pruning audit's doc count). The
+    precomputed-sizes path must be value-identical to the default
+    recompute-from-sh path on every output column."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_pipeline_for_restaurant_analytics_spark.operators.dedup import (
+        prefix_filter_candidates,
+        verify_jaccard_candidates,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),
+        (3, ["a", "x1", "x2"]),
+        (4, ["b", "y1", "y2"]),
+    ]
+    sh = spark.createDataFrame(
+        [(i, s) for i, toks in rows for s in toks], "doc_id long, shingle string"
+    )
+    cand = prefix_filter_candidates(sh, "doc_id", 500)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    cols = ("id1", "id2", "inter_ct", "union_ct", "jaccard_permille")
+    default = sorted(
+        tuple(r[c] for c in cols)
+        for r in verify_jaccard_candidates(sh, cand, "doc_id", 500).collect()
+    )
+    precomputed = sorted(
+        tuple(r[c] for c in cols)
+        for r in verify_jaccard_candidates(
+            sh, cand, "doc_id", 500, sizes=sizes
+        ).collect()
+    )
+    assert default == precomputed and default, (
+        "precomputed-sizes verify path diverged from the default path"
+    )
+    # the audit doc count q166 now derives from the sizes frame must
+    # equal the distinct doc count it previously computed
+    assert sizes.count() == sh.select("doc_id").distinct().count()
