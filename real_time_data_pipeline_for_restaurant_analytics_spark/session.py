@@ -29,12 +29,14 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def _local_dir() -> str:
     """Spark scratch (shuffle blocks, broadcast, disk spill) location.
 
-    ``$SPARK_GRAFT_LOCAL_DIR`` if set; else the fastest writable
-    scratch volume (guide §2.1/§6: shuffle cost is disk-bound on slow
-    local disks — on a cluster you point spark.local.dir at NVMe; the
-    local twin of that decision is /dev/shm over the disk-backed
-    system tempdir). Scratch only — lost blocks recompute from
-    lineage, so volatility is fine.
+    ``$SPARK_GRAFT_LOCAL_DIR`` if set, else the disk-backed system
+    tempdir (via :func:`scratch_base`, which also honours
+    ``$SPARK_GRAFT_TMPDIR``). On a cluster you point spark.local.dir
+    at local NVMe (guide §2.1/§6); RAM-backed tmpfs is deliberately
+    NOT auto-selected — shuffle/spill pages there compete with the
+    JVM heap and Python workers for the same RAM/cgroup budget, and
+    spill exists to relieve memory (guide §5). Opt in via the env
+    vars only with measured headroom.
     """
     d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if d:

@@ -5,7 +5,7 @@ materialize real warehouse state — landing drops, stream checkpoints,
 snapshot tables — as part of their run. That scratch lives OUTSIDE the
 repo tree (round-8 verdict blemish: q144 wrote `.tmp_stream_replay/`
 under the source tree): ``$SPARK_GRAFT_TMPDIR`` if set, else the
-fastest writable scratch volume (see :func:`scratch_base`).
+disk-backed system tempdir (see :func:`scratch_base`).
 
 Cleanup is age-based, not delete-on-exit: the DataFrame a replay query
 returns lazily reads this run's parquet, so the directory must outlive
@@ -25,21 +25,17 @@ import uuid
 def scratch_base() -> str:
     """Base directory for ephemeral replay scratch.
 
-    Order: ``$SPARK_GRAFT_TMPDIR`` (production points this at whatever
-    storage its durability needs — replay scratch needs none: it is
-    per-run fixture state, age-purged within the hour) → ``/dev/shm``
-    when present and writable (guide §6: put ephemeral small-file-heavy
-    scratch — streaming checkpoints' per-batch state/commit/offset
-    files, snapshot-table versions — on the fastest local volume; the
-    system tempdir here is a spinning/virtual disk and every streaming
-    micro-batch pays its fsync latency) → the system tempdir.
+    ``$SPARK_GRAFT_TMPDIR`` if set (point it at RAM-backed tmpfs such
+    as /dev/shm ONLY if you have measured headroom — scratch there
+    competes with the JVM heap and Python workers for the same RAM
+    budget, and spill-to-tmpfs defeats the point of spilling, guide
+    §5), else the disk-backed system tempdir. Scratch is per-run
+    fixture state, age-purged within the hour, so durability is not
+    needed — but it must not steal memory from execution.
     """
     base = os.environ.get("SPARK_GRAFT_TMPDIR")
     if base:
         return base
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
     return tempfile.gettempdir()
 
 
