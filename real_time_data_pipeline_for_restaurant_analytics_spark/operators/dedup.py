@@ -161,6 +161,62 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Block width for the hot-key-bounded pair expansion in the exact
+#: group-and-expand kernels (:func:`jaccard_pairs`,
+#: :func:`containment_pairs`). A bucket with m ids expands through
+#: ⌈m/block⌉² upper-triangle BLOCK pairs instead of one m²/2 pair
+#: array, so per-row materialization is O(m + block²) ≈ a few MB for
+#: any m — a stop-word shingle shared by 10⁵ docs peaks at ~17 MB per
+#: generated row instead of an 80 GB single-task array (guide §2.5:
+#: one giant key is the skew AQE cannot split).
+PAIR_EXPAND_BLOCK = 1024
+
+
+def _expand_sorted_id_pairs(groups: DataFrame, block: int | None = None) -> DataFrame:
+    """Upper-triangle (id1 < id2) pair rows from bucket rows holding a
+    sorted-ascending ``ids`` array of distinct ids.
+
+    Pair set is identical to the direct per-bucket expansion
+    ``flatten(transform(ids, (x, i) -> transform(slice(ids, i+2, ...``
+    — blocks are contiguous slices of the sorted array, so within-block
+    pairs use the same strict upper triangle and cross-block pairs
+    (i < j) are automatically ordered. Three chained explodes keep any
+    one materialized array bounded: block indexes (⌈m/block⌉ ints),
+    then one block-pair row per (i, j≥i) with two ≤block-wide slices,
+    then ≤block² pair structs. No shuffle is added; a hot bucket's
+    expansion still runs in one task (the straggler is the kernel's
+    documented quadratic cost) but no longer holds m²/2 structs live.
+    """
+    if block is None:
+        block = PAIR_EXPAND_BLOCK  # read at call time so tests can narrow it
+    last = f"((size(ids)-1) div {block})"
+    blk = groups.select(
+        "ids", F.explode(F.expr(f"sequence(0, {last})")).alias("i")
+    )
+    bp = blk.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(i, {last}), j -> struct("
+                f" slice(ids, i * {block} + 1, {block}) AS a,"
+                f" IF(j = i, slice(ids, 1, 0), slice(ids, j * {block} + 1, {block})) AS b))"
+            )
+        ).alias("bp")
+    )
+    return bp.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(bp.b) = 0 THEN"
+                " flatten(transform(bp.a, (x, i) ->"
+                "  transform(slice(bp.a, i + 2, size(bp.a)), y -> struct(x AS id1, y AS id2))))"
+                " ELSE"
+                " flatten(transform(bp.a, x ->"
+                "  transform(bp.b, y -> struct(x AS id1, y AS id2))))"
+                " END"
+            )
+        ).alias("p")
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame, id_col: str, min_permille: int = 0
 ) -> DataFrame:
@@ -170,7 +226,8 @@ def jaccard_pairs(
     Pair generation is group-and-expand, not a self-join: one shuffle
     of the shingle table (the self-join shuffles BOTH aliases — 2× the
     bytes — and evaluates the upstream shingle kernel once per side),
-    then in-bucket upper-triangle expansion over the sorted id list.
+    then in-bucket upper-triangle expansion over the sorted id list,
+    hot-key-bounded via :func:`_expand_sorted_id_pairs`.
     Identical pair set: per-doc shingles are distinct, so the count of
     (id1, id2) rows across buckets IS |∩|."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -179,12 +236,8 @@ def jaccard_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
-    )
     inter = (
-        groups.select(F.explode(pair_expr).alias("p"))
+        _expand_sorted_id_pairs(groups)
         .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter_ct"))
     )
@@ -2257,7 +2310,8 @@ def containment_pairs(
 
     Same inverted-index group-and-expand shape (and cost bound) as
     :func:`jaccard_pairs`: one shuffle of the shingle table, pair rows
-    exist only where documents actually share a shingle.
+    exist only where documents actually share a shingle, hot-key
+    expansion bounded via :func:`_expand_sorted_id_pairs`.
     """
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     groups = (
@@ -2265,12 +2319,8 @@ def containment_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id1, y AS id2))))"
-    )
     inter = (
-        groups.select(F.explode(pair_expr).alias("p"))
+        _expand_sorted_id_pairs(groups)
         .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
         .agg(F.count(F.lit(1)).alias("inter_ct"))
     )
