@@ -939,6 +939,16 @@ def q167_stream_stream_interval_join(
     # thousand rows — 32 StateStore partitions is per-batch overhead
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # no trailing no-data micro-batch (round 15): an INNER interval
+    # join emits on match only — the watermark-advance batch after the
+    # last drop can evict state but can never add sink rows, so it is
+    # pure trigger overhead here (A/B at sf0.1: 6.5 → 5.4 s, sink
+    # exceptAll both ways = 0). q164/q169 MUST keep it true (their
+    # window finalization / null emission ride on it); restored below.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             joined.writeStream.format("parquet")
@@ -951,6 +961,9 @@ def q167_stream_stream_interval_join(
         finished = q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     if not finished:
         q.stop()
         raise RuntimeError(
@@ -1337,6 +1350,15 @@ def q170_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be per-batch overhead (the q164 sizing note)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # no trailing no-data micro-batch (round 15, the q167 note):
+    # dropDuplicatesWithinWatermark PASSES first-seen rows through in
+    # the batch they arrive — the watermark-advance batch after the
+    # last drop only drops expired state keys and can never add sink
+    # rows (A/B at sf0.1: sink exceptAll both ways = 0); restored below.
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             deduped.writeStream.format("parquet")
@@ -1349,6 +1371,9 @@ def q170_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         finished = q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     if not finished:
         q.stop()
         raise RuntimeError(
