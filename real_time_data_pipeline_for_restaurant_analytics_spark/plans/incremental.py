@@ -243,7 +243,14 @@ def q161_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t2 - F.expr("INTERVAL 1 HOUR")).alias("modified_ts"),
     )
     day2 = changed.unionByName(stale)
-    n_raw, n_keys = day2.count(), day2.select(*key).distinct().count()
+    # one agg job, not a count() plus a distinct().count() (guide
+    # §1.2); customer_id is the non-null c_custkey, so COUNT(DISTINCT)
+    # equals the distinct-row count here
+    s = day2.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct(*key).alias("n_keys"),
+    ).collect()[0]
+    n_raw, n_keys = s["n_raw"], s["n_keys"]
     assert n_raw > n_keys, (
         f"day-2 batch has no physical in-batch duplicates "
         f"({n_raw} rows over {n_keys} keys) — the C6 guard was not exercised"
