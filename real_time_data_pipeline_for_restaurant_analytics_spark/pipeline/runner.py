@@ -288,7 +288,14 @@ def run_all(
     if parallel:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(len(RUN_ORDER), 8)) as pool:
+        # one slot per entity (round 15): the old cap of 8 pushed the
+        # LAST two RUN_ORDER entities — login_audit is among the
+        # heaviest — into a second wave behind freed slots, extending
+        # the critical path (A/B ×4 at sf0.1: q145 min 7.78 → 6.55 s).
+        # Entity loads are job-latency-bound here, so full overlap is
+        # right; a cluster with real data contention would re-bound
+        # this by executor headroom (guide §2.6).
+        with ThreadPoolExecutor(max_workers=min(len(RUN_ORDER), 16)) as pool:
             return list(pool.map(one, RUN_ORDER))
     return [one(name) for name in RUN_ORDER]
 
