@@ -279,7 +279,19 @@ def minhash_signatures(
     """
     base = spread(df, id_col).select(F.col(id_col), words(text_col).alias("ws")).select(
         F.col(id_col), shingle_array("ws", n).alias("sharr")
-    ).select(
+    )
+    return _minhash_from_sharr(base, id_col, n_perm)
+
+
+def _minhash_from_sharr(
+    base: DataFrame, id_col: str, n_perm: int = N_PERM
+) -> DataFrame:
+    """MinHash components from an (id, sharr) shingle-array frame —
+    the back half of :func:`minhash_signatures`, split out so a caller
+    that already materialized the shingle arrays (q114's audit shares
+    one parse between the exact kernel and the signatures) can hash
+    them without re-parsing the text."""
+    hashed = base.select(
         F.col(id_col),
         F.expr("transform(sharr, s -> " + _H_SQL.format(s="s") + ")").alias("harr"),
     )
@@ -289,7 +301,7 @@ def minhash_signatures(
         ).alias(f"mh{p}")
         for p, (a, b) in enumerate(_MH_PERMS[:n_perm])
     ]
-    return base.select(F.col(id_col), *mins)
+    return hashed.select(F.col(id_col), *mins)
 
 
 def lsh_bands(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
@@ -1922,9 +1934,22 @@ def lsh_recall_audit(
     joined frame, all counts in a single conditional aggregation, the
     candidate total rides in as a 1-row broadcast cross.
     """
-    sh = shingles(docs, id_col, text_col)
+    # ONE corpus text parse (round 15, §1.2/§2.4): the shingle-array
+    # frame is materialized once and feeds BOTH the exact kernel
+    # (exploded to (id, shingle)) and the MinHash signatures (hashed
+    # in place) — formerly shingles() and minhash_signatures() each
+    # re-ran the words→3-gram→array_distinct kernel over the text
+    # (interleaved A/B ×5 at sf0.1: 5.00 → 2.91 s min, output
+    # exceptAll both ways = 0).
+    sharr = (
+        spread(docs, id_col)
+        .select(F.col(id_col), words(text_col).alias("ws"))
+        .select(F.col(id_col), shingle_array("ws", 3).alias("sharr"))
+        .localCheckpoint()
+    )
+    sh = sharr.select(F.col(id_col), F.explode("sharr").alias("shingle"))
     exact = jaccard_pairs(sh, id_col, min_permille=100)
-    sig = minhash_signatures(docs, id_col, text_col)
+    sig = _minhash_from_sharr(sharr, id_col)
     cands = lsh_candidates(lsh_bands(sig, id_col), id_col).select(
         "id1", "id2", F.lit(1).alias("is_cand")
     )

@@ -1066,12 +1066,18 @@ def q147_json_entity_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # the duplicates must have PHYSICALLY reached the stage layer —
-    # otherwise "dedup collapsed them" proves nothing about C6
+    # otherwise "dedup collapsed them" proves nothing about C6.
+    # ONE conditional-sum agg job, not four count() jobs (round 15,
+    # the q164/q165 fixture-audit pattern applied here too)
     k = F.col("c_custkey")
-    n1 = cust.filter(k % 10 != 9).count()
-    d1 = cust.filter((k % 10 != 9) & (k % 4 == 0)).count()
-    n2 = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9)).count()
-    d2 = cust.filter((k % 10).isin(0, 1, 2, 3, 4, 9) & (k % 4 == 0)).count()
+    cnt = lambda c: F.coalesce(F.sum(c.cast("long")), F.lit(0))  # noqa: E731
+    s = cust.agg(
+        cnt(k % 10 != 9).alias("n1"),
+        cnt((k % 10 != 9) & (k % 4 == 0)).alias("d1"),
+        cnt((k % 10).isin(0, 1, 2, 3, 4, 9)).alias("n2"),
+        cnt((k % 10).isin(0, 1, 2, 3, 4, 9) & (k % 4 == 0)).alias("d2"),
+    ).collect()[0]
+    n1, d1, n2, d2 = s["n1"], s["d1"], s["n2"], s["d2"]
     staged = spark.read.parquet(
         os.path.join(wh.stage_dir("delivery_agent"), "data")
     ).count()
