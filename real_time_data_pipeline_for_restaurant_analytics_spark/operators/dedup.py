@@ -283,6 +283,20 @@ def minhash_signatures(
     return _minhash_from_sharr(base, id_col, n_perm)
 
 
+def _sharr_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sharr) distinct-shingle-array frame — the one-per-doc
+    parse both the MinHash sketch side and an exact verify side can
+    share (callers typically ``localCheckpoint`` it so the words→
+    n-gram→array_distinct kernel runs exactly once per corpus)."""
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), words(text_col).alias("ws"))
+        .select(F.col(id_col), shingle_array("ws", n).alias("sharr"))
+    )
+
+
 def _minhash_from_sharr(
     base: DataFrame, id_col: str, n_perm: int = N_PERM
 ) -> DataFrame:
@@ -1140,6 +1154,11 @@ def verified_near_dups(
     shingles are materialized once — so the shingle kernel runs once
     instead of three times (sizes / a / b) and the sizes aggregation
     shuffles only candidate docs' shingles, not the full corpus.
+    (A q114-style shared-parse checkpoint was A/B'd here in round 15
+    and REJECTED: wall parity — the verify side is already candidate-
+    restricted so the second parse is not dominant — and the corpus-
+    wide array materialization is storage pressure the current shape
+    avoids.)
     """
     sig = minhash_signatures(df, id_col, text_col)
     cands = (
@@ -1255,6 +1274,8 @@ def dedup_against_base(
     smaller — broadcasts against it. Verification is exact Jaccard on
     candidate pairs only, like q49. Re-running a batch is idempotent:
     output depends only on (base, new) content.
+    (The q114 shared-parse checkpoint was A/B'd and rejected here for
+    the same reasons as :func:`verified_near_dups`.)
     """
     bb = lsh_bands(minhash_signatures(base, id_col, text_col), id_col)
     nb = lsh_bands(minhash_signatures(new, id_col, text_col), id_col)
@@ -1941,12 +1962,7 @@ def lsh_recall_audit(
     # re-ran the words→3-gram→array_distinct kernel over the text
     # (interleaved A/B ×5 at sf0.1: 5.00 → 2.91 s min, output
     # exceptAll both ways = 0).
-    sharr = (
-        spread(docs, id_col)
-        .select(F.col(id_col), words(text_col).alias("ws"))
-        .select(F.col(id_col), shingle_array("ws", 3).alias("sharr"))
-        .localCheckpoint()
-    )
+    sharr = _sharr_frame(docs, id_col, text_col).localCheckpoint()
     sh = sharr.select(F.col(id_col), F.explode("sharr").alias("shingle"))
     exact = jaccard_pairs(sh, id_col, min_permille=100)
     sig = _minhash_from_sharr(sharr, id_col)
@@ -2427,6 +2443,8 @@ def containment_verified(
     shingle table broadcast-semi-joined to candidate ids and
     materialized once — one shingle-kernel eval instead of three, and
     the sizes shuffle bounded by candidates instead of the corpus.
+    (The q114 shared-parse checkpoint was A/B'd and rejected here for
+    the same reasons as :func:`verified_near_dups`.)
     """
     sig = minhash_signatures(df, id_col, text_col)
     cands = (
